@@ -1,0 +1,74 @@
+"""Benchmark harness: run the engine's headline queries at sf0.1.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the `noop` sink (full plan runs, nothing is
+materialized on the driver), so timings measure distributed compute, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one query per major operator family (scan-agg, multi-join,
+# window, as-of join, dedup, MinHash LSH, ANN top-k, text stats,
+# sessionization, streaming-shaped window agg).
+HEADLINE = [
+    "A7_q1_pricing_summary",
+    "J1_q5_local_supplier_revenue",
+    "W1_best_order_per_customer",
+    "J6_asof_latest_order",
+    "X1_exact_dedup_by_content",
+    "X2_minhash_lsh_pairs",
+    "X3_cosine_topk_bruteforce",
+    "X4_text_stats",
+    "X8_session_window_agg",
+    "X6_tumbling_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from hg_data_pipelines_spark.queries import QUERIES
+    from hg_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/Arrow warmup outside the timed region.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

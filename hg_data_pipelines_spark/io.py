@@ -1,0 +1,167 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S10).
+
+The reference reads with pandas (``pd.read_csv``/``json.load``/``os.walk``,
+reference: street_level_grouping.py:88-90,141; tls_photo_processing.py:25-31)
+and persists via Dagster IO managers (DuckDB table or filesystem pickle,
+reference: heritage_guard/__init__.py:12-14). Here every source is a lazy
+``spark.read`` with an enforced schema and every sink is Parquet-first (a
+DuckDB-attachable warehouse — S9), so Catalyst gets pushdown/pruning for free
+and the same code scales from sf0.001 to 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import schemas
+
+
+class SchemaDriftError(RuntimeError):
+    """Raised when a source's physical schema diverges from the contract."""
+
+
+def _check_schema(df: DataFrame, expected: T.StructType, source: str) -> None:
+    """Names must match exactly and in order; types must be compatible.
+
+    Parquet's physical types are authoritative for width (int32 vs int64);
+    drift in *names* or type *family* is an error.
+    """
+    got = df.schema
+    if [f.name for f in got.fields] != [f.name for f in expected.fields]:
+        raise SchemaDriftError(
+            f"{source}: column names {[f.name for f in got.fields]} != "
+            f"expected {[f.name for f in expected.fields]}"
+        )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S3: Parquet source for a TESTDATA table, schema-checked.
+
+    Column pruning + predicate pushdown reach the parquet scan because this
+    returns the lazy scan directly (no materialization).
+
+    ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark has no
+    native type for — we read it as int64 nanoseconds
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    TIMESTAMP_NTZ with integer division (float division would lose precision:
+    epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range). DuckDB
+    applies the same floor-truncation reading the file, so both engines see
+    identical microsecond values.
+    """
+    from pyspark.sql import functions as F
+
+    expected = schemas.TESTDATA_TABLES[name]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() yields LTZ; the cast to NTZ goes through the
+        # session TZ, so pin UTC for a host-independent result.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else:
+        df = spark.read.parquet(path)
+    _check_schema(df, expected, path)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_results_json(spark: SparkSession, path: str) -> DataFrame:
+    """S1: nested multiline JSON detection results.
+
+    Reference: ``json.load`` + ``pd.json_normalize`` at
+    detected_objects_processing.py:19-21. The explode to rows is the N1
+    operator (``pipelines.detected_objects``), not the source's job.
+    """
+    return spark.read.json(path, schema=schemas.RESULTS_JSON, multiLine=True)
+
+
+def read_pose_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: tab-separated camera-pose CSV.
+
+    Reference: ``pd.read_csv(..., sep='\\t')`` at street_level_grouping.py:141.
+    """
+    return spark.read.csv(path, sep="\t", header=True, schema=schemas.POSE_REFERENCE)
+
+
+def read_predictions_json(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S1 variant: per-crop detector JSON (parallel arrays, FIXTURES.md §2.2).
+
+    ``input_file_name`` is retained because the crop's theta and photo stem
+    are encoded in the file name (reference: street_level_grouping.py:52-66).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.json(path_glob, schema=schemas.PREDICTIONS_JSON, multiLine=True)
+        .withColumn("_path", F.input_file_name())
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:
+    """S4/S5: recursive binary-file source (images, meshes).
+
+    Replaces the reference's ``os.walk`` + ``cv2.imread`` eager loop
+    (tls_photo_processing.py:25-31). Yields (path, modificationTime, length,
+    content) — the multimodal opaque-binary column pattern (X5).
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+
+def class_dim(spark: SparkSession) -> DataFrame:
+    """The 8-row object-class dimension (reference: CONSTANTS.py:4-13).
+
+    Used via broadcast join (J2) instead of the reference's per-row dict
+    ``apply`` (street_level_grouping.py:91).
+    """
+    return spark.createDataFrame(schemas.CLASS_DIM_ROWS, schema=schemas.CLASS_DIM)
+
+
+def write_warehouse_table(
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """S9: Parquet warehouse sink (DuckDB-attachable — the t2 oracle path).
+
+    Replaces the reference's ``DuckDBPandasIOManager``
+    (heritage_guard/__init__.py:12-14). ``partition_by`` is the 100-TB knob:
+    facts get date/key-range partitions so downstream reads prune.
+    """
+    path = os.path.join(warehouse_dir, table)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, sep: str = ",") -> None:
+    """S7: CSV sink (reference: ``to_csv`` street_level_grouping.py:131,194,228).
+
+    ``single_file=True`` coalesces for parity with the reference's one-file
+    output — only for small results; large results keep their partitioning.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").option("sep", sep).csv(path)
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S8: JSON-lines sink (reference: json.dumps → file, street_level_grouping.py:82-83)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

@@ -1,0 +1,73 @@
+"""As-of (point-in-time) join — EXT-J6 (SURVEY.md §2.4).
+
+For each left row, attach the most recent right row with the same key and
+``right.time <= left.time``.
+
+Implementation: tag + union + running ``last(ignorenulls)`` window, i.e. a
+single shuffle on the key — NOT a range cross-join. At 100 TB this is the
+only as-of formulation that doesn't explode: cardinality stays |L| + |R|,
+the window is one pass per key partition, and skewed keys are handled by
+AQE (the window itself is linear in partition size).
+
+Determinism: right rows sort before left rows at equal timestamps (inclusive
+``<=`` semantics, matching DuckDB's ``ASOF JOIN ... ON l.t >= r.t``); callers
+must pre-deduplicate the right side to one row per (key, time) if several
+could tie, otherwise pick-one is undefined in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    left_cols: list[str] | None = None,
+) -> DataFrame:
+    """Return ``left`` columns + the as-of values from ``right``.
+
+    ``value_cols`` are carried from the right side (null when no right row
+    precedes the left row).
+    """
+    left_cols = left_cols if left_cols is not None else left.columns
+
+    lhs = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    rhs = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+
+    # One shuffle: partition by key, order by (time, side). Right rows sort
+    # first at equal times so `<=` matches see them.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *left_cols,
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

@@ -1,0 +1,165 @@
+"""Deduplication operators (SURVEY.md X1/X2) — exact and near-duplicate.
+
+Scale design:
+- exact: one hash-shuffle on the dedup key, deterministic keep-first via
+  window tiebreak (never nondeterministic ``dropDuplicates`` for declared
+  output — SURVEY.md §7.2).
+- n-gram Jaccard: inverted-index join on shingles (|pairs sharing a
+  shingle|), NOT an O(n²) cross join.
+- MinHash+LSH: signature + banded bucketing makes candidate generation
+  near-linear; exact Jaccard verification only on candidates. This is the
+  100 TB path — the exact inverted-index form is the small-scale oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import lsh_band_keys, minhash_signature, simhash64, tokens, word_shingles
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Keep exactly one row per key combination, deterministically.
+
+    ``order`` columns define which row wins (first under the given sort).
+    One shuffle on ``keys``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("toks"))
+        .select("_id", word_shingles("toks", ngram).alias("shingles"))
+        .select("_id", F.size("shingles").alias("_n"), F.explode("shingles").alias("s"))
+    )
+    a = sh.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("na"), F.col("s")
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("nb"), F.col("s")
+    )
+    common = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = common.withColumn(
+        "jaccard", F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + banded-LSH near-dup pairs, exact-Jaccard verified.
+
+    Candidate pairs come from band-bucket collisions (near-linear); the
+    exact Jaccard check on candidates removes false positives, so output
+    precision is exact and only recall is probabilistic (tuned by
+    bands/rows-per-band around the threshold knee).
+    """
+    base = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("toks")).select(
+        "_id", word_shingles("toks", ngram).alias("shingles")
+    )
+    sigs = base.select(
+        "_id", "shingles", minhash_signature("shingles", num_hashes).alias("sig")
+    )
+    banded = sigs.select(
+        "_id",
+        "shingles",
+        F.posexplode(lsh_band_keys("sig", bands)).alias("band", "key"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "key"
+    )
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = candidates.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document (near-dup via small Hamming distance)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).select("doc_id", simhash64("toks").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs via 4×16-bit chunk blocking.
+
+    Pigeonhole: any pair within Hamming distance 3 shares at least one exact
+    16-bit chunk; larger ``max_hamming`` trades recall. Chunk-equality join
+    keeps candidate generation near-linear, then the exact Hamming check
+    filters.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " c -> shiftright(simhash, c * 16) & 65535L)"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

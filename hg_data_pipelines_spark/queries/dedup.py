@@ -1,0 +1,134 @@
+"""Dedup queries over ``documents``/``events`` (SURVEY.md X1/X2).
+
+The exact forms carry DuckDB oracles; MinHash-LSH and SimHash use engine
+hash functions DuckDB lacks, so they are declared rows-only (deterministic,
+verified structurally by pytest against the exact-Jaccard ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .common import load, query
+
+# --------------------------------------------------------------------------
+# X1: exact dedup by content hash (md5 on both engines), deterministic
+# keeper = min doc_id.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X1_exact_dedup_by_content",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_by_content(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X1: keep-first dedup on a key (deterministic window form of
+# dropDuplicates; reference analogue W1 idxmax).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X1_dedup_keep_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) = 1
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return dedup_exact(
+        ev, keys=["user_id", "event_type"], order=["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: exact n-gram Jaccard near-dup pairs (shingle inverted-index join).
+# This is the ground-truth form; the LSH twin below must recall-match it on
+# the pairs above the LSH knee (pytest asserts that).
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.08
+
+_SQL_SHINGLES = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), shingled AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                        for i in range(1, len(toks) - 1)])
+               END AS shingles
+        FROM t
+    ), sh AS (
+        SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM shingled
+    )
+"""
+
+
+@query(
+    "X2_ngram_jaccard_pairs",
+    _SQL_SHINGLES
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+    FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_query(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# X2: MinHash + LSH candidate pairs, exact-verified. Deterministic
+# (xxhash64-seeded) but not DuckDB-expressible → rows-only check here;
+# pytest asserts precision=1 and recall vs X2_ngram_jaccard_pairs.
+# --------------------------------------------------------------------------
+
+
+@query("X2_minhash_lsh_pairs")
+def minhash_lsh_query(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# X2: SimHash fingerprints (rows-only: xxhash64 not in DuckDB).
+# --------------------------------------------------------------------------
+
+
+@query("X2_simhash_fingerprints")
+def simhash_query(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)

@@ -1,0 +1,262 @@
+"""Event-stream queries: analytic windows, sessionization, time windows,
+as-of join, JSON extraction (SURVEY.md §2.6 W3, §2.10 X6/X8, EXT-J6, §2.8).
+
+All of these are the batch (DuckDB-checkable) forms; the Structured
+Streaming twins live in ``streaming_q`` / ``hg_data_pipelines_spark.streaming``.
+
+Epoch arithmetic uses microseconds (``unix_micros`` ↔ DuckDB ``epoch_us``)
+under a pinned UTC session so NTZ→instant conversion is host-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from .common import dsum, load, query, sql_dsum, utc
+
+
+def _epoch_us(col):
+    """Microseconds since epoch for a TIMESTAMP_NTZ column (UTC session)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# EXT-W3: lag / lead / running sum per user. Running sum accumulates in
+# exact decimal — double running sums are association-order dependent and
+# DuckDB computes windows with a segment tree, not left-to-right.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W3_lag_lead_running_sum",
+    """
+    SELECT event_id, user_id, ts,
+           lag(value) OVER w AS prev_value,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead_running_sum(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-J6: as-of join — each event picks up the user's most recent order.
+# The right side is pre-deduplicated to one row per (custkey, orderdate)
+# (max orderkey) so the pick is total-order deterministic; DuckDB's native
+# ASOF JOIN is the oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J6_asof_latest_order",
+    """
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_o_orderkey
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_latest_order(spark, sf_dir):
+    utc(spark)
+    ev, orders = load(spark, sf_dir, "events", "orders")
+    orders_d = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    return asof_join(
+        ev,
+        orders_d,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        left_cols=["event_id", "user_id", "ts"],
+    )
+
+
+# --------------------------------------------------------------------------
+# X6: tumbling time-window aggregation (batch form of the streaming window).
+# F.window buckets are epoch-aligned; DuckDB time_bucket likewise
+# (1970→2000 origins differ by a whole number of 5-minute buckets).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X6_tumbling_window_agg",
+    f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "X6_sliding_window_agg",
+    f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM assigned GROUP BY 1
+    """,
+)
+def sliding_window_agg(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# X8: sessionization, two forms.
+# (a) lag-based: gap > 30 min starts a new session (classic two-window pass,
+#     DuckDB-checkable 1:1).
+# (b) F.session_window: Spark's native merging session windows; oracle is
+#     the lag-based SQL aggregated to the same shape (start = min ts,
+#     end = max ts + gap — session_window's half-open end semantics).
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+"""
+
+
+@query(
+    "X8_sessionization_lag",
+    _SESSIONIZE_SQL
+    + """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def sessionization_lag(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(_epoch_us("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp")) > gap_us, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "X8_session_window_agg",
+    _SESSIONIZE_SQL
+    + """
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 JSON: get_json_object / from_json over the props JSON column
+# (the N1 nested-data pattern applied to a string payload).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "N_json_extract",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

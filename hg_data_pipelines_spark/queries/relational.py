@@ -1,0 +1,724 @@
+"""Relational operator queries (SURVEY.md §2.2-2.8) over the TPC-H-ish tables.
+
+Each query exercises one inventory row (P/J/A/W/O/F ids in the names) as a
+declarative DataFrame plan — Catalyst gets pushdown/pruning/broadcast for
+free — with a DuckDB oracle proving value-level equivalence.
+
+Scale notes are attached per query: what the plan shuffles, what broadcasts,
+and why it would survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import davg, dsum, load, query, sql_davg, sql_dsum
+
+# --------------------------------------------------------------------------
+# A7: TPC-H Q1-style pricing summary — the flagship aggregation.
+# Reference analogue: per-group aggregate reporting (A2/A4,
+# street_level_grouping.py:94, MeshWallExtractror.py:74-88), generalized to
+# a fact table. One shuffle on a tiny group key; partial aggregation
+# (map-side combine) does almost all the work — the 100 TB plan is identical.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A7_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 + P5: projection & predicate filter; both reach the parquet scan
+# (PushedFilters / ReadSchema — only 4 of 11 lineitem columns are read).
+# Reference: column select street_level_grouping.py:209; score filter :323.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "P1_P5_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount < 0.05
+    """,
+)
+def project_filter(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# P8: string key normalization (split/first-token), P2-style derived label.
+# Reference: file-stem split street_level_grouping.py:184.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "P8_string_normalize",
+    """
+    SELECT string_split(p_type, ' ')[1] AS type_head, COUNT(*) AS n,
+           COUNT(DISTINCT p_brand) AS n_brands
+    FROM part GROUP BY 1
+    """,
+)
+def string_normalize(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return (
+        part.withColumn("type_head", F.split("p_type", " ").getItem(0))
+        .groupBy("type_head")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("p_brand").alias("n_brands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: derived numeric columns — pure row-local double arithmetic is
+# bit-identical across engines, no rounding needed.
+# Reference: deg→rad + offsets street_level_grouping.py:185-188.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "P9_derived_numeric",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           radians(l_quantity) AS qty_rad
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def derived_numeric(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charge"),
+        F.radians("l_quantity").alias("qty_rad"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 + J2: dim lookup via broadcast join chain (customer→nation→region) —
+# the Spark-native replacement for the reference's per-row dict apply
+# (street_level_grouping.py:91). Both dims broadcast; zero fact shuffles
+# before the final small-key aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "P2_J2_dim_lookup_chain",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers, {sql_dsum('c.c_acctbal', 'sum_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def dim_lookup_chain(spark, sf_dir):
+    cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J1: fact→dim equi join (orders ⋈ customer) — customer broadcasts at this
+# scale; at 100 TB orders/customer would both be bucketed on custkey and the
+# join stays co-located (no fact shuffle either way).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J1_orders_customer_revenue",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'revenue')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def orders_customer_revenue(spark, sf_dir):
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 multiway (TPC-H Q5 shape): region→nation→(customer ⋈ orders ⋈ lineitem
+# ⋈ supplier) with the customer-nation == supplier-nation constraint.
+# Dims broadcast; the lineitem⋈orders equi join is the only big shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J1_q5_local_supplier_revenue",
+    f"""
+    SELECT n.n_name AS nation_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q5_local_supplier_revenue(spark, sf_dir):
+    li, orders, cust, supp, nation, region = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-J5: anti & semi joins ("new rows only" dedup support).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J5_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_customers_without_orders(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "J5_semi_active_customers",
+    """
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_active
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY 1
+    """,
+)
+def semi_active_customers(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: frequency count (the reference's value_counts,
+# street_level_grouping.py:94) + O1 sort.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A2_value_counts",
+    """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def value_counts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: per-group min/max/avg (reference: per-cluster summarization,
+# MeshWallExtractror.py:74-88).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A4_group_stats",
+    f"""
+    SELECT n.n_name AS nation_name,
+           MIN(c.c_acctbal) AS min_bal, MAX(c.c_acctbal) AS max_bal,
+           {sql_davg('c.c_acctbal', 'avg_bal')}, COUNT(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def group_stats(spark, sf_dir):
+    cust, nation = load(spark, sf_dir, "customer", "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            davg("c_acctbal", "avg_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 + A6: distinct and counts. Reference: unique() street_level_grouping.py:316.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A5_distinct_flags",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flags(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "A6_counts",
+    """
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    """,
+)
+def counts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-A8: rollup and cube (grouping sets). Partial aggregation expands the
+# grouping-set rows map-side; still a single shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A8_rollup_region_nation",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers, {sql_dsum('c.c_acctbal', 'sum_bal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+        )
+        .rollup("region_name", "nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "sum_bal"))
+    )
+
+
+@query(
+    "A8_cube_status_priority",
+    f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-A9: approximate distinct count (HyperLogLog++). No DuckDB oracle —
+# different sketch implementations — so the driver records the weaker
+# rows-only check; the exact-count twin lives in A6_counts.
+# --------------------------------------------------------------------------
+
+
+@query("A9_approx_count_distinct")
+def approx_count_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W1: argmax-row-per-group — the reference's idxmax best-detection pick
+# (street_level_grouping.py:157) with an explicit total-order tiebreak.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W1_best_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) = 1
+    """,
+)
+def best_order_per_customer(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-W2: ranking family over a total order (tiebreak on key).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W2_rank_family",
+    """
+    SELECT c_nationkey, c_custkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def rank_family(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-O4: deterministic top-K (global sort + limit; Spark executes as
+# TakeOrderedAndProject — no full sort at scale).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "O4_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-O5: set operations.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "O5_intersect_buyers",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def intersect_buyers(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = orders.select(F.col("o_custkey").alias("custkey"))
+    return rich.intersect(buyers)
+
+
+@query(
+    "O5_except_never_ordered",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def except_never_ordered(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    return cust.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# O3: union of heterogeneous subsets (reference: pd.concat of per-group
+# results, street_level_grouping.py:129,193).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "O3_union_tagged",
+    """
+    SELECT src, COUNT(*) AS n FROM (
+        SELECT 'high_value' AS src, o_orderkey FROM orders WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY 1
+    """,
+)
+def union_tagged(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.lit("high_value").alias("src"), "o_orderkey"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey"
+    )
+    return hi.unionByName(urgent).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar surface: strings, math, dates, conditionals.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_name) AS name_l,
+           substring(p_name, 1, 12) AS name_head,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           trim(concat(p_brand, ' ')) AS brand_trim,
+           regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+           CAST(p_type LIKE '%BRASS%' AS INTEGER) AS is_brass
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def string_funcs(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_name").alias("name_l"),
+        F.substring("p_name", 1, 12).alias("name_head"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.trim(F.concat(F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.col("p_type").like("%BRASS%").cast("int").alias("is_brass"),
+    )
+
+
+@query(
+    "F_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_diff,
+           round(l_extendedprice, 1) AS price_r1,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           l_orderkey % 7 AS key_mod,
+           round(sin(radians(l_quantity)), 6) AS qty_sin,
+           round(ln(l_extendedprice), 6) AS price_ln
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.sin(F.radians("l_quantity")), 6).alias("qty_sin"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+@query(
+    "F_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_epoch_start
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def date_funcs(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "F_conditional_tiers",
+    f"""
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+                WHEN o_totalprice >= 100000 THEN 'gold'
+                WHEN o_totalprice >= 50000 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def conditional_tiers(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 200000, "platinum")
+        .when(F.col("o_totalprice") >= 100000, "gold")
+        .when(F.col("o_totalprice") >= 50000, "silver")
+        .otherwise("bronze")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+    return (
+        orders.select(tier.alias("tier"), status.alias("status_label"), "o_totalprice")
+        .groupBy("tier", "status_label")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N2 + N1: nest → unnest roundtrip. collect_list into array-of-structs
+# (sorted for determinism), then explode back to rows — proves both
+# directions of the reference's most load-bearing ops
+# (street_level_grouping.py:67-78 build; :90 normalize).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "N2_N1_nest_unnest_roundtrip",
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM orders",
+)
+def nest_unnest_roundtrip(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+        ).alias("orders_arr")
+    )
+    return nested.select(
+        "o_custkey", F.explode("orders_arr").alias("o")
+    ).select("o_custkey", "o.o_orderkey", "o.o_totalprice")

@@ -1,0 +1,89 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY.md X3).
+
+Brute-force cosine top-k is the oracle-checked baseline (both engines
+compute dot/sqrt(na*nb) over double-cast arrays with a sequential fold,
+rounded to 6dp before ranking so ordering is FP-robust). The RHP-LSH form
+is the scale path — deterministic but not DuckDB-expressible → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk, lsh_topk
+from .common import load, query
+
+_N_QUERIES = 20
+_K = 5
+
+_SQL_COSINE = """
+    round(
+        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))),
+        6)
+"""
+
+
+@query(
+    "X3_cosine_topk_bruteforce",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_COSINE} AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+           ) AS INTEGER) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+    QUALIFY rank <= {_K}
+    """,
+)
+def cosine_topk_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(queries, emb, k=_K).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query("X3_cosine_topk_lsh")
+def cosine_topk_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(queries, emb, k=_K)
+
+
+# Embedding-cosine near-dup pairs (X2 variant over vectors): all pairs above
+# a cosine threshold — exact, oracle-checked; the judge sees the same
+# inverted pattern LSH accelerates at scale.
+_NEARDUP_COS = 0.95
+
+_SQL_PAIR_COSINE = """
+    round(
+        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+             * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))),
+        6)
+"""
+
+
+@query(
+    "X2_embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_PAIR_COSINE} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_PAIR_COSINE} >= {_NEARDUP_COS}
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
+    from ..operators.similarity import _cosine
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_cosine("qv", "cv"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_COS)
+    )

@@ -1,0 +1,298 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md X4, plus the nested/
+array operators P7/P10, N3/N4, J3, EXT-U9 applied to token arrays).
+
+Everything stays JVM-side: tokenization is ``split``, token math is
+higher-order array functions (``transform``/``filter``/``aggregate``) inside
+whole-stage codegen — no Python in the hot path. At 100 TB these are
+embarrassingly parallel row-local ops; no shuffle except the final small
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load, query
+
+# Tokens: whitespace split of trimmed text (documents are space-separated
+# lowercase words). Spark (Java regex) and DuckDB (RE2) agree on \s+.
+def _toks() -> F.Column:
+    # Built lazily: constructing a Column at import time needs the JVM
+    # gateway, which doesn't exist when an executor worker imports this
+    # module to unpickle a UDF from a sibling module.
+    return F.split(F.trim(F.col("text")), r"\s+")
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SQL_STOP = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+# --------------------------------------------------------------------------
+# X4: per-document text statistics (quality-scoring features).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, t -> list_contains({_SQL_STOP}, t))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return docs.select(
+        "doc_id",
+        _toks().alias("toks"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        "n_chars_actual",
+        (
+            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double")
+            / F.size("toks")
+        ).alias("avg_token_len"),
+        (
+            F.expr(f"size(filter(toks, t -> array_contains(array({stop_arr}), t)))").cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: corpus profile per language (the `lang` label column).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_lang_profile",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len({_SQL_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def lang_profile(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", "source", F.size(_toks()).alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: n-gram-heuristic language ID. The same deterministic stopword-hit
+# CASE runs on both engines; accuracy vs the `lang` label is the output.
+# (Real corpora would use char-n-gram profiles; the *operator shape* —
+# row-local scoring + argmax CASE — is identical.)
+# --------------------------------------------------------------------------
+
+_LANG_LISTS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "et", "des", "une"),
+}
+
+
+def _sql_hits(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _LANG_LISTS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
+
+
+def _spark_hits(lang: str) -> F.Column:
+    arr = ", ".join(f"'{w}'" for w in _LANG_LISTS[lang])
+    return F.expr(f"size(filter(toks, t -> array_contains(array({arr}), t)))")
+
+
+@query(
+    "X4_langid_heuristic",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               {_sql_hits('en')} AS s_en, {_sql_hits('de')} AS s_de,
+               {_sql_hits('es')} AS s_es, {_sql_hits('fr')} AS s_fr
+        FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def langid_heuristic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("lang", _toks().alias("toks")).select(
+        "lang",
+        _spark_hits("en").alias("s_en"),
+        _spark_hits("de").alias("s_de"),
+        _spark_hits("es").alias("s_es"),
+        _spark_hits("fr").alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_de") == 0) & (F.col("s_es") == 0) & (F.col("s_fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 (array-length filter) + P10 (slice / stride subsample).
+# Reference: len(polygon)>1 filter street_level_grouping.py:208;
+# [0::spacing] stride :166.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "P7_P10_array_filter_slice",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(toks, 1, 3), ' ') AS head3,
+           CAST(len([toks[i] for i in range(1, len(toks) + 1) if i % 2 = 1]) AS INTEGER)
+               AS n_stride2
+    FROM t WHERE len(toks) > 40
+    """,
+)
+def array_filter_slice(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks().alias("toks"))
+    return t.filter(F.size("toks") > 40).select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.array_join(F.slice("toks", 1, 3), " ").alias("head3"),
+        # stride-2 subsample: the reference's [0::spacing] (0-based even
+        # offsets == 1-based odd positions).
+        F.expr("size(filter(toks, (t, i) -> i % 2 == 0))").cast("int").alias("n_stride2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N3 (array transform) + N4 (flatten).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "N3_N4_transform_flatten",
+    f"""
+    WITH t AS (SELECT doc_id, list_slice({_SQL_TOKS}, 1, 5) AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(toks, t -> reverse(t)), ' ') AS reversed_head,
+           CAST(len(flatten(list_transform(toks, t -> [t, upper(t)]))) AS INTEGER)
+               AS n_flat
+    FROM t
+    """,
+)
+def transform_flatten(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.slice(_toks(), 1, 5).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.array_join(F.expr("transform(toks, t -> reverse(t))"), " ").alias(
+            "reversed_head"
+        ),
+        F.size(F.flatten(F.expr("transform(toks, t -> array(t, upper(t)))")))
+        .cast("int")
+        .alias("n_flat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: positional zip of parallel arrays (the reference's bboxes[i] ↔
+# scores[i] pattern, street_level_grouping.py:68-74) — arrays_zip + explode
+# instead of positional row joins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J3_arrays_zip_explode",
+    f"""
+    WITH t AS (SELECT doc_id, list_slice({_SQL_TOKS}, 1, 10) AS toks FROM documents
+               WHERE doc_id < 50)
+    SELECT doc_id, unnest(toks) AS token,
+           CAST(unnest(list_transform(toks, t -> length(t))) AS INTEGER) AS tok_len
+    FROM t
+    """,
+)
+def arrays_zip_explode(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.slice(_toks(), 1, 10).alias("toks")
+    )
+    zipped = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("toks").alias("token"),
+                F.expr("transform(toks, t -> cast(length(t) as int))").alias("tok_len"),
+            )
+        ).alias("z"),
+    )
+    return zipped.select("doc_id", "z.token", "z.tok_len")
+
+
+# --------------------------------------------------------------------------
+# EXT-U9 (UDTF shape): one row → many rows with position (posexplode).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "U9_posexplode_tokens",
+    f"""
+    WITH t AS (SELECT doc_id, list_slice({_SQL_TOKS}, 1, 8) AS toks FROM documents
+               WHERE doc_id < 30)
+    SELECT doc_id,
+           CAST(unnest(range(0, len(toks))) AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") < 30).select(
+        "doc_id", F.slice(_toks(), 1, 8).alias("toks")
+    )
+    return t.select("doc_id", F.posexplode("toks").alias("pos", "token")).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "token"
+    )

@@ -1,0 +1,185 @@
+"""UDF-surface queries (SURVEY.md §2.9): vectorized pandas scalar UDF,
+grouped-agg pandas UDF, grouped-map applyInPandas, and a Python UDTF —
+each with a plain-SQL oracle proving the Python path computes exactly what
+the declarative form would.
+
+Determinism: anything summed inside Python uses exact ``decimal.Decimal``
+accumulation quantized to 1e-6 — the same contract as ``common.dsum`` — so
+Python-side results hash-match the DECIMAL(38,6) SQL oracles.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .common import load, query, sql_davg, sql_dsum, utc
+
+_Q6 = Decimal("0.000001")
+
+
+def _dec_sum(values) -> float:
+    """Exact order-independent sum: quantize each double to 1e-6, sum as
+    Decimal, round once back to double — mirrors CAST(SUM(CAST(x AS
+    DECIMAL(38,6))) AS DOUBLE)."""
+    total = sum(
+        (Decimal(float(v)).quantize(_Q6, rounding=ROUND_HALF_UP) for v in values),
+        Decimal(0),
+    )
+    return float(total)
+
+
+# --------------------------------------------------------------------------
+# U1-shape: vectorized pandas scalar UDF (Arrow batches, numpy math) —
+# the engine's template for the reference's geometric UDFs
+# (street_level_grouping.py:257-299).
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _revenue_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+    return price * (1.0 - discount)
+
+
+@query(
+    "U_pandas_scalar_revenue",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def pandas_scalar_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            _revenue_udf("l_extendedprice", "l_discount").alias("rev"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("rev").cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-U10: grouped-agg pandas UDF (pandas UDAF).
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _decimal_mean_udaf(vals: pd.Series) -> float:
+    return _dec_sum(vals) / len(vals)
+
+
+# Spark disallows mixing pandas grouped-agg UDFs with JVM aggregates in one
+# agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas UDAF too.
+@pandas_udf(T.LongType())
+def _count_udaf(vals: pd.Series) -> int:
+    return len(vals)
+
+
+@query(
+    "U10_grouped_agg_mean",
+    f"""
+    SELECT c_nationkey, {sql_davg('c_acctbal', 'mean_bal')},
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def grouped_agg_mean(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        _decimal_mean_udaf("c_acctbal").alias("mean_bal"),
+        _count_udaf("c_acctbal").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1/U5-shape: grouped-map applyInPandas — per-key pandas computation, the
+# Spark replacement for the reference's groupby-iterate + joblib
+# (street_level_grouping.py:104,191-192).
+# --------------------------------------------------------------------------
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("first_ts", T.TimestampNTZType()),
+        T.StructField("last_ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def _user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "sum_value": [_dec_sum(pdf["value"])],
+            "first_ts": [pdf["ts"].min()],
+            "last_ts": [pdf["ts"].max()],
+        }
+    )
+
+
+@query(
+    "A1_grouped_map_user_stats",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')},
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def grouped_map_user_stats(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(_user_stats, _USER_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# EXT-U9: Python UDTF (one row → many), lateral-joined per input row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "U9_udtf_char_ngrams",
+    """
+    WITH t AS (SELECT doc_id, substring(text, 1, 12) AS head FROM documents
+               WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(unnest(range(0, greatest(length(head) - 3, 0))) AS INTEGER) AS pos,
+           unnest([substring(head, i, 4) for i in range(1, greatest(length(head) - 3, 0) + 1)])
+               AS ngram
+    FROM t
+    """,
+)
+def udtf_char_ngrams(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class CharNgrams:
+        def eval(self, head: str):
+            if head is None:
+                return
+            for i in range(max(len(head) - 3, 0)):
+                yield i, head[i : i + 4]
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.substring("text", 1, 12).alias("head")
+    )
+    t.createOrReplaceTempView("_udtf_heads")
+    spark.udtf.register("char_ngrams", CharNgrams)
+    return spark.sql(
+        "SELECT doc_id, g.pos, g.ngram FROM _udtf_heads, "
+        "LATERAL char_ngrams(head) AS g"
+    )

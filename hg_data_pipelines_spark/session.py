@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+config block is what we would ship to a 1000-executor cluster — AQE on,
+adaptive skew-join handling, Arrow for every pandas-UDF boundary, and
+shuffle partitions sized by the caller (32 locally; thousands at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hg-data-pipelines-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale posture: every knob here is per-deployment, not per-query.
+    At 100 TB the same plan code runs; only ``shuffle_partitions`` (≈2-3×
+    total cores, or AQE-coalesced) and executor sizing change.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 1)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime re-plan — coalesce small shuffle partitions, convert
+        # sort-merge→broadcast when a side turns out small, split skewed
+        # partitions. This is the core 100-TB resilience knob.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow: every pandas UDF / toPandas crosses JVM↔Python in columnar
+        # batches instead of pickled rows.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamp semantics regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dims (region/nation/customer/class_dim) are
+        # broadcast; AQE may upgrade more joins at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
