@@ -1,0 +1,253 @@
+"""Multimodal opaque-binary columns (X5): images as ``binary`` + typed
+metadata, processed by Arrow-batched pandas UDFs.
+
+The reference's whole image path (cv2.imread / PIL.Image.open / cv2.imwrite,
+reference: Equirec2Perspec.py:66, street_level_grouping.py:318,
+tls_photo_processing.py:38) generalizes to this pattern: a ``binaryFile``
+source yields (path, length, content); decode/resize/frame-sample run inside
+``mapInPandas`` so each executor touches only its partition's bytes; outputs
+are either new binary columns or extracted feature columns.
+
+No image codec ships in this container (cv2/PIL absent), so:
+- ``decode_image``/``encode_image`` implement a deterministic RAW format
+  (magic + dims header + uint8 pixels) — a real deployment swaps these two
+  functions for cv2/PIL calls; every other line (schemas, partitioning, UDF
+  signatures, batch shapes) is production-real.
+- ``jpeg_dimensions`` parses real JPEG SOF markers byte-wise (the *correct*
+  replacement for the reference's fixed-offset-163 sniff,
+  street_level_grouping.py:302-310, which SURVEY.md §7.2 flags as a bug).
+- ``decode_jpeg`` raises NotImplementedError, clearly marking the codec seam.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_RAW_MAGIC = b"RAWIMG1\x00"
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Codec seam
+# ---------------------------------------------------------------------------
+
+
+def encode_image(arr: np.ndarray) -> bytes:
+    """ndarray (H, W[, C]) uint8 → RAW bytes (deterministic stand-in codec)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    return _RAW_MAGIC + struct.pack("<III", h, w, c) + arr.tobytes()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """RAW bytes → ndarray (H, W, C) uint8; the inverse of encode_image."""
+    if not data.startswith(_RAW_MAGIC):
+        raise ValueError("not RAW image bytes — swap in a real codec (cv2/PIL)")
+    h, w, c = struct.unpack("<III", data[8:20])
+    return np.frombuffer(data, dtype=np.uint8, offset=20).reshape(h, w, c)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG decode seam — requires cv2/PIL, absent in this container."""
+    raise NotImplementedError(
+        "JPEG pixel decode requires cv2 or PIL; the engine's Spark plumbing "
+        "is codec-agnostic — swap this function in deployment"
+    )
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from JPEG SOF marker, without decoding (U8).
+
+    Walks the marker stream to the first SOF0-SOF15 segment (skipping
+    DHT/DAC/RST-style non-frame markers) — correct for any JPEG, unlike the
+    reference's hard-coded ``seek(163)`` (street_level_grouping.py:302-310).
+    """
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            height = struct.unpack(">H", data[i + 5 : i + 7])[0]
+            width = struct.unpack(">H", data[i + 7 : i + 9])[0]
+            return width, height
+        i += 2 + seg_len
+    return None
+
+
+def image_dimensions(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) for any supported container."""
+    if data.startswith(_RAW_MAGIC):
+        h, w, c = struct.unpack("<III", data[8:20])
+        return w, h, c
+    jd = jpeg_dimensions(bytes(data))
+    if jd is not None:
+        return jd[0], jd[1], 3
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing (production-real)
+# ---------------------------------------------------------------------------
+
+
+def extract_image_metadata(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → typed metadata table (no pixel decode).
+
+    Header-only parsing per Arrow batch: at 100 TB this reads only file
+    headers if the source supports range reads; the full-content scan here
+    matches ``binaryFile``'s contract.
+    """
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                fmt = (
+                    "raw"
+                    if content.startswith(_RAW_MAGIC)
+                    else "jpeg"
+                    if content[:2] == b"\xff\xd8"
+                    else "unknown"
+                )
+                dims = image_dimensions(content)
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "length": int(r["length"]),
+                        "format": fmt,
+                        "width": dims[0] if dims else None,
+                        "height": dims[1] if dims else None,
+                        "channels": dims[2] if dims else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+            )
+
+    return binary_df.select("path", "length", "content").mapInPandas(
+        _meta, IMAGE_META_SCHEMA
+    )
+
+
+def resize_images(binary_df: DataFrame, scale: float) -> DataFrame:
+    """Downscale RAW images by nearest-neighbor striding (the reference's
+    ``image.resize((w/5, h/5))``, street_level_grouping.py:327).
+
+    Returns (path, content) with resized RAW bytes. Row-local → no shuffle.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = max(int(round(1.0 / scale)), 1)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image(bytes(r["content"]))
+                rows.append(
+                    {"path": r["path"], "content": encode_image(arr[::step, ::step])}
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return binary_df.select("path", "content").mapInPandas(_resize, out_schema)
+
+
+def sample_frames(binary_df: DataFrame, every_nth: int) -> DataFrame:
+    """Frame-sampling plumbing for video-like multi-frame blobs.
+
+    Treats a RAW blob of H frames as frame-major and emits every Nth row
+    band — the operator shape (explode binary → frames) is what matters; a
+    real deployment decodes containers with pyav/ffmpeg at this seam.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image(bytes(r["content"]))
+                for idx in range(0, arr.shape[0], every_nth):
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "frame_idx": idx,
+                            "content": encode_image(arr[idx : idx + 1]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["path", "frame_idx", "content"])
+
+    return binary_df.select("path", "content").mapInPandas(_sample, out_schema)
+
+
+def image_features(binary_df: DataFrame) -> DataFrame:
+    """Per-image numeric features (mean/std/histogram head) — the
+    feature-extraction UDF shape for embedding pipelines."""
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+            T.StructField("std_intensity", T.DoubleType()),
+            T.StructField("hist8", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image(bytes(r["content"])).astype(np.float64)
+                hist, _ = np.histogram(arr, bins=8, range=(0, 256))
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "mean_intensity": float(arr.mean()),
+                        "std_intensity": float(arr.std()),
+                        "hist8": [int(x) for x in hist],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["path", "mean_intensity", "std_intensity", "hist8"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(_feat, out_schema)

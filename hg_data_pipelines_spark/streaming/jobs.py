@@ -1,0 +1,166 @@
+"""Streaming job builders: watermarked windows (X7), stateful dedup (X9),
+custom per-key state (applyInPandasWithState).
+
+Each builder takes a *streaming* DataFrame (``spark.readStream...``) and
+returns the transformed streaming DataFrame; callers attach the sink. The
+same transformations compile for batch DataFrames where Spark allows it —
+that's the micro-batch model's unification (SURVEY.md X6 note).
+
+Scale notes: watermarks bound state size (state store holds only windows
+newer than watermark − lateness); ``dropDuplicatesWithinWatermark`` keeps a
+key set only within the lateness horizon — both are what make 100 TB/day
+streams feasible. The stateful sessionizer holds one small tuple per active
+user key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def watermarked_tumbling_agg(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X7: tumbling-window counts/sums that drop data later than the
+    watermark; append output mode emits each window once, when it closes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X9: drop duplicate events whose keys re-appear within the watermark
+    horizon; state for keys older than the horizon is evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user session accumulator
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_GAP_MS = 30 * 60 * 1000  # 30-minute session gap
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit closed sessions per user; keep the open session in state.
+
+    A new event more than _GAP_MS after the open session's end closes that
+    session (emitted) and opens a new one. Timeout closes the open session
+    when the watermark passes it.
+    """
+    user_id = key[0]
+    if state.hasTimedOut:
+        start_ms, end_ms, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+                "sum_value": [sv],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    if state.exists:
+        start_ms, end_ms, n, sv = state.get
+    else:
+        start_ms, end_ms, n, sv = None, None, 0, 0.0
+
+    closed = []
+    for _, r in rows.iterrows():
+        t_ms = int(r["ts"].value // 1_000_000)
+        if start_ms is None:
+            start_ms, end_ms, n, sv = t_ms, t_ms, 1, float(r["value"])
+        elif t_ms - end_ms > _GAP_MS:
+            closed.append((start_ms, end_ms, n, sv))
+            start_ms, end_ms, n, sv = t_ms, t_ms, 1, float(r["value"])
+        else:
+            end_ms = max(end_ms, t_ms)
+            n += 1
+            sv += float(r["value"])
+
+    state.update((start_ms, end_ms, n, sv))
+    state.setTimeoutTimestamp(end_ms + _GAP_MS)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, *_ in closed],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, *_ in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize_with_state(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    The streaming counterpart of the batch lag-sessionization
+    (queries/events.py X8) — state is one open session per user, bounded by
+    the event-time timeout.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,170 @@
+"""Geometry kernels vs the Python-reference oracle (SURVEY.md §5.2) plus
+hypothesis property tests for the seam-wraparound invariants (§5.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hg_data_pipelines_spark.functions import geometry as G
+
+from reference_oracle import (
+    oracle_grouping,
+    oracle_iou,
+    oracle_point_to_3d,
+    oracle_theta_overlap,
+)
+
+W, H = 8000, 4000
+
+# Bbox cases: plain, touching, nested, seam-crossing (>95% span), zero-area.
+BBOXES = [
+    [100.0, 200.0, 400.0, 800.0],
+    [350.0, 500.0, 900.0, 1200.0],
+    [100.0, 200.0, 400.0, 800.0],
+    [7900.0, 100.0, 150.0, 700.0],      # stored wrapped (x_max < x_min)
+    [50.0, 90.0, 7990.0, 600.0],        # raw span > 95% width → seam reorder
+    [1000.0, 1000.0, 1000.0, 1500.0],   # zero width
+    [2000.0, 300.0, 2500.0, 300.0],     # zero height
+    [6000.0, 1000.0, 6500.0, 1400.0],
+]
+
+
+class TestIoUOracle:
+    def test_pairwise_matrix_matches_oracle(self):
+        arr = np.array(BBOXES)
+        normalized = G.normalize_seam_bboxes(arr, W)
+        got = G.bbox_iou_matrix(normalized, W)
+        for i, a in enumerate(BBOXES):
+            for j, b in enumerate(BBOXES):
+                if i == j:
+                    continue
+                assert got[i, j] == pytest.approx(oracle_iou(a, b, W), abs=1e-12), (
+                    f"IoU mismatch for pair ({i},{j})"
+                )
+
+    def test_grouping_matches_oracle(self):
+        arr = np.array(BBOXES)
+        normalized = G.normalize_seam_bboxes(arr, W)
+        iou = G.bbox_iou_matrix(normalized, W)
+        got = G.group_bboxes_greedy(iou, 0.01)
+        expected = oracle_grouping(BBOXES, 0.01, W)
+        assert list(got) == expected
+
+
+class TestRayOracle:
+    @pytest.mark.parametrize(
+        "px,py,roll,pitch,heading,origin",
+        [
+            (0, 0, 0.0, 0.0, 0.0, (0.0, 0.0, 0.0)),
+            (4000, 2000, 0.1, -0.05, 2.2, (582100.0, 6002250.0, 97.3)),
+            (7999, 3999, -0.3, 0.2, -1.0, (1.0, 2.0, 3.0)),
+            (123, 456, 0.02, 0.01, 3.7, (580000.0, 6000000.0, 50.0)),
+        ],
+    )
+    def test_pixels_to_rays_matches_reference_math(
+        self, px, py, roll, pitch, heading, origin
+    ):
+        got = G.pixels_to_rays(
+            np.array([px]), np.array([py]), roll, pitch, heading,
+            np.array(origin), W, H,
+        )[0]
+        exp = oracle_point_to_3d((px, py), roll, pitch, heading, origin, W, H)
+        np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-9)
+
+
+finite_theta = st.floats(
+    min_value=-720, max_value=720, allow_nan=False, allow_infinity=False
+)
+
+
+class TestSeamProperties:
+    @given(finite_theta, finite_theta, finite_theta, finite_theta)
+    @settings(max_examples=300, deadline=None)
+    def test_theta_overlap_symmetric_and_bounded(self, a1, a2, b1, b2):
+        o1 = float(G.theta_overlap(a1, a2, b1, b2))
+        o2 = float(G.theta_overlap(b1, b2, a1, a2))
+        assert o1 == pytest.approx(o2, abs=1e-9)        # symmetric
+        assert -1e-9 <= o1 <= 360 + 1e-9                 # bounded
+        assert o1 == pytest.approx(
+            oracle_theta_overlap(a1, a2, b1, b2), abs=1e-9
+        )
+
+    @given(
+        st.floats(min_value=0, max_value=W - 1),
+        st.floats(min_value=0, max_value=H - 1),
+        st.floats(min_value=1, max_value=3000),
+        st.floats(min_value=1, max_value=H / 2),
+        st.floats(min_value=0, max_value=W),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_iou_parity_under_wrap_shift(self, x, y, bw, bh, shift):
+        """Engine ≡ reference oracle for any x-shift mod W.
+
+        NOTE the reference's theta overlap is NOT mathematically
+        shift-invariant: when exactly one interval crosses the seam and the
+        other sits near 0°, bbox.py:71-96 computes 0 overlap (it extends
+        only the crossing interval's max). Parity means replicating that
+        quirk bit-for-bit, so the property checked here is engine==oracle
+        on both the base and shifted pair — not invariance of the value.
+        """
+        y2 = min(y + bh, H)
+        a = [x, y, min(x + bw, W), y2]
+        b = [(x + bw / 3) % W, y, (x + bw / 3 + bw) % W, y2]
+
+        def shifted(bb):
+            return [(bb[0] + shift) % W, bb[1], (bb[2] + shift) % W, bb[3]]
+
+        for pair in ([a, b], [shifted(a), shifted(b)]):
+            exp = oracle_iou(pair[0], pair[1], W)
+            got = G.bbox_iou_matrix(
+                G.normalize_seam_bboxes(np.array(pair), W), W
+            )[0, 1]
+            assert got == pytest.approx(exp, abs=1e-9)
+
+
+class TestRayMesh:
+    def test_ray_triangle_hits_unit_wall(self):
+        # Wall: unit square at z=5 in the x-y plane, two triangles.
+        tris = np.array(
+            [
+                [[0, 0, 5], [1, 0, 5], [1, 1, 5]],
+                [[0, 0, 5], [1, 1, 5], [0, 1, 5]],
+            ],
+            dtype=np.float64,
+        )
+        origins = np.zeros((3, 3))
+        dirs = np.array([[0.05, 0.05, 1.0], [0.09, 0.09, 1.0], [-1, -1, 1.0]])
+        pts = G.ray_triangle_intersections(origins, dirs, tris)
+        np.testing.assert_allclose(pts[0], [0.25, 0.25, 5.0], atol=1e-9)
+        np.testing.assert_allclose(pts[1], [0.45, 0.45, 5.0], atol=1e-9)
+        assert np.isnan(pts[2]).all()  # miss
+
+    def test_first_hit_wins(self):
+        tris = np.array(
+            [
+                [[-5, -5, 10], [5, -5, 10], [0, 5, 10]],
+                [[-5, -5, 2], [5, -5, 2], [0, 5, 2]],
+            ],
+            dtype=np.float64,
+        )
+        pts = G.ray_triangle_intersections(
+            np.array([[0.0, 0.0, 0.0]]), np.array([[0.0, 0.0, 1.0]]), tris
+        )
+        np.testing.assert_allclose(pts[0], [0, 0, 2.0], atol=1e-12)
+
+
+class TestDbscan:
+    def test_two_blobs_and_noise(self):
+        rng = np.random.default_rng(42)
+        a = rng.normal(0, 0.05, (30, 2))
+        b = rng.normal(5, 0.05, (30, 2))
+        noise = np.array([[2.5, 2.5]])
+        x = np.vstack([a, b, noise])
+        labels = G.dbscan(x, eps=0.5, min_samples=5)
+        assert labels[60] == -1
+        assert len({int(l) for l in labels[:30]}) == 1
+        assert len({int(l) for l in labels[30:60]}) == 1
+        assert labels[0] != labels[30]

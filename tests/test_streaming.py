@@ -1,0 +1,171 @@
+"""Streaming-only semantics (X7/X9/custom state) via deterministic
+file-source micro-batches: each parquet file in the source dir is one
+micro-batch (maxFilesPerTrigger=1), so watermark advancement between
+batches is reproducible — the expected-state goldens are hand-computed."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pytest
+
+from hg_data_pipelines_spark.streaming import (
+    sessionize_with_state,
+    stream_dedup_within_watermark,
+    watermarked_tumbling_agg,
+)
+
+TS = pd.Timestamp
+
+
+def _write_batches(spark, tmp_path, batches):
+    """One parquet file per micro-batch, named in order.
+
+    The file stream source orders pending files by modification time; the
+    writes can land within one clock tick, so each batch's files get an
+    explicit, strictly-increasing mtime to force batch_0 < batch_1 < ...
+    """
+    import os
+    import time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        out = src / f"batch_{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(out)
+        )
+        t = base + i * 60
+        for f in out.iterdir():
+            os.utime(f, (t, t))
+    return [str(src / f"batch_{i}") for i in range(len(batches))]
+
+
+def _run_stream(spark, paths, transform, out_mode):
+    """Drive the transformed stream over the staged batches; the files are
+    all visible up front but maxFilesPerTrigger=1 forces one batch per
+    parquet part-file, in listing order, advancing the watermark between
+    batches exactly once per file."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(*paths)
+        if len(paths) == 1
+        else None
+    )
+    if stream is None:
+        # glob the common parent; file order == write order via batch_N names
+        parent = paths[0].rsplit("/", 1)[0]
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(parent + "/batch_*")
+        )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).collect()
+
+
+@pytest.fixture(scope="module")
+def utc(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+class TestWatermarkedWindow:
+    def test_late_event_dropped_after_watermark(self, spark, tmp_path, utc):
+        # Batch 0: events in window [10:00, 10:05). Batch 1 advances event
+        # time to 10:30 → watermark becomes 10:20 (10 min lateness). Batch 2
+        # runs under that watermark: the 10:00 window closes, emits, and its
+        # state is evicted. Batch 3 delivers a LATE event at 10:01 — Spark's
+        # late-record filter (previous-trigger watermark = 10:20+) must drop
+        # it. (The late row cannot arrive in the same batch the watermark
+        # crosses: the filter uses the prior trigger's watermark, and Spark
+        # only guarantees dropping data later than that.)
+        b0 = [
+            (1, TS("2026-01-01 10:00:30"), 1, "click", 1.0),
+            (2, TS("2026-01-01 10:01:10"), 1, "click", 2.0),
+        ]
+        b1 = [(3, TS("2026-01-01 10:30:00"), 1, "click", 4.0)]
+        b2 = [(5, TS("2026-01-01 10:31:00"), 1, "click", 8.0)]
+        b3 = [(4, TS("2026-01-01 10:01:30"), 1, "click", 100.0)]  # late
+        paths = _write_batches(spark, tmp_path, [b0, b1, b2, b3])
+
+        rows = _run_stream(
+            spark,
+            paths,
+            lambda s: watermarked_tumbling_agg(s, "5 minutes", "10 minutes"),
+            "append",
+        )
+        emitted = {
+            (r["window_start"].isoformat(), r["n"], r["sum_value"]) for r in rows
+        }
+        # the 10:00 window closed with ONLY the two on-time events —
+        # the late 100.0 never entered it
+        assert ("2026-01-01T10:00:00", 2, 3.0) in emitted
+        assert not any(sv == 103.0 for _, _, sv in emitted)
+
+
+class TestStreamingDedup:
+    def test_duplicates_within_watermark_dropped(self, spark, tmp_path, utc):
+        b0 = [
+            (1, TS("2026-01-01 10:00:00"), 1, "click", 1.0),
+            (2, TS("2026-01-01 10:00:10"), 2, "view", 2.0),
+        ]
+        b1 = [
+            (1, TS("2026-01-01 10:00:20"), 1, "click", 1.0),  # dup of event 1
+            (3, TS("2026-01-01 10:00:30"), 3, "click", 3.0),
+        ]
+        paths = _write_batches(spark, tmp_path, [b0, b1])
+        rows = _run_stream(
+            spark,
+            paths,
+            lambda s: stream_dedup_within_watermark(s, ["event_id"], "10 minutes"),
+            "append",
+        )
+        ids = sorted(r["event_id"] for r in rows)
+        assert ids == [1, 2, 3]
+
+
+class TestStatefulSessionization:
+    def test_sessions_close_on_gap_and_timeout(self, spark, tmp_path, utc):
+        # User 1: two events 5 min apart (one session), then an event 2h
+        # later in batch 1 → gap > 30 min closes session 1 immediately;
+        # the final session closes via event-time timeout when the
+        # watermark passes (availableNow drains with a final empty batch
+        # advancing the watermark only on real data — so we add batch 2 far
+        # in the future to flush).
+        b0 = [
+            (1, TS("2026-01-01 10:00:00"), 1, "click", 1.0),
+            (2, TS("2026-01-01 10:05:00"), 1, "click", 2.0),
+        ]
+        b1 = [(3, TS("2026-01-01 12:00:00"), 1, "click", 4.0)]
+        b2 = [(4, TS("2026-01-02 00:00:00"), 2, "click", 8.0)]
+        paths = _write_batches(spark, tmp_path, [b0, b1, b2])
+        rows = _run_stream(
+            spark,
+            paths,
+            lambda s: sessionize_with_state(s, watermark="0 seconds"),
+            "append",
+        )
+        sessions = {
+            (r["user_id"], r["session_start"].isoformat(), r["n_events"], r["sum_value"])
+            for r in rows
+        }
+        assert (1, "2026-01-01T10:00:00", 2, 3.0) in sessions
+        assert (1, "2026-01-01T12:00:00", 1, 4.0) in sessions
