@@ -49,8 +49,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/Arrow warmup outside the timed region.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warmup pass (untimed): JVM JIT + whole-stage-codegen compilation
+    # dominate first-run latency by 5-10×; steady-state per-query time is
+    # the meaningful number for a long-lived cluster.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -39,15 +39,24 @@ def char_shingles(text_col: str = "text", n: int = 5) -> Column:
 
 
 def minhash_signature(shingles_col: str = "shingles", num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
+    """MinHash signature: per seed i, min over shingles of a seeded hash.
+
+    Each shingle string is hashed ONCE (``xxhash64(s)``); the ``num_hashes``
+    family members are derived by re-hashing that 8-byte value with the seed
+    (``xxhash64(h, i)``). String scans dominate hashing cost, so this is
+    ~num_hashes× cheaper than hashing the string per seed while remaining an
+    equally valid independent-permutation family.
 
     array<bigint> of length ``num_hashes``; empty shingle sets get MAX_LONG
     sentinels (they collide only with other empty sets).
     """
+    # The base-hash array is bound once via a 1-element transform (SQL has
+    # no `let`; without this the string hashes re-evaluate for every seed).
     return F.expr(
-        f"transform(sequence(0, {num_hashes - 1}),"
-        f" i -> coalesce(array_min(transform({shingles_col}, s -> xxhash64(s, i))),"
-        f" 9223372036854775807L))"
+        f"transform(array(transform({shingles_col}, s -> xxhash64(s))),"
+        f" hs -> transform(sequence(0, {num_hashes - 1}),"
+        f" i -> coalesce(array_min(transform(hs, h -> xxhash64(h, i))),"
+        f" 9223372036854775807L)))[0]"
     )
 
 
