@@ -251,3 +251,28 @@ def image_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("path", "content").mapInPandas(_feat, out_schema)
+
+
+def write_images(binary_df: DataFrame, out_dir: str) -> int:
+    """S10: image sink — executors write one file per row via
+    ``foreachPartition`` (the reference's ``cv2.imwrite`` loop,
+    tls_photo_processing.py:37-38, distributed).
+
+    File name = basename of the ``path`` column (or ``crop_name`` when
+    present). Returns the number of rows written. Partition-parallel: no
+    data moves to the driver.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    name_col = "crop_name" if "crop_name" in binary_df.columns else "path"
+    rows = binary_df.select(F.col(name_col).alias("name"), "content")
+
+    def _write(part):
+        for r in part:
+            fname = r["name"].rsplit("/", 1)[-1]
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(bytes(r["content"]))
+
+    rows.foreachPartition(_write)
+    return len(os.listdir(out_dir))

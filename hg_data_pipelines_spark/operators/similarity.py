@@ -132,3 +132,75 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_lists`` cells, probe each query's ``n_probe`` nearest cells,
+    exact cosine only within probed cells.
+
+    Centroids are the lowest-id corpus vectors — a deterministic seed set
+    (collected: bounded by n_lists, the one permissible driver collect).
+    A production variant runs Lloyd iterations over the assignment join;
+    the physical plan shape (broadcast centroids → cell-key equi-join) is
+    identical, which is what matters at 100 TB: the query side joins
+    |corpus|/n_lists × n_probe rows instead of scanning the corpus.
+    """
+    spark = corpus.sparkSession
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cents],
+            "cid long, cvec array<double>",
+        )
+    )
+
+    def nearest_cells(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}v")
+        ).crossJoin(cent_df).select(
+            f"{prefix}_id",
+            f"{prefix}v",
+            "cid",
+            F.round(_cosine(f"{prefix}v", "cvec"), 9).alias("_sim"),
+        )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(F.desc("_sim"), "cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "_sim")
+        )
+
+    corpus_cells = nearest_cells(corpus, "neighbor", 1)
+    query_cells = nearest_cells(queries, "query", n_probe)
+
+    candidates = (
+        query_cells.join(corpus_cells, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine("queryv", "neighborv"), round_dp).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

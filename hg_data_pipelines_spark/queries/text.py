@@ -296,3 +296,75 @@ def posexplode_tokens(spark, sf_dir):
     return t.select("doc_id", F.posexplode("toks").alias("pos", "token")).select(
         "doc_id", F.col("pos").cast("int").alias("pos"), "token"
     )
+
+
+# --------------------------------------------------------------------------
+# X4: BPE-ish regex token counting (north-star "token counting" op).
+# RE2-safe pattern (DuckDB) == Java-regex behavior (Spark): word runs,
+# digit runs, punctuation runs — the shape of a byte-pair pre-tokenizer.
+# --------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@query(
+    "X4_token_count_bpe",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '{_BPE_RE}') AS btoks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(len(btoks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(btoks)) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+           MAX(len(btoks)) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+        ).alias("n"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+        F.max("n").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: document fingerprint — polynomial rolling hash over characters,
+# mod 1e9+7 (north-star "document fingerprinting"). Both engines fold
+# left-to-right with identical modular arithmetic (no bigint overflow:
+# acc < 1e9+7 keeps acc*31 + 127 far inside int64, ANSI-safe).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+               (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(split(text, ''), 0L,"
+            " (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+        ).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )

@@ -1,0 +1,85 @@
+"""Similarity-search operators: brute-force is ground truth; LSH and IVF
+approximations must hit a recall floor against it on the real embeddings
+fixture (500 vectors, 64-dim, clustered by label)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hg_data_pipelines_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+K = 5
+N_QUERIES = 20
+
+
+def _truth_pairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(q, emb, k=K).collect()
+    return {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+
+class TestANNRecall:
+    def test_lsh_recall(self, spark):
+        # 4 planes × 16 tables: sized for this corpus's weak similarity
+        # profile (true top-5 cosines 0.26-0.43 → P(candidate) ≈ 0.85).
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        truth = _truth_pairs(spark)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(q, emb, k=K, n_planes=4, n_tables=16).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"
+
+    def test_ivf_recall(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        truth = _truth_pairs(spark)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(q, emb, k=K, n_lists=16, n_probe=4).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+    def test_deterministic_across_runs(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        a = sorted(map(tuple, lsh_topk(q, emb, k=K).collect()))
+        b = sorted(map(tuple, lsh_topk(q, emb, k=K).collect()))
+        assert a == b
+        c = sorted(map(tuple, ivf_topk(q, emb, k=K).collect()))
+        d = sorted(map(tuple, ivf_topk(q, emb, k=K).collect()))
+        assert c == d
+
+
+class TestImageSink:
+    def test_write_images_roundtrip(self, spark, tmp_path):
+        import numpy as np
+
+        from hg_data_pipelines_spark.multimodal import (
+            decode_image,
+            encode_image,
+            write_images,
+        )
+
+        rng = np.random.default_rng(5)
+        arrs = {f"img_{i}.raw": rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                for i in range(3)}
+        df = spark.createDataFrame(
+            [(f"/x/{k}", bytearray(encode_image(v))) for k, v in arrs.items()],
+            "path string, content binary",
+        )
+        out = str(tmp_path / "sink")
+        n = write_images(df, out)
+        assert n == 3
+        for k, v in arrs.items():
+            with open(f"{out}/{k}", "rb") as f:
+                assert np.array_equal(decode_image(f.read()), v)
