@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # sessionization, streaming-shaped window agg).
 HEADLINE = [
     "A7_q1_pricing_summary",
+    "A7_q3_shipping_priority",
+    "A7_q6_forecast_revenue",
+    "A7_q18_large_orders",
     "J1_q5_local_supplier_revenue",
     "W1_best_order_per_customer",
     "J6_asof_latest_order",

@@ -722,3 +722,117 @@ def nest_unnest_roundtrip(spark, sf_dir):
     return nested.select(
         "o_custkey", F.explode("orders_arr").alias("o")
     ).select("o_custkey", "o.o_orderkey", "o.o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# EXT: TPC-H Q6-style revenue-change filter-aggregate. The entire predicate
+# set reaches the parquet scan (PushedFilters on shipdate/discount/quantity)
+# — at 100 TB with date-partitioned lineitem this prunes partitions too.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A7_q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT: TPC-H Q3-style shipping-priority top-K: fact⋈fact join + group +
+# global top-10. Orders joins on o_orderkey (shuffle), customer broadcasts;
+# the final top-K is a tiny global sort after aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A7_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT: TPC-H Q18-style large-volume customers — semi-join against an
+# aggregated subquery (the only subquery shape the engine needs; Spark
+# plans it as agg → join, no correlated execution).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A7_q18_large_orders",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity', 'total_qty')}
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
