@@ -280,12 +280,22 @@ def pixels_to_rays(
     py = np.asarray(py, dtype=np.float64)
     theta = 2 * np.pi * (image_width - px) / image_width
     phi = np.pi * py / image_height
-    xyz = np.stack(
-        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)],
+    xc = np.sin(phi) * np.cos(theta)
+    yc = np.sin(phi) * np.sin(theta)
+    zc = np.cos(phi)
+    r = orientation_rotation_matrix(roll_rad, pitch_rad, heading_rad)
+    # Explicit per-component multiply-add, NOT `xyz @ r.T`: numpy routes
+    # large batches through BLAS dgemm whose FMA/summation order differs
+    # from the small-N path by an ulp — results must not depend on Arrow
+    # batch size (cross-engine hash checks and re-runs would diverge).
+    out = np.stack(
+        [
+            r[0, 0] * xc + r[0, 1] * yc + r[0, 2] * zc,
+            r[1, 0] * xc + r[1, 1] * yc + r[1, 2] * zc,
+            r[2, 0] * xc + r[2, 1] * yc + r[2, 2] * zc,
+        ],
         axis=-1,
     )
-    r = orientation_rotation_matrix(roll_rad, pitch_rad, heading_rad)
-    out = xyz @ r.T
     if length != 1.0:
         out = out * length
     return out + np.asarray(origin, dtype=np.float64)

@@ -19,4 +19,5 @@ from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
+from . import geometry_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
