@@ -87,8 +87,25 @@ def compute_rotation_matrix(theta_deg: float, phi_deg: float) -> np.ndarray:
 
 
 def transform_coords(coords: np.ndarray, k_inv: np.ndarray, r: np.ndarray) -> np.ndarray:
-    """Pixel homogeneous coords → world rays (Equirec2Perspec.py:59-62)."""
-    return (coords @ k_inv.T) @ r.T
+    """Pixel homogeneous coords → world rays (Equirec2Perspec.py:59-62).
+
+    Two-stage elementwise multiply-add (K^-1 then R), NOT matmul: numpy
+    routes batched `@` through BLAS whose FMA/summation order varies with
+    batch size — outputs must be identical for any Arrow batch (see
+    ``pixels_to_rays``). The two-stage order matches the reference exactly.
+    """
+    c0, c1, c2 = coords[..., 0], coords[..., 1], coords[..., 2]
+    v0 = k_inv[0, 0] * c0 + k_inv[0, 1] * c1 + k_inv[0, 2] * c2
+    v1 = k_inv[1, 0] * c0 + k_inv[1, 1] * c1 + k_inv[1, 2] * c2
+    v2 = k_inv[2, 0] * c0 + k_inv[2, 1] * c1 + k_inv[2, 2] * c2
+    return np.stack(
+        [
+            r[0, 0] * v0 + r[0, 1] * v1 + r[0, 2] * v2,
+            r[1, 0] * v0 + r[1, 1] * v1 + r[1, 2] * v2,
+            r[2, 0] * v0 + r[2, 1] * v1 + r[2, 2] * v2,
+        ],
+        axis=-1,
+    )
 
 
 # --------------------------------------------------------------------------
