@@ -132,3 +132,13 @@ def minhash_lsh_query(spark, sf_dir):
 def simhash_query(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
+
+
+@query("X2_simhash_near_pairs")
+def simhash_pairs_query(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit chunk blocking (rows-only:
+    xxhash64 not in DuckDB; pytest pins determinism)."""
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8)
