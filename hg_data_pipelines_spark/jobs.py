@@ -1,0 +1,162 @@
+"""Scheduled-job layer: the Dagster asset DAG as ordered Spark job stages.
+
+The reference's orchestration (heritage_guard/__init__.py:7-16 Definitions;
+asset deps inferred from parameter names, SURVEY.md §3.1) maps to explicit
+pipelines: a named list of stages in topological order, each stage a
+function ``(spark, ctx) -> DataFrame`` whose result lands as a Parquet
+warehouse table (S9) keyed by the stage name. Downstream stages read
+upstream results from ``ctx.tables`` — the materialized-DataFrame handoff
+Dagster's IO manager did with pickles, here kept lazy within one run and
+durable as Parquet between runs.
+
+Each materialization also records the Dagster-style output metadata
+(schema + row count — the ``add_output_metadata`` analogue,
+street_level_grouping.py:92-95) into ``ctx.reports``.
+
+Scale posture: a stage's ``partition_by`` routes through
+``write_warehouse_table`` so facts land partitioned (pruning for every
+downstream read); re-runs are idempotent overwrites. Scheduling itself
+(cron/airflow) calls ``run_pipeline`` — the engine deliberately owns the
+DAG, not the clock.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import write_warehouse_table
+
+
+@dataclass
+class RunContext:
+    """State threaded through one pipeline run."""
+
+    warehouse_dir: str
+    config: dict[str, Any] = field(default_factory=dict)
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    reports: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, RunContext], DataFrame]
+    materialize: bool = True
+    partition_by: list[str] | None = None
+
+
+class Pipeline:
+    """An ordered stage list (the topological order of the asset DAG)."""
+
+    def __init__(self, name: str, stages: list[Stage]):
+        self.name = name
+        self.stages = stages
+
+    def run(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        config: dict[str, Any] | None = None,
+    ) -> RunContext:
+        ctx = RunContext(warehouse_dir=warehouse_dir, config=dict(config or {}))
+        for stage in self.stages:
+            df = stage.fn(spark, ctx)
+            ctx.tables[stage.name] = df
+            if stage.materialize:
+                path = write_warehouse_table(
+                    df, warehouse_dir, stage.name, partition_by=stage.partition_by
+                )
+                # Re-read the landed table: downstream stages scan Parquet
+                # (pruning/pushdown apply) instead of recomputing the plan.
+                landed = spark.read.parquet(path)
+                ctx.tables[stage.name] = landed
+                ctx.reports[stage.name] = {
+                    "path": path,
+                    "schema": landed.schema.simpleString(),
+                    "rows": landed.count(),
+                }
+        return ctx
+
+
+_PIPELINES: dict[str, Pipeline] = {}
+
+
+def register_pipeline(p: Pipeline) -> Pipeline:
+    _PIPELINES[p.name] = p
+    return p
+
+
+def get_pipeline(name: str) -> Pipeline:
+    return _PIPELINES[name]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    name: str,
+    warehouse_dir: str,
+    config: dict[str, Any] | None = None,
+) -> RunContext:
+    """The engine entry point: ``engine.run(job_name)`` (SURVEY.md §3.1)."""
+    return get_pipeline(name).run(spark, warehouse_dir, config)
+
+
+# ---------------------------------------------------------------------------
+# The reference's pipelines, registered (asset chain §3.1-3.3)
+# ---------------------------------------------------------------------------
+
+
+def _detected_objects_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from .pipelines.detected_objects import build_detected_objects
+
+    return build_detected_objects(
+        spark,
+        ctx.config["results_json_path"],
+        with_uuid=ctx.config.get("with_uuid", True),
+    )
+
+
+def _grouped_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from .io import read_results_json
+    from .pipelines.street_level import detected_with_idx, grouped_detected_objects
+
+    raw = read_results_json(spark, ctx.config["results_json_path"])
+    return grouped_detected_objects(detected_with_idx(raw))
+
+
+def _best_lines_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from .io import read_pose_csv
+    from .pipelines.street_level import best_lines_3d
+
+    pose = read_pose_csv(spark, ctx.config["pose_csv_path"])
+    return best_lines_3d(ctx.tables["grouped_detected_objects"], pose)
+
+
+def _mesh_intersection_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from .pipelines.street_level import point_and_mesh_intersection
+
+    return point_and_mesh_intersection(
+        spark, ctx.tables["best_lines_3d"], ctx.config["mesh_triangles"]
+    )
+
+
+register_pipeline(
+    Pipeline(
+        "detected_objects_processing",
+        [Stage("detected_objects", _detected_objects_stage)],
+    )
+)
+
+register_pipeline(
+    Pipeline(
+        "street_level_grouping",
+        [
+            Stage("grouped_detected_objects", _grouped_stage),
+            Stage("best_lines_3d", _best_lines_stage),
+            Stage("point_and_mesh_intersection", _mesh_intersection_stage),
+        ],
+    )
+)
