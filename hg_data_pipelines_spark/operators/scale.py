@@ -1,0 +1,74 @@
+"""Scale operators: skew-salted joins and bucketed co-located joins.
+
+These are the two knobs SURVEY.md §4.2 reserves for 100 TB workloads that
+AQE alone doesn't cover:
+
+- ``salted_join``: when one join key dominates (power-law user_ids,
+  null-heavy dims), a plain hash join sends the hot key to one task. The
+  salt splits each skewed left row across ``n_salts`` partitions and
+  replicates the matching right rows across the same salts — same result
+  set, ~n_salts× better max-task balance. AQE's skew-join handles *sort-
+  merge* skew after the fact; salting fixes it at plan time and also works
+  for aggregations.
+- ``write_bucketed`` / ``read_bucketed``: pre-shuffle fact tables into N
+  buckets on the join key at write time; repeated joins/aggregations on
+  that key then run with NO exchange (verified by plan inspection in
+  tests). This is the "pay the shuffle once" contract for fact⋈fact
+  workloads like lineitem⋈orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to heavy skew in ``left[on]``.
+
+    Left rows get a random-but-deterministic salt from a sibling column
+    hash (falling back to monotonically_increasing_id would break
+    determinism across retries; xxhash64 of the whole row's key + a
+    per-partition counter is unnecessary — any column hash spreads the hot
+    key). Right rows are replicated across all salts via a literal
+    explode. Result == plain join (verified by the declared test); max
+    task size for the hot key drops by ~n_salts.
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in left.columns]) % n_salts + n_salts) % n_salts
+    l_salted = left.withColumn("_salt", salt.cast("int"))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l_salted.join(r_salted, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` bucketed (and sorted) on the join key.
+
+    Spark's bucketing metadata lives in the session catalog
+    (saveAsTable); subsequent scans expose the hash-partitioned layout so
+    joins/aggs on ``bucket_col`` skip their exchange.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

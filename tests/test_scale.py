@@ -1,0 +1,109 @@
+"""Scale operators: salted join equivalence + bucketed join plan shape.
+
+The bucketing test inspects the physical plan: a join between two tables
+bucketed on the join key must run WITHOUT a shuffle exchange on either
+side — the pay-the-shuffle-once contract for 100 TB fact⋈fact joins.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from hg_data_pipelines_spark.operators.scale import (
+    read_bucketed,
+    salted_join,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSaltedJoin:
+    def test_result_equals_plain_join(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        plain = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("q"),
+        )
+        salted = salted_join(
+            li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        ).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("q"),
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b
+
+    def test_skewed_key_spreads_across_salts(self, spark):
+        # one key holds 90% of rows — the salting must split it
+        rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)]
+        left = spark.createDataFrame(rows, "k long, v long")
+        right = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, tag string")
+        out = salted_join(left, right, "k", n_salts=8)
+        assert out.count() == 901
+        # the hot key's rows really landed in >1 salt bucket pre-join
+        salt = (
+            F.xxhash64(F.col("k"), F.col("v")) % 8 + 8
+        ) % 8
+        n_salt_values = (
+            left.filter(F.col("k") == 1)
+            .select(salt.cast("int").alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_salt_values > 4
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            orders = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+                "o_orderkey", "l_orderkey"
+            )
+            write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+            write_bucketed(orders, "b_orders", "l_orderkey", 8)
+
+            joined = read_bucketed(spark, "b_lineitem").join(
+                read_bucketed(spark, "b_orders"), "l_orderkey"
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain()
+            plan = buf.getvalue()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan
+
+            # and the un-bucketed twin DOES shuffle (the control)
+            plain = spark.read.parquet(f"{SF}/lineitem.parquet").join(
+                spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+                    "o_orderkey", "l_orderkey"
+                ),
+                "l_orderkey",
+            )
+            buf2 = io.StringIO()
+            with redirect_stdout(buf2):
+                plain.explain()
+            assert "Exchange hashpartitioning" in buf2.getvalue()
+
+            # correctness: same row count either way
+            assert joined.count() == plain.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
