@@ -107,3 +107,32 @@ class TestBucketedJoin:
             )
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
             spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+class TestPartitionedWarehouse:
+    def test_date_partitioned_events_prune(self, spark, tmp_path):
+        """S9 partition_by: date-partitioned facts prune at the scan —
+        the plan's PartitionFilters carries the predicate and the scan
+        reads only matching partition directories."""
+        from hg_data_pipelines_spark.io import load_table, write_warehouse_table
+
+        ev = load_table(spark, SF, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        wh = str(tmp_path / "wh")
+        path = write_warehouse_table(ev, wh, "events", partition_by=["event_date"])
+
+        import os
+        parts = [d for d in os.listdir(path) if d.startswith("event_date=")]
+        assert len(parts) > 1
+
+        one_day = sorted(parts)[0].split("=")[1]
+        scan = spark.read.parquet(path).filter(F.col("event_date") == one_day)
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            scan.explain()
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+        assert scan.count() > 0
