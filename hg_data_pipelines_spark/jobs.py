@@ -109,6 +109,18 @@ def run_pipeline(
 # ---------------------------------------------------------------------------
 
 
+def _results_file_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from .io import read_predictions_json
+    from .pipelines.results_builder import build_results
+
+    preds = read_predictions_json(spark, ctx.config["predictions_glob"])
+    return build_results(
+        preds,
+        pano_width=ctx.config.get("pano_width", 8000),
+        pano_height=ctx.config.get("pano_height", 4000),
+    )
+
+
 def _detected_objects_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     from .pipelines.detected_objects import build_detected_objects
 
@@ -142,6 +154,13 @@ def _mesh_intersection_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
         spark, ctx.tables["best_lines_3d"], ctx.config["mesh_triangles"]
     )
 
+
+register_pipeline(
+    Pipeline(
+        "results_file",
+        [Stage("results_file", _results_file_stage)],
+    )
+)
 
 register_pipeline(
     Pipeline(

@@ -19,3 +19,4 @@ from .street_level import (  # noqa: F401
     point_and_mesh_intersection,
 )
 from .photo_fanout import generate_projections, theta_subdivisions  # noqa: F401
+from .results_builder import build_results  # noqa: F401
