@@ -266,3 +266,53 @@ class TestPhotoFanout:
         assert {bytes(c["content"]) for c in crops} == {
             bytes(c["content"]) for c in again
         }
+
+
+class TestVisualize:
+    def test_annotations_drawn_and_resized(self, spark, fixtures):
+        from hg_data_pipelines_spark.io import read_results_json
+        from hg_data_pipelines_spark.multimodal import decode_image, encode_image
+        from hg_data_pipelines_spark.pipelines.street_level import (
+            detected_with_idx,
+            grouped_detected_objects,
+        )
+        from hg_data_pipelines_spark.pipelines.visualize import annotate_detections
+
+        raw = read_results_json(spark, fixtures["results"])
+        grouped = grouped_detected_objects(detected_with_idx(raw))
+
+        # gray panoramas big enough that fixture bboxes (x up to ~2500 for
+        # the first photos) land inside and their 5px borders survive the
+        # 1/5 resize stride
+        img = np.full((1500, 3000, 3), 128, dtype=np.uint8)
+        photos = spark.createDataFrame(
+            [
+                (p["file_name"], bytearray(encode_image(img)))
+                for p in fixtures["photos"][:2]
+            ],
+            "file_name string, content binary",
+        )
+        out = {r["file_name"]: r for r in annotate_detections(photos, grouped).collect()}
+        assert len(out) == 2
+        for r in out.values():
+            assert r["n_drawn"] >= 1  # score>0.9 detections exist per photo
+            arr = decode_image(bytes(r["content"]))
+            assert arr.shape == (300, 600, 3)  # 1/5 stride
+            # some pixels were recolored away from the gray background
+            assert (arr != 128).any()
+
+    def test_photo_without_detections_passes_through(self, spark, fixtures):
+        from hg_data_pipelines_spark.multimodal import decode_image, encode_image
+        from hg_data_pipelines_spark.pipelines.visualize import annotate_detections
+
+        img = np.full((20, 40, 3), 99, dtype=np.uint8)
+        photos = spark.createDataFrame(
+            [("unknown.jpg", bytearray(encode_image(img)))],
+            "file_name string, content binary",
+        )
+        grouped = spark.createDataFrame(
+            [], "file_name string, bbox array<double>, score double, group_idx int"
+        )
+        out = annotate_detections(photos, grouped).collect()
+        assert out[0]["n_drawn"] == 0
+        assert (decode_image(bytes(out[0]["content"])) == 99).all()
