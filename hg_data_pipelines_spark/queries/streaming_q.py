@@ -13,6 +13,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -72,3 +73,95 @@ def streaming_tumbling(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
+    """Split events into time-ordered batch files with strictly increasing
+    mtimes, so the file stream source replays them as deterministic
+    micro-batches (watermark advances between batches, not within)."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    stage = tempfile.mkdtemp(prefix="xstream_")
+    base = time.time() - 10_000
+    chunk = (len(rows) + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        out = os.path.join(stage, f"batch_{i}")
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        t = base + i * 60
+        for f in os.listdir(out):
+            p = os.path.join(out, f)
+            os.utime(p, (t, t))
+    return stage
+
+
+def _run_available_now(spark, stream_df, mode: str):
+    sink = f"xstream_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query("X7_streaming_watermarked_window")
+def streaming_watermarked_window(spark, sf_dir):
+    """X7: watermarked tumbling windows in APPEND mode over replayed
+    micro-batches — only windows the watermark has closed are emitted
+    (rows-only: append-mode emission has no SQL analogue; pytest pins the
+    late-data-drop semantics with hand-built goldens)."""
+    from ..streaming import watermarked_tumbling_agg
+
+    utc(spark)
+    stage = _stage_event_batches(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/batch_*")
+    )
+    agg = watermarked_tumbling_agg(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        window="5 minutes",
+        watermark="10 minutes",
+    )
+    return _run_available_now(spark, agg, "append")
+
+
+@query("X9_streaming_dedup_within_watermark")
+def streaming_dedup(spark, sf_dir):
+    """X9: dropDuplicatesWithinWatermark over replayed micro-batches; the
+    events fixture has unique event_ids so output row count equals input —
+    the operator's state machinery (not the dedup hit-rate) is what runs."""
+    from ..streaming import stream_dedup_within_watermark
+
+    utc(spark)
+    stage = _stage_event_batches(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/batch_*")
+    )
+    dedup = stream_dedup_within_watermark(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        keys=["event_id"],
+        watermark="10 minutes",
+    )
+    return _run_available_now(spark, dedup, "append").select(
+        "event_id", "user_id", "event_type", "value"
+    )
