@@ -1,0 +1,78 @@
+"""CLI: run a registered pipeline or the bench-style query list.
+
+    python -m hg_data_pipelines_spark run <pipeline> --warehouse DIR \
+        [--config k=v ...]
+    python -m hg_data_pipelines_spark list
+    python -m hg_data_pipelines_spark query <name> --sf-dir DIR [--limit N]
+
+The scheduler (cron/airflow) calls ``run``; ``query`` executes one declared
+query and prints rows — the operational front door to the engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hg_data_pipelines_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run a registered pipeline")
+    run_p.add_argument("pipeline")
+    run_p.add_argument("--warehouse", required=True)
+    run_p.add_argument("--config", nargs="*", default=[], metavar="K=V")
+
+    sub.add_parser("list", help="list pipelines and declared queries")
+
+    q_p = sub.add_parser("query", help="run one declared query")
+    q_p.add_argument("name")
+    q_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q_p.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        from .jobs import _PIPELINES
+        from .queries import ORACLES, QUERIES
+
+        print("pipelines:")
+        for name, p in _PIPELINES.items():
+            print(f"  {name}: " + " -> ".join(s.name for s in p.stages))
+        print(f"queries ({len(QUERIES)}; * = DuckDB-oracle-checked):")
+        for name in QUERIES:
+            mark = "*" if name in ORACLES else " "
+            print(f"  {mark} {name}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("hg-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "run":
+            from .jobs import run_pipeline
+
+            config = dict(kv.split("=", 1) for kv in args.config)
+            ctx = run_pipeline(spark, args.pipeline, args.warehouse, config)
+            for stage, rep in ctx.reports.items():
+                print(f"{stage}: {rep['rows']} rows -> {rep['path']}")
+            return 0
+
+        if args.cmd == "query":
+            from .queries import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query: {args.name}", file=sys.stderr)
+                return 2
+            df = QUERIES[args.name](spark, args.sf_dir)
+            df.show(args.limit, truncate=False)
+            return 0
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
