@@ -176,23 +176,72 @@ def polygon_inverse(
     return lonlat2xy(xyz2lonlat(transformed), pano_height, pano_width).astype(np.int32)
 
 
-def rle_to_polygon(rle_counts: str, size: tuple[int, int]) -> np.ndarray | None:
-    """COCO-RLE mask → outer contour ring.
+def coco_counts_decode(s: str | bytes) -> list[int]:
+    """Compressed COCO RLE charcode string → run counts.
 
-    The reference uses pycocotools + cv2.findContours
-    (Equirec2Perspec.py:122-128); neither ships here. Uncompressed integer
-    RLE is decoded exactly; the contour step is a marching-squares-free
-    boundary trace over the mask's bounding box (deterministic fake for the
-    full contour topology — adequate for rectangular test masks; documented
-    limitation for arbitrary shapes).
+    The public COCO API scheme (pycocotools rleFrString): base-5-bit
+    little-endian varints offset by char 48, continuation bit 0x20, sign
+    extension via bit 0x10 on the final chunk; every count after the third
+    is delta-coded against the count two positions back.
+    """
+    if isinstance(s, (bytes, bytearray)):
+        s = s.decode("ascii")
+    counts: list[int] = []
+    p = 0
+    while p < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(s[p]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def coco_counts_encode(counts) -> str:
+    """Run counts → compressed COCO RLE charcode string (rleToString dual)."""
+    out: list[str] = []
+    counts = [int(c) for c in counts]
+    for i, cnt in enumerate(counts):
+        x = cnt - counts[i - 2] if i > 2 else cnt
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5  # arithmetic shift, like C signed long
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def rle_decode_mask(rle_counts, size: tuple[int, int]) -> np.ndarray:
+    """COCO RLE (uncompressed ints or compressed charcodes) → (h, w) uint8.
+
+    Drop-in for pycocotools ``mask.decode`` (Equirec2Perspec.py:122) minus
+    the dict wrapper: RLE runs are column-major over the (h, w) grid.
+    Accepts a list/tuple of ints, a space-separated digit string
+    (uncompressed), or a charcode string/bytes (compressed).
     """
     h, w = size
-    if isinstance(rle_counts, str) and not rle_counts.replace(" ", "").isdigit():
-        raise NotImplementedError(
-            "compressed COCO RLE requires pycocotools; supply uncompressed "
-            "integer counts"
-        )
-    counts = [int(c) for c in rle_counts.split()]
+    if isinstance(rle_counts, (list, tuple, np.ndarray)):
+        counts = [int(c) for c in rle_counts]
+    else:
+        if isinstance(rle_counts, (bytes, bytearray)):
+            rle_counts = rle_counts.decode("ascii")
+        # COCO's uncompressed form is a list of ints (here also accepted as a
+        # space-separated digit string); compressed charcodes never contain
+        # spaces, so whitespace is the discriminator.
+        if " " in rle_counts.strip():
+            counts = [int(c) for c in rle_counts.split()]
+        else:
+            counts = coco_counts_decode(rle_counts)
     flat = np.zeros(h * w, dtype=np.uint8)
     pos, val = 0, 0
     for c in counts:
@@ -200,12 +249,113 @@ def rle_to_polygon(rle_counts: str, size: tuple[int, int]) -> np.ndarray | None:
             flat[pos : pos + c] = 1
         pos += c
         val ^= 1
-    mask = flat.reshape(w, h).T  # COCO RLE is column-major
+    return flat.reshape(w, h).T  # COCO RLE is column-major
+
+
+# Moore 8-neighborhood in (dx, dy), counter-clockwise starting at W (image
+# y-axis down) — the scan order that reproduces cv2's outer-contour
+# orientation (down the left flank first).
+_MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+_MOORE_IDX = {d: i for i, d in enumerate(_MOORE)}
+
+
+def _trace_outer_border(mask: np.ndarray, sx: int, sy: int) -> list[tuple[int, int]]:
+    """Moore-neighbor border following from the component's topmost-leftmost
+    pixel. Emits the full 8-connected outer border, CCW, pixels on 1-px-wide
+    spurs visited twice — the same point stream cv2.findContours produces
+    before chain approximation (Suzuki-Abe semantics)."""
+    h, w = mask.shape
+    contour = [(sx, sy)]
+    cx, cy, b = sx, sy, 0  # backtrack = W: raster order guarantees it is background
+    seen = {(sx, sy, 0)}
+    for _ in range(4 * h * w + 8):
+        found = -1
+        for k in range(1, 9):
+            d = (b + k) % 8
+            nx, ny = cx + _MOORE[d][0], cy + _MOORE[d][1]
+            if 0 <= nx < w and 0 <= ny < h and mask[ny, nx]:
+                found = d
+                break
+        if found < 0:
+            break  # isolated pixel
+        lb = (found - 1) % 8  # last background examined
+        bx, by = cx + _MOORE[lb][0], cy + _MOORE[lb][1]
+        cx, cy = cx + _MOORE[found][0], cy + _MOORE[found][1]
+        b = _MOORE_IDX[(bx - cx, by - cy)]
+        state = (cx, cy, b)
+        if state in seen:
+            break
+        seen.add(state)
+        contour.append((cx, cy))
+    if len(contour) > 1 and contour[-1] == contour[0]:
+        contour.pop()
+    return contour
+
+
+def _compress_collinear(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """CHAIN_APPROX_SIMPLE: keep only endpoints of straight unit-step runs
+    (horizontal, vertical, diagonal); the start point is always kept."""
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = []
+    for i in range(n):
+        p_prev, p_cur, p_nxt = pts[i - 1], pts[i], pts[(i + 1) % n]
+        d_in = (p_cur[0] - p_prev[0], p_cur[1] - p_prev[1])
+        d_out = (p_nxt[0] - p_cur[0], p_nxt[1] - p_cur[1])
+        if i == 0 or d_in != d_out:
+            keep.append(p_cur)
+    return keep
+
+
+def find_outer_contours(mask: np.ndarray) -> list[np.ndarray]:
+    """Outer contour of every 8-connected component, cv2-style.
+
+    Matches the observable cv2.findContours(RETR_TREE/EXTERNAL,
+    CHAIN_APPROX_SIMPLE) contract the reference relies on
+    (Equirec2Perspec.py:124-128): CCW point order starting at each
+    component's topmost-leftmost pixel, collinear runs compressed to
+    endpoints, and the contour list ordered with the LAST component found
+    in raster-scan order first (cv2 4.x returns contours bottom-up, so
+    ``contours[0]`` is the last-discovered outer border)."""
+    h, w = mask.shape
+    mask = mask.astype(bool, copy=False)
+    labeled = np.zeros((h, w), dtype=bool)  # pixels already assigned a component
+    contours: list[np.ndarray] = []
     ys, xs = np.nonzero(mask)
-    if len(xs) == 0 or len(xs) < 3:
+    for sy, sx in zip(ys.tolist(), xs.tolist()):  # raster order (row-major nonzero)
+        if labeled[sy, sx]:
+            continue
+        # flood the whole component so later rows don't re-trigger it
+        stack = [(sx, sy)]
+        labeled[sy, sx] = True
+        while stack:
+            px, py = stack.pop()
+            for dx, dy in _MOORE:
+                qx, qy = px + dx, py + dy
+                if 0 <= qx < w and 0 <= qy < h and mask[qy, qx] and not labeled[qy, qx]:
+                    labeled[qy, qx] = True
+                    stack.append((qx, qy))
+        ring = _compress_collinear(_trace_outer_border(mask, sx, sy))
+        contours.append(np.asarray(ring, dtype=np.int64).reshape(-1, 2))
+    contours.reverse()  # cv2 4.x ordering: last-discovered first
+    return contours
+
+
+def rle_to_polygon(rle_counts, size: tuple[int, int]) -> np.ndarray | None:
+    """COCO-RLE mask → outer contour ring (M, 2) int64, or None.
+
+    Re-implements the reference's mask→polygon step
+    (Equirec2Perspec.py:122-128: pycocotools mask.decode +
+    cv2.findContours(RETR_TREE, CHAIN_APPROX_SIMPLE) → contours[0],
+    rejected when under 3 points) without either dependency: charcode RLE
+    decode above, Moore-neighbor border following for the contour.
+    """
+    mask = rle_decode_mask(rle_counts, size)
+    contours = find_outer_contours(mask)
+    if not contours or len(contours[0]) < 3:
         return None
-    x1, x2, y1, y2 = xs.min(), xs.max(), ys.min(), ys.max()
-    return np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=np.int64)
+    return contours[0]
 
 
 # --------------------------------------------------------------------------

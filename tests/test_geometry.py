@@ -168,3 +168,92 @@ class TestDbscan:
         assert len({int(l) for l in labels[:30]}) == 1
         assert len({int(l) for l in labels[30:60]}) == 1
         assert labels[0] != labels[30]
+
+
+class TestContours:
+    """rle_to_polygon parity with the reference's mask→polygon step
+    (Equirec2Perspec.py:122-128): real border following, not a bounding
+    rect. Expected rings hand-checked: every point is a border pixel,
+    consecutive points are 8-adjacent run endpoints, order is CCW from the
+    topmost-leftmost pixel (cv2 outer-contour convention)."""
+
+    @staticmethod
+    def _counts_colmajor(mask):
+        flat = mask.T.ravel()
+        counts, run_val, run = [], 0, 0
+        for v in flat:
+            if v == run_val:
+                run += 1
+            else:
+                counts.append(run)
+                run_val, run = v, 1
+        counts.append(run)
+        return counts
+
+    def test_l_shape_contour(self):
+        m = np.zeros((5, 5), np.uint8)
+        m[:, 0:2] = 1
+        m[3:, :] = 1
+        (ring,) = G.find_outer_contours(m)
+        # down left flank, across bottom, up right edge, along arm top,
+        # 8-connected diagonal into the inner corner, up the vertical arm
+        assert ring.tolist() == [
+            [0, 0], [0, 4], [4, 4], [4, 3], [2, 3], [1, 2], [1, 0]
+        ]
+
+    def test_rectangle_four_corners_ccw(self):
+        m = np.zeros((6, 7), np.uint8)
+        m[1:4, 2:6] = 1
+        (ring,) = G.find_outer_contours(m)
+        assert ring.tolist() == [[2, 1], [2, 3], [5, 3], [5, 1]]
+
+    def test_multi_island_cv2_ordering(self):
+        m = np.zeros((6, 6), np.uint8)
+        m[0:2, 0:2] = 1   # first in raster order
+        m[4:6, 4:6] = 1   # last in raster order
+        contours = G.find_outer_contours(m)
+        assert len(contours) == 2
+        # cv2 4.x returns contours bottom-up: contours[0] is last-discovered
+        assert contours[0].tolist() == [[4, 4], [4, 5], [5, 5], [5, 4]]
+        assert contours[1].tolist() == [[0, 0], [0, 1], [1, 1], [1, 0]]
+
+    def test_hole_yields_outer_contour_only(self):
+        m = np.ones((7, 7), np.uint8)
+        m[3, 3] = 0
+        (ring,) = G.find_outer_contours(m)
+        assert ring.tolist() == [[0, 0], [0, 6], [6, 6], [6, 0]]
+
+    def test_thin_line_under_three_points_is_none(self):
+        m = np.zeros((3, 5), np.uint8)
+        m[1, 1:4] = 1
+        assert G.rle_to_polygon(self._counts_colmajor(m), (3, 5)) is None
+
+    def test_rle_to_polygon_l_shape_uncompressed_and_compressed(self):
+        m = np.zeros((5, 5), np.uint8)
+        m[:, 0:2] = 1
+        m[3:, :] = 1
+        counts = self._counts_colmajor(m)
+        expected = [[0, 0], [0, 4], [4, 4], [4, 3], [2, 3], [1, 2], [1, 0]]
+        uncompressed = " ".join(str(c) for c in counts)
+        assert G.rle_to_polygon(uncompressed, (5, 5)).tolist() == expected
+        compressed = G.coco_counts_encode(counts)
+        assert G.rle_to_polygon(compressed, (5, 5)).tolist() == expected
+
+    def test_compressed_rle_roundtrip_random_masks(self):
+        rng = np.random.default_rng(1234)
+        for _ in range(50):
+            h, w = rng.integers(1, 15, 2)
+            mask = (rng.random((h, w)) < 0.4).astype(np.uint8)
+            counts = self._counts_colmajor(mask)
+            enc = G.coco_counts_encode(counts)
+            assert G.coco_counts_decode(enc) == counts
+            np.testing.assert_array_equal(
+                G.rle_decode_mask(enc, (h, w)),
+                G.rle_decode_mask(counts, (h, w)),
+            )
+
+    def test_delta_coding_and_sign_extension(self):
+        # counts beyond index 2 are delta-coded vs two back; negatives in
+        # the delta stream exercise the 0x10 sign-extension path
+        big = [100000, 12345, 1, 0, 7, 99999999, 3, 2]
+        assert G.coco_counts_decode(G.coco_counts_encode(big)) == big
