@@ -14,9 +14,10 @@ Reference parity (cited per function):
 - heritage-guard/heritage_guard/entities/bbox_grouping.py (greedy grouping)
 
 cv2 is not a dependency: `cv2.Rodrigues` is replaced by the closed-form
-axis-angle rotation (identical math), and `cv2.remap`'s bicubic resampling
-by bilinear-with-wrap (clearly-documented deviation — the *sampling grid*
-is bit-identical; only the interpolation kernel differs).
+axis-angle rotation (identical math), `cv2.remap`'s INTER_CUBIC/BORDER_WRAP
+resampling by `sample_bicubic_wrap` (same Keys a=-0.75 kernel and wrap
+semantics, float arithmetic instead of cv2's fixed-point tables), and
+`cv2.findContours` by Moore-neighbor border following.
 """
 
 from __future__ import annotations
@@ -371,7 +372,7 @@ def perspective_grid(
 
     The meshgrid→K^-1→R→lonlat→XY pipeline of GetPerspective
     (Equirec2Perspec.py:74-87), which is the entire projective content of
-    the operator; resampling happens in ``sample_bilinear_wrap``.
+    the operator; resampling happens in ``sample_bicubic_wrap``.
     """
     _, k_inv = compute_calib_matrix(width, height, fov)
     r = compute_rotation_matrix(theta, phi)
@@ -405,6 +406,52 @@ def sample_bilinear_wrap(img: np.ndarray, xy: np.ndarray) -> np.ndarray:
     top = tl * (1 - fx) + tr * fx
     bot = bl * (1 - fx) + br * fx
     return (top * (1 - fy) + bot * fy).astype(img.dtype)
+
+
+def _cubic_weights(f: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic-convolution weights for taps at offsets (-1, 0, 1, 2)
+    around the floor pixel, fractional offset f in [0, 1). a = -0.75 is
+    cv2's INTER_CUBIC coefficient (Catmull-Rom would be -0.5)."""
+    d0, d1, d2, d3 = 1.0 + f, f, 1.0 - f, 2.0 - f
+    w0 = a * d0**3 - 5 * a * d0**2 + 8 * a * d0 - 4 * a
+    w1 = (a + 2) * d1**3 - (a + 3) * d1**2 + 1
+    w2 = (a + 2) * d2**3 - (a + 3) * d2**2 + 1
+    w3 = a * d3**3 - 5 * a * d3**2 + 8 * a * d3 - 4 * a
+    return np.stack([w0, w1, w2, w3])
+
+
+def sample_bicubic_wrap(img: np.ndarray, xy: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Bicubic resampling with wraparound — cv2.remap(INTER_CUBIC,
+    BORDER_WRAP) semantics (Equirec2Perspec.py:89).
+
+    Separable 4×4 Keys kernel with cv2's a = -0.75; BORDER_WRAP wraps tap
+    indices on BOTH axes, as cv2 does (out-of-range taps only occur at the
+    poles for equirect grids, where the reference wraps too). Float
+    accumulation with round-half-even and saturation for integer dtypes —
+    cv2's fixed-point tables agree to within 1 LSB; values here are the
+    exact-arithmetic ones.
+    """
+    h, w = img.shape[:2]
+    xs, ys = xy[..., 0], xy[..., 1]
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    wx = _cubic_weights(xs - x0, a)
+    wy = _cubic_weights(ys - y0, a)
+    acc = None
+    for j in range(4):
+        yj = (y0 + (j - 1)) % h
+        row = None
+        for i in range(4):
+            xi = (x0 + (i - 1)) % w
+            pix = img[yj, xi].astype(np.float64)
+            wgt = wx[i][..., None] if img.ndim == 3 else wx[i]
+            row = pix * wgt if row is None else row + pix * wgt
+        wgt_y = wy[j][..., None] if img.ndim == 3 else wy[j]
+        acc = row * wgt_y if acc is None else acc + row * wgt_y
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        acc = np.clip(np.rint(acc), info.min, info.max)
+    return acc.astype(img.dtype)
 
 
 # --------------------------------------------------------------------------

@@ -86,7 +86,7 @@ def generate_projections(
                     grid_cache[key] = G.perspective_grid(
                         fov, theta, phi, crop_h, crop_w, img.shape[0], img.shape[1]
                     )
-                crop = G.sample_bilinear_wrap(img, grid_cache[key])
+                crop = G.sample_bicubic_wrap(img, grid_cache[key])
                 stem = r["path"].rsplit("/", 1)[-1]
                 rows.append(
                     {

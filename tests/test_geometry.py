@@ -257,3 +257,85 @@ class TestContours:
         # the delta stream exercise the 0x10 sign-extension path
         big = [100000, 12345, 1, 0, 7, 99999999, 3, 2]
         assert G.coco_counts_decode(G.coco_counts_encode(big)) == big
+
+
+class TestBicubicWrap:
+    """sample_bicubic_wrap vs a scalar (per-pixel loop) reference of the
+    Keys a=-0.75 kernel with both-axis wrap — the cv2.remap(INTER_CUBIC,
+    BORDER_WRAP) contract of Equirec2Perspec.py:89."""
+
+    @staticmethod
+    def _scalar_ref(img, x, y, a=-0.75):
+        def k(t):
+            t = abs(t)
+            if t <= 1:
+                return (a + 2) * t**3 - (a + 3) * t**2 + 1
+            if t < 2:
+                return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+            return 0.0
+
+        h, w = img.shape[:2]
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        acc = 0.0
+        for j in range(-1, 3):
+            for i in range(-1, 3):
+                wgt = k(x - (x0 + i)) * k(y - (y0 + j))
+                acc += float(img[(y0 + j) % h, (x0 + i) % w]) * wgt
+        return acc
+
+    def test_matches_scalar_reference_on_gradient(self):
+        rng = np.random.default_rng(99)
+        yy, xx = np.mgrid[0:16, 0:20]
+        img = (3.0 * xx + 2.0 * yy + 10 * np.sin(xx * 0.7) * np.cos(yy * 0.5)).astype(
+            np.float64
+        )
+        xs = rng.uniform(0, 20, 40)
+        ys = rng.uniform(0, 16, 40)
+        xy = np.stack([xs, ys], axis=-1)
+        got = G.sample_bicubic_wrap(img, xy)
+        for n in range(40):
+            assert got[n] == pytest.approx(
+                self._scalar_ref(img, xs[n], ys[n]), abs=1e-9
+            )
+
+    def test_exact_at_integer_coords(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (12, 15)).astype(np.uint8)
+        yy, xx = np.mgrid[2:10, 2:12]
+        xy = np.stack([xx, yy], axis=-1).astype(np.float64)
+        got = G.sample_bicubic_wrap(img, xy)
+        np.testing.assert_array_equal(got, img[2:10, 2:12])
+
+    def test_catmull_rom_reproduces_linear_ramp(self):
+        # only a = -0.5 (Catmull-Rom) is exact on degree-1 polynomials;
+        # cv2's a = -0.75 intentionally ripples gradients slightly
+        yy, xx = np.mgrid[0:30, 0:30]
+        img = (2.0 * xx + 3.0 * yy).astype(np.float64)
+        xs = np.linspace(2.2, 26.7, 9)
+        ys = np.linspace(2.4, 25.9, 9)
+        xy = np.stack([xs, ys], axis=-1)
+        got = G.sample_bicubic_wrap(img, xy, a=-0.5)
+        np.testing.assert_allclose(got, 2.0 * xs + 3.0 * ys, atol=1e-9)
+
+    def test_horizontal_wrap_continuity(self):
+        # sampling across the seam must equal sampling the rolled image
+        rng = np.random.default_rng(17)
+        img = rng.uniform(0, 255, (8, 24)).astype(np.float64)
+        xy_seam = np.stack([np.full(5, 23.5), np.linspace(2, 5, 5)], axis=-1)
+        rolled = np.roll(img, 12, axis=1)
+        xy_mid = xy_seam.copy()
+        xy_mid[:, 0] = 11.5
+        np.testing.assert_allclose(
+            G.sample_bicubic_wrap(img, xy_seam),
+            G.sample_bicubic_wrap(rolled, xy_mid),
+            atol=1e-9,
+        )
+
+    def test_uint8_channels_saturate(self):
+        img = np.zeros((6, 6, 3), np.uint8)
+        img[2:4, 2:4] = 255  # overshoot region for cubic ringing
+        xy = np.array([[[2.5, 2.5]], [[1.4, 1.4]]], dtype=np.float64)
+        got = G.sample_bicubic_wrap(img, xy)
+        assert got.dtype == np.uint8
+        assert got.shape == (2, 1, 3)
+        assert int(got[0, 0, 0]) == 255  # interior of bright block
