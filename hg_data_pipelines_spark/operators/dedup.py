@@ -91,25 +91,43 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(
         "_id",
-        "shingles",
         F.posexplode(lsh_band_keys("sig", bands)).alias("band", "key"),
     )
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "key"
+    # Bucket-then-combine instead of a banded self-join: the signature
+    # subtree is evaluated ONCE (a self-join recomputes it per side), and
+    # only doc ids — not shingle arrays — flow through the band shuffle.
+    # In-bucket pair expansion is the LSH contract: bucket sizes are small
+    # for non-degenerate band keys, so flatten(combinations) stays linear.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "key"
-    )
-    candidates = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = candidates.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
+    # Exact-Jaccard verification joins back to the cheap shingle table
+    # (tokens + shingles only — no minhash recomputation on this path).
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
