@@ -143,31 +143,76 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     round_dp: int = 6,
+    n_iter: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_lists`` cells, probe each query's ``n_probe`` nearest cells,
     exact cosine only within probed cells.
 
-    Centroids are the lowest-id corpus vectors — a deterministic seed set
-    (collected: bounded by n_lists, the one permissible driver collect).
-    A production variant runs Lloyd iterations over the assignment join;
-    the physical plan shape (broadcast centroids → cell-key equi-join) is
-    identical, which is what matters at 100 TB: the query side joins
-    |corpus|/n_lists × n_probe rows instead of scanning the corpus.
+    Centroids: the lowest-id corpus vectors seed deterministically, then
+    ``n_iter`` Lloyd iterations refine them — assignment is a broadcast-
+    centroid cell scoring over the corpus, the per-cell mean comes from a
+    map-side-combinable (cid, dim) sum whose shuffled output is only
+    n_lists × dim rows, and the new centroids (bounded: n_lists × dim) are
+    the one permissible driver collect, rounded to 9 dp so results don't
+    depend on partition-order float summation. The serving plan shape
+    (broadcast centroids → cell-key equi-join) is what matters at 100 TB:
+    each query joins |corpus|/n_lists × n_probe rows instead of scanning
+    the corpus.
     """
     spark = corpus.sparkSession
+    cvecs = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     cents = (
         corpus.orderBy(id_col)
         .limit(n_lists)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cents],
-            "cid long, cvec array<double>",
+    centroids = {int(r["cid"]): [float(x) for x in r["cvec"]] for r in cents}
+    # re-key cells 0..n_lists-1 so cell ids are independent of seed doc ids
+    centroids = {i: v for i, (_, v) in enumerate(sorted(centroids.items()))}
+
+    def to_cent_df(cmap):
+        return F.broadcast(
+            spark.createDataFrame(
+                sorted((c, v) for c, v in cmap.items()),
+                "cid long, cvec array<double>",
+            )
         )
-    )
+
+    cent_df = to_cent_df(centroids)
+    for _ in range(max(0, n_iter)):
+        w_assign = Window.partitionBy("_id").orderBy(F.desc("_sim"), "cid")
+        assigned = (
+            cvecs.crossJoin(cent_df)
+            .select("_id", "_v", "cid", F.round(_cosine("_v", "cvec"), 9).alias("_sim"))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+        )
+        norm = _DOT.format(a="_v", b="_v")
+        sums = (
+            assigned.select(
+                "cid",
+                F.posexplode(
+                    F.expr(f"transform(_v, x -> cast(x as double) / sqrt({norm}))")
+                ).alias("dim", "x"),
+            )
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_centroids = dict(centroids)  # empty cells keep their centroid
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = r["s"] / r["n"]
+        for cid, dims in by_cid.items():
+            new_centroids[cid] = [
+                round(dims[d], 9) for d in range(len(dims))
+            ]
+        centroids = new_centroids
+        cent_df = to_cent_df(centroids)
 
     def nearest_cells(df: DataFrame, prefix: str, n: int) -> DataFrame:
         scored = df.select(

@@ -49,6 +49,41 @@ class TestANNRecall:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
 
+    def test_ivf_lloyd_iterations_improve_recall(self, spark):
+        # Pathological seeding: the 8 lowest-id vectors all sit in one of 4
+        # well-separated clusters, so raw seeding misaligns cells with the
+        # true clusters. Spherical k-means refinement must recover recall at
+        # equal n_probe. (The sf0.001 embeddings fixture can't show this —
+        # its lowest-id seeds happen to balance cells already.)
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        centers = rng.normal(0, 1, (4, 8)) * 4
+        pts = [centers[c] + rng.normal(0, 0.3, (50, 8)) for c in range(4)]
+        V = np.vstack(pts)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(q, emb, k=K).collect()
+        }
+
+        def recall_at(n_iter):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(
+                    q, emb, k=K, n_lists=8, n_probe=2, n_iter=n_iter
+                ).collect()
+            }
+            return len(got & truth) / len(truth)
+
+        seeded, refined = recall_at(0), recall_at(2)
+        assert refined > seeded, f"Lloyd refinement did not improve: {refined} <= {seeded}"
+        assert refined >= 0.9
+
     def test_deterministic_across_runs(self, spark):
         emb = spark.read.parquet(f"{SF}/embeddings.parquet")
         q = emb.filter(F.col("vec_id") < N_QUERIES)
