@@ -78,22 +78,44 @@ def streaming_tumbling(spark, sf_dir):
 def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
     """Split events into time-ordered batch files with strictly increasing
     mtimes, so the file stream source replays them as deterministic
-    micro-batches (watermark advances between batches, not within)."""
+    micro-batches (watermark advances between batches, not within).
+
+    Batch ids are assigned Spark-side (row_number over the (ts, event_id)
+    order, ceil-chunked) and each batch is written with a filtered
+    distributed write — the events table is never materialized on the
+    driver. The global-order window is a deliberate determinism contract:
+    range-partitioned alternatives sample boundaries nondeterministically,
+    which would change batch composition (and thus the replay goldens)
+    between runs. The staging dir is keyed by (sf_dir, n_batches) and
+    recreated on reuse, so repeated invocations don't leak temp dirs.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
     from ..io import load_table
 
-    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
-    rows = ev.collect()
-    stage = tempfile.mkdtemp(prefix="xstream_")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_batches}".encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"xstream_{os.getpid()}_{key}")
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    if n_rows == 0:
+        return stage
+    chunk = (n_rows + n_batches - 1) // n_batches
+    numbered = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).withColumn("_batch", ((F.col("_rn") - 1) / chunk).cast("int"))
     base = time.time() - 10_000
-    chunk = (len(rows) + n_batches - 1) // n_batches
     for i in range(n_batches):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if not part:
-            continue
+        if i * chunk >= n_rows:
+            break  # trailing batches are empty
         out = os.path.join(stage, f"batch_{i}")
-        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
+        part = numbered.filter(F.col("_batch") == i).drop("_rn", "_batch")
+        part.coalesce(1).write.mode("overwrite").parquet(out)
         t = base + i * 60
         for f in os.listdir(out):
             p = os.path.join(out, f)
