@@ -15,6 +15,19 @@ import argparse
 import sys
 
 
+def _coerce(v: str):
+    """--config values arrive as strings; pipelines expect typed values
+    (pano_width is an int, with_uuid a bool). int → float → bool → str."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hg_data_pipelines_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -23,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("pipeline")
     run_p.add_argument("--warehouse", required=True)
     run_p.add_argument("--config", nargs="*", default=[], metavar="K=V")
+    run_p.add_argument(
+        "--mesh-obj",
+        help="OBJ mesh file for the mesh-intersection stage "
+        "(becomes config['mesh_triangles'])",
+    )
 
     sub.add_parser("list", help="list pipelines and declared queries")
 
@@ -54,7 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run":
             from .jobs import run_pipeline
 
-            config = dict(kv.split("=", 1) for kv in args.config)
+            config = {
+                k: _coerce(v)
+                for k, v in (kv.split("=", 1) for kv in args.config)
+            }
+            if args.mesh_obj:
+                from .pipelines.wall_extraction import parse_obj_triangles
+
+                with open(args.mesh_obj) as fh:
+                    config["mesh_triangles"] = parse_obj_triangles(fh.read())
             ctx = run_pipeline(spark, args.pipeline, args.warehouse, config)
             for stage, rep in ctx.reports.items():
                 print(f"{stage}: {rep['rows']} rows -> {rep['path']}")

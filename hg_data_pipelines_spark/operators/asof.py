@@ -36,21 +36,31 @@ def asof_join(
     ``value_cols`` are carried from the right side (null when no right row
     precedes the left row).
     """
+    from pyspark.sql import types as T
+
     left_cols = left_cols if left_cols is not None else left.columns
 
+    # The right side's values travel as ONE struct, not as separate columns:
+    # the struct is non-null for every right row even when its fields are
+    # null, so last(ignorenulls) picks the most recent right ROW and a null
+    # value column stays null (DuckDB ASOF JOIN semantics) instead of being
+    # backfilled from an older right row.
+    vrow_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lhs = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(vrow_type).alias("_vrow"),
     )
     rhs = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_vrow"),
     )
 
     # One shuffle: partition by key, order by (time, side). Right rows sort
@@ -61,13 +71,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_vrow", ignorenulls=True).over(w).alias("_asof_row")
     )
     return carried.filter(F.col("_is_left") == 1).select(
         *left_cols,
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col("_asof_row")[c].alias(f"asof_{c}") for c in value_cols],
     )

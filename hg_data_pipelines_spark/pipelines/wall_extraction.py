@@ -78,6 +78,28 @@ def parse_obj_faces(obj_text: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["face_id", "normal", "centroid"])
 
 
+def parse_obj_triangles(obj_text: str) -> np.ndarray:
+    """OBJ text → (M, 3, 3) triangle vertex array (fan triangulation).
+
+    The mesh-intersection stage's input shape
+    (``point_and_mesh_intersection`` broadcasts it); same seam as
+    ``parse_obj_faces`` — a production deployment swaps in a real loader.
+    """
+    verts: list[list[float]] = []
+    tris: list[list[list[float]]] = []
+    for line in obj_text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "v":
+            verts.append([float(x) for x in parts[1:4]])
+        elif parts[0] == "f":
+            idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+            for k in range(1, len(idx) - 1):
+                tris.append([verts[idx[0]], verts[idx[k]], verts[idx[k + 1]]])
+    return np.asarray(tris, dtype=np.float64).reshape(-1, 3, 3)
+
+
 _CLUSTERED = T.StructType(
     [
         T.StructField("tile", T.LongType()),

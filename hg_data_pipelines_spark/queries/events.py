@@ -158,6 +158,12 @@ def sliding_window_agg(spark, sf_dir):
 #     end = max ts + gap — session_window's half-open end semantics).
 # --------------------------------------------------------------------------
 
+# Strict '>' on the gap is correct for BOTH X8 variants: the lag-based
+# query uses '>' explicitly, and Spark's session_window MERGES touching
+# windows — an event at exactly last_ts + gap lands on the previous
+# window's end boundary and joins that session (verified empirically in
+# tests/test_events.py against Spark 4.1; were the end exclusive, this
+# oracle would need '>=').
 _SESSIONIZE_SQL = """
     WITH flagged AS (
         SELECT user_id, ts, event_id,

@@ -98,3 +98,66 @@ class TestJobLayer:
     def test_unknown_pipeline_raises(self, spark):
         with pytest.raises(KeyError):
             get_pipeline("no_such_pipeline")
+
+
+def _box_mesh_obj_text():
+    """The _box_mesh() cube as OBJ text (quads; the parser fan-triangulates
+    them into the same 12 triangles)."""
+    cx, cy, cz, s = 582102.0, 6002248.0, 97.3, 50.0
+    v = [
+        [cx - s, cy - s, cz - s], [cx + s, cy - s, cz - s],
+        [cx + s, cy + s, cz - s], [cx - s, cy + s, cz - s],
+        [cx - s, cy - s, cz + s], [cx + s, cy - s, cz + s],
+        [cx + s, cy + s, cz + s], [cx - s, cy + s, cz + s],
+    ]
+    quads = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+             (2, 3, 7, 6), (1, 2, 6, 5), (0, 3, 7, 4)]
+    lines = [f"v {x} {y} {z}" for x, y, z in v]
+    lines += ["f " + " ".join(str(i + 1) for i in q) for q in quads]
+    return "\n".join(lines)
+
+
+class TestCli:
+    def test_parse_obj_triangles_matches_box_mesh(self):
+        from hg_data_pipelines_spark.pipelines.wall_extraction import (
+            parse_obj_triangles,
+        )
+
+        tris = parse_obj_triangles(_box_mesh_obj_text())
+        np.testing.assert_allclose(tris, _box_mesh())
+
+    def test_config_coercion(self):
+        from hg_data_pipelines_spark.__main__ import _coerce
+
+        assert _coerce("8000") == 8000 and isinstance(_coerce("8000"), int)
+        assert _coerce("0.5") == 0.5 and isinstance(_coerce("0.5"), float)
+        assert _coerce("true") is True and _coerce("False") is False
+        assert _coerce("path/to/x.json") == "path/to/x.json"
+
+    def test_cli_runs_street_level_grouping(self, job_fixtures):
+        # subprocess: main() owns (and stops) its SparkSession, so the CLI
+        # must not share the test session. This is the exact invocation the
+        # scheduler would issue, mesh OBJ included.
+        import subprocess
+        import sys
+
+        obj_path = str(job_fixtures["tmp"] / "box.obj")
+        with open(obj_path, "w") as fh:
+            fh.write(_box_mesh_obj_text())
+        wh = str(job_fixtures["tmp"] / "wh_cli")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "hg_data_pipelines_spark", "run",
+                "street_level_grouping",
+                "--warehouse", wh,
+                "--mesh-obj", obj_path,
+                "--config",
+                f"results_json_path={job_fixtures['results']}",
+                f"pose_csv_path={job_fixtures['pose']}",
+                "pano_width=8000",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "point_and_mesh_intersection" in proc.stdout
