@@ -8,20 +8,24 @@ source yields (path, length, content); decode/resize/frame-sample run inside
 ``mapInPandas`` so each executor touches only its partition's bytes; outputs
 are either new binary columns or extracted feature columns.
 
-No image codec ships in this container (cv2/PIL absent), so:
-- ``decode_image``/``encode_image`` implement a deterministic RAW format
-  (magic + dims header + uint8 pixels) — a real deployment swaps these two
-  functions for cv2/PIL calls; every other line (schemas, partitioning, UDF
-  signatures, batch shapes) is production-real.
+No cv2/PIL ships in this container, so the codec seam has three tiers:
+- ``decode_png``/``encode_png``: a REAL image format, implemented on stdlib
+  zlib — 8-bit gray/RGB/RGBA (+alpha-gray), all five PNG filter types on
+  decode. Real PNGs flow end-to-end through photo_fanout/visualize.
+- ``decode_image``/``encode_image``: the codec dispatch. PNG is decoded for
+  real; the deterministic RAW format (magic + dims header + uint8 pixels)
+  remains the internal interchange encoding.
 - ``jpeg_dimensions`` parses real JPEG SOF markers byte-wise (the *correct*
   replacement for the reference's fixed-offset-163 sniff,
-  street_level_grouping.py:302-310, which SURVEY.md §7.2 flags as a bug).
-- ``decode_jpeg`` raises NotImplementedError, clearly marking the codec seam.
+  street_level_grouping.py:302-310, which SURVEY.md §7.2 flags as a bug);
+  ``decode_jpeg`` still raises — entropy-coded JPEG decode stays a
+  documented deployment seam (cv2/PIL).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -59,11 +63,140 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """RAW bytes → ndarray (H, W, C) uint8; the inverse of encode_image."""
-    if not data.startswith(_RAW_MAGIC):
-        raise ValueError("not RAW image bytes — swap in a real codec (cv2/PIL)")
-    h, w, c = struct.unpack("<III", data[8:20])
-    return np.frombuffer(data, dtype=np.uint8, offset=20).reshape(h, w, c)
+    """Image bytes → ndarray (H, W, C) uint8. Dispatches RAW and PNG."""
+    if data.startswith(_RAW_MAGIC):
+        h, w, c = struct.unpack("<III", data[8:20])
+        return np.frombuffer(data, dtype=np.uint8, offset=20).reshape(h, w, c)
+    if data.startswith(_PNG_MAGIC):
+        return decode_png(data)
+    raise ValueError("unsupported image bytes (RAW and PNG decode here; "
+                     "JPEG needs cv2/PIL in deployment)")
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 — pure Python + stdlib zlib.
+
+    Supports bit depth 8, color types gray/gray+alpha/RGB/RGBA, no
+    interlacing; all five scanline filters (None/Sub/Up/Average/Paeth) are
+    un-applied per the PNG spec. Palette, 16-bit, and Adam7 inputs raise.
+    """
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not PNG bytes")
+    pos, n = 8, len(data)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width = int.from_bytes(chunk[0:4], "big")
+            height = int.from_bytes(chunk[4:8], "big")
+            bit_depth, color_type, interlace = chunk[8], chunk[9], chunk[12]
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} unsupported (8-bit non-interlaced "
+            "gray/GA/RGB/RGBA only)"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    bpp = channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    at = 0
+    for y in range(height):
+        ftype = raw[at]
+        at += 1
+        line = np.frombuffer(raw, np.uint8, stride, at).astype(np.int32)
+        at += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — per-pixel recurrence along the row
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes (filter 0 scanlines, zlib level 6)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in _PNG_COLOR_TYPE:
+        raise ValueError(f"{c} channels unsupported (1/2/3/4)")
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, _PNG_COLOR_TYPE[c], 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_dimensions(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from the IHDR, without decompressing."""
+    if not data.startswith(_PNG_MAGIC) or len(data) < 26:
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    channels = _PNG_CHANNELS.get(data[25])
+    return (w, h, channels) if channels else None
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -109,6 +242,9 @@ def image_dimensions(data: bytes) -> tuple[int, int, int] | None:
     if data.startswith(_RAW_MAGIC):
         h, w, c = struct.unpack("<III", data[8:20])
         return w, h, c
+    pd_ = png_dimensions(bytes(data))
+    if pd_ is not None:
+        return pd_
     jd = jpeg_dimensions(bytes(data))
     if jd is not None:
         return jd[0], jd[1], 3
@@ -136,6 +272,8 @@ def extract_image_metadata(binary_df: DataFrame) -> DataFrame:
                 fmt = (
                     "raw"
                     if content.startswith(_RAW_MAGIC)
+                    else "png"
+                    if content.startswith(_PNG_MAGIC)
                     else "jpeg"
                     if content[:2] == b"\xff\xd8"
                     else "unknown"
