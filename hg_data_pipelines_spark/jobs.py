@@ -155,6 +155,25 @@ def _mesh_intersection_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     )
 
 
+def _events_fact_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Date-partitioned events fact: the S9 partition_by knob exercised by a
+    registered pipeline. Downstream reads prune on event_date (PartitionFilters
+    in the scan plan — asserted in tests/test_scale.py)."""
+    from pyspark.sql import functions as F
+
+    from .io import load_table
+
+    ev = load_table(spark, ctx.config["sf_dir"], "events")
+    return ev.withColumn("event_date", F.to_date("ts"))
+
+
+register_pipeline(
+    Pipeline(
+        "events_warehouse",
+        [Stage("events_fact", _events_fact_stage, partition_by=["event_date"])],
+    )
+)
+
 register_pipeline(
     Pipeline(
         "results_file",

@@ -21,3 +21,4 @@ from . import similarity  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import geometry_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import warehouse_q  # noqa: E402,F401

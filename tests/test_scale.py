@@ -136,3 +136,30 @@ class TestPartitionedWarehouse:
         assert "PartitionFilters" in plan
         assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
         assert scan.count() > 0
+
+    def test_registered_pipeline_writes_partitioned_fact(self, spark, tmp_path):
+        """The events_warehouse pipeline routes partition_by through the S9
+        sink, and the declared S9_partitioned_events_pruned query's scan
+        carries the slice in PartitionFilters."""
+        from hg_data_pipelines_spark.jobs import run_pipeline
+
+        wh = str(tmp_path / "wh_pipe")
+        ctx = run_pipeline(spark, "events_warehouse", wh, {"sf_dir": SF})
+        path = ctx.reports["events_fact"]["path"]
+        import os
+        parts = [d for d in os.listdir(path) if d.startswith("event_date=")]
+        assert len(parts) == 30  # one dir per fixture day
+
+        pruned = (
+            spark.read.parquet(path)
+            .filter(F.col("event_date").between("2024-01-10", "2024-01-12"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            pruned.explain()
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "event_date" in pf
+        # pruned scan reads 3 of the 30 day-partitions
+        assert pruned.select("event_date").distinct().count() == 3
