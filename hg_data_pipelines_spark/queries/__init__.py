@@ -14,6 +14,7 @@ from .common import ORACLES, QUERIES, query  # noqa: F401
 
 # Registration side effects — order defines presentation order.
 from . import relational  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
