@@ -368,3 +368,75 @@ def doc_fingerprint(spark, sf_dir):
         ).alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: composite quality score + filter gate — the training-data-pipeline
+# document filter (length, punctuation, stopword, repetition signals
+# combined into one score; rows below the gate are dropped).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks,
+               length(text) AS nc,
+               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(n_punct AS DOUBLE) / nc AS punct_ratio,
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+        FROM t
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, distinct_ratio,
+           0.25 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+           + 0.25 * (1.0 - punct_ratio)
+           + 0.25 * (CASE WHEN stopword_ratio > 0.02 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * distinct_ratio AS quality_score
+    FROM feat
+    WHERE 0.25 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+           + 0.25 * (1.0 - punct_ratio)
+           + 0.25 * (CASE WHEN stopword_ratio > 0.02 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * distinct_ratio >= 0.84
+    """,
+)
+def quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    feat = docs.select(
+        "doc_id",
+        _toks().alias("toks"),
+        F.length("text").cast("long").alias("nc"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias("n_punct"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        (F.col("n_punct").cast("double") / F.col("nc")).alias("punct_ratio"),
+        (
+            F.expr(
+                f"size(filter(toks, x -> array_contains(array({stop_arr}), x)))"
+            ).cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "distinct_ratio"
+        ),
+    )
+    score = (
+        0.25 * F.when(F.col("n_tokens") >= 20, 1.0).otherwise(F.col("n_tokens") / 20.0)
+        + 0.25 * (1.0 - F.col("punct_ratio"))
+        + 0.25 * F.when(F.col("stopword_ratio") > 0.02, 1.0).otherwise(0.0)
+        + 0.25 * F.col("distinct_ratio")
+    )
+    return feat.withColumn("quality_score", score).filter(
+        F.col("quality_score") >= 0.84
+    ).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "distinct_ratio", "quality_score",
+    )
