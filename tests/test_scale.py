@@ -163,3 +163,50 @@ class TestPartitionedWarehouse:
         assert "event_date" in pf
         # pruned scan reads 3 of the 30 day-partitions
         assert pruned.select("event_date").distinct().count() == 3
+
+
+class TestTpchPlanShapes:
+    """Physical-plan properties of the extended TPC-H queries: Catalyst must
+    decompose the disjunctive predicate into per-table pushdowns, broadcast
+    every dimension, and keep fact joins to one shuffle family."""
+
+    @staticmethod
+    def _plan(spark, name):
+        from hg_data_pipelines_spark.queries import QUERIES
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name](spark, SF).explain()
+        return buf.getvalue()
+
+    def test_q19_or_of_ands_pushes_to_both_scans(self, spark):
+        plan = self._plan(spark, "A7_q19_disjunctive_revenue")
+        li_scan = next(
+            s for s in plan.split("FileScan parquet ") if s.startswith("[l_")
+        )
+        part_scan = next(
+            s for s in plan.split("FileScan parquet ") if s.startswith("[p_")
+        )
+        # per-table residuals of the OR-of-ANDs reach each scan's DataFilters
+        assert "l_quantity" in li_scan.split("DataFilters")[1].split("]")[0]
+        assert "p_brand" in part_scan.split("DataFilters")[1].split("]")[0]
+        # column pruning: lineitem reads 4 of 11 columns
+        read = li_scan.split("]")[0]
+        assert read.count(",") == 3
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q7_broadcasts_all_dims_single_fact_shuffle(self, spark):
+        plan = self._plan(spark, "A7_q7_volume_shipping")
+        # customer/supplier/nation-pair sides all broadcast; the only
+        # sort-merge (if any) is the lineitem-orders fact join
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert plan.count("SortMergeJoin") <= 1
+
+    def test_q4_exists_is_semi_join(self, spark):
+        plan = self._plan(spark, "A7_q4_priority_exists")
+        assert "LeftSemi" in plan
+
+    def test_q22_anti_join_shape(self, spark):
+        plan = self._plan(spark, "A7_q22_idle_customers")
+        assert "LeftAnti" in plan
