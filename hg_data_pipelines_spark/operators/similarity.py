@@ -134,6 +134,61 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via RHP-LSH bucketing —
+    the scale path for the exact all-pairs twin.
+
+    Bucket-then-combine, the same shape as the MinHash LSH pairs operator:
+    the signature subtree runs once, only ids cross the bucket shuffle,
+    in-bucket pair expansion generates candidates, and the exact cosine
+    check on candidate pairs (vectors re-joined by id) makes precision
+    exact — only recall is probabilistic, tuned by n_planes/n_tables
+    against the threshold's angle.
+    """
+    vecs = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    tables = F.array(
+        *[_rhp_signature("_v", dim, n_planes, seed) for seed in range(n_tables)]
+    )
+    banded = vecs.select("_id", F.posexplode(tables).alias("table", "bucket"))
+    buckets = (
+        banded.groupBy("table", "bucket")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(_cosine("va", "vb"), round_dp).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

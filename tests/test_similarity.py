@@ -118,3 +118,36 @@ class TestImageSink:
         for k, v in arrs.items():
             with open(f"{out}/{k}", "rb") as f:
                 assert np.array_equal(decode_image(f.read()), v)
+
+
+class TestEmbeddingNearDup:
+    def test_lsh_pairs_subset_of_exact_with_recall_floor(self, spark):
+        from hg_data_pipelines_spark.operators.similarity import (
+            embedding_neardup_lsh,
+        )
+        from hg_data_pipelines_spark.queries.similarity import _NEARDUP_COS
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
+        from hg_data_pipelines_spark.operators.similarity import _cosine
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(_cosine("qv", "cv"), 6).alias("c"))
+            .filter(F.col("c") >= _NEARDUP_COS)
+            .collect()
+        }
+        assert exact, "fixture must yield near-dup pairs at the tuned threshold"
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_lsh(
+                emb, _NEARDUP_COS, n_planes=4, n_tables=16
+            ).collect()
+        }
+        # precision is exact (cosine-verified candidates)
+        assert got <= exact
+        # recall: P(bucket collision) ≈ 95%+ at the threshold angle
+        assert len(got) / len(exact) >= 0.7
