@@ -164,3 +164,42 @@ def sessionize_with_state(events: DataFrame, watermark: str = "1 hour") -> DataF
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_to_warehouse(
+    stream_df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Streaming → Parquet warehouse sink via foreachBatch, exactly-once.
+
+    Each micro-batch lands through the same ``write_warehouse_table`` S9
+    path batch jobs use, into a batch-keyed subdirectory
+    (``table/_batch_id=N/``) with overwrite mode — so a batch replayed
+    after failure (Spark re-invokes foreachBatch with the SAME batch_id
+    from the checkpoint) overwrites its own output instead of duplicating
+    rows. DuckDB/Spark read the table as ``table/*/*.parquet`` (or via
+    partition discovery of the _batch_id key) mid-stream. Returns the
+    started StreamingQuery (caller awaits/stops).
+    """
+    import os
+
+    from ..io import write_warehouse_table
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        write_warehouse_table(
+            batch_df,
+            warehouse_dir,
+            f"{table}/_batch_id={batch_id}",
+            partition_by=partition_by,
+            mode="overwrite",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table))
+        .trigger(availableNow=True)
+        .start()
+    )

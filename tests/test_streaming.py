@@ -169,3 +169,44 @@ class TestStatefulSessionization:
         }
         assert (1, "2026-01-01T10:00:00", 2, 3.0) in sessions
         assert (1, "2026-01-01T12:00:00", 1, 4.0) in sessions
+
+
+class TestStreamToWarehouse:
+    def test_foreachbatch_sink_lands_all_rows_readable_by_duckdb(
+        self, spark, tmp_path
+    ):
+        import duckdb
+
+        from hg_data_pipelines_spark.queries.streaming_q import (
+            _stage_event_batches,
+        )
+        from hg_data_pipelines_spark.streaming import stream_to_warehouse
+
+        sf = "/root/testdata/sf0.001"
+        stage = _stage_event_batches(spark, sf)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/batch_*")
+        )
+        wh = str(tmp_path / "wh")
+        q = stream_to_warehouse(
+            stream, wh, "events_stream", str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+
+        # one subdir per replayed micro-batch, exactly-once per batch id
+        import os
+        batch_dirs = sorted(os.listdir(f"{wh}/events_stream"))
+        assert len(batch_dirs) == 3
+        assert all(d.startswith("_batch_id=") for d in batch_dirs)
+
+        # the warehouse consumer reads the landed table mid-pipeline
+        n = duckdb.connect().execute(
+            f"SELECT count(*), count(DISTINCT event_id)"
+            f" FROM read_parquet('{wh}/events_stream/*/*.parquet')"
+        ).fetchone()
+        assert n == (1000, 1000)
