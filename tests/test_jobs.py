@@ -161,3 +161,51 @@ class TestCli:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "point_and_mesh_intersection" in proc.stdout
+
+
+class TestFileSinks:
+    """S7/S8: CSV and JSON-lines sinks round-trip through their own source
+    counterparts with schema and values intact."""
+
+    def test_csv_sink_roundtrip(self, spark, tmp_path):
+        from hg_data_pipelines_spark.io import write_csv
+
+        df = spark.createDataFrame(
+            [(1, "a,b", 1.5), (2, "plain", -0.25), (3, None, 0.0)],
+            "id long, label string, score double",
+        )
+        out = str(tmp_path / "csv_out")
+        write_csv(df, out, single_file=True)
+        back = spark.read.csv(
+            out, header=True, schema="id long, label string, score double"
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_csv_sink_tab_separator(self, spark, tmp_path):
+        from hg_data_pipelines_spark.io import write_csv
+
+        df = spark.createDataFrame([(1, "x y")], "id long, label string")
+        out = str(tmp_path / "tsv_out")
+        write_csv(df, out, single_file=True, sep="\t")
+        import glob
+
+        (part,) = glob.glob(f"{out}/part-*.csv")
+        with open(part) as fh:
+            lines = fh.read().splitlines()
+        assert lines[0] == "id\tlabel"
+        assert lines[1] == "1\tx y"
+
+    def test_json_sink_roundtrip_nested(self, spark, tmp_path):
+        from hg_data_pipelines_spark.io import write_json
+
+        df = spark.createDataFrame(
+            [(1, {"a": 2}, [1, 2, 3]), (2, {"a": 5}, [])],
+            "id long, obj struct<a:long>, arr array<long>",
+        )
+        out = str(tmp_path / "json_out")
+        write_json(df, out, single_file=True)
+        back = spark.read.json(
+            out, schema="id long, obj struct<a:long>, arr array<long>"
+        )
+        got = {r["id"]: (r["obj"]["a"], list(r["arr"])) for r in back.collect()}
+        assert got == {1: (2, [1, 2, 3]), 2: (5, [])}
