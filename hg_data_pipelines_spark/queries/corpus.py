@@ -1,0 +1,289 @@
+"""Corpus-level analytics over ``documents`` — the training-data curation
+operators a 100 TB text pipeline runs between dedup and tokenization:
+TF-IDF term weighting, n-gram statistics, Zipf vocabulary profiling,
+PII redaction, and benchmark-contamination probing.
+
+Scale notes (local[32] tests, 1000-executor design):
+- Term/bigram explosion is row-local (no shuffle) followed by ONE hash
+  aggregation on the term key — partial aggregation below the exchange
+  keeps the shuffle proportional to vocabulary size, not corpus size.
+- Per-group top-k uses a window over the grouping key, never a global
+  sort of the exploded terms.
+- PII redaction is a pure projection (regexp_replace chain) — zero
+  shuffle, fully pushed into whole-stage codegen.
+- The contamination probe broadcasts the (tiny) probe set against the
+  corpus scan — a substring containment join with no shuffle on the big
+  side; at real scale the probe set is the benchmark suite (<1e5 rows),
+  still broadcastable.
+
+Determinism: every ranking carries a unique (term/bigram) tiebreak;
+ln() agrees across engines to <1 ulp, far inside the 9dp comparison; no
+floating aggregation order-dependence (counts are integers, idf is
+computed from exact integer counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import load, query
+
+# Same tokenizer contract as queries/text.py: whitespace split of trimmed
+# text; Java regex (Spark) and RE2 (DuckDB) agree on \s+.
+def _toks() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# X4: TF-IDF top terms per source — the classic corpus term-weighting op.
+# tf = term occurrences within a source's documents; df = number of
+# sources containing the term; idf = ln(N_sources / df). Top-5 terms per
+# source by (tfidf desc, term asc).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_tfidf_top_terms",
+    f"""
+    WITH terms AS (
+        SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT source) AS df FROM terms GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df.df AS BIGINT) AS df,
+               tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df) DESC,
+                            tf.term
+               ) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("source", F.explode(_toks()).alias("term"))
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("source").alias("df"))
+    n = docs.agg(F.count_distinct("source").alias("n_sources"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: corpus-wide bigram counts — adjacent-token pair statistics (the
+# n-gram LM / repetition-analysis primitive). Bigrams are built row-local
+# with an indexed transform (no self-join), then one aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_bigram_top20",
+    f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+    bigrams AS (
+        SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                       for i in range(1, len(toks))]) AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def bigram_top20(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(_toks().alias("toks"))
+    bigrams = t.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> concat(t, ' ', toks[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: Zipf vocabulary profile — term frequency ranks over the whole
+# corpus, with the rank×frequency product Zipf's law predicts to be
+# roughly constant. Vocabulary-sized output (top 50).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_zipf_profile",
+    f"""
+    WITH terms AS (
+        SELECT unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank,
+           term, CAST(freq AS BIGINT) AS freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) * freq AS BIGINT)
+               AS rank_freq
+    FROM counts
+    ORDER BY rank
+    LIMIT 50
+    """,
+)
+def zipf_profile(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # global rank over vocabulary-sized data (thousands of rows even at
+    # 100 TB corpus scale) — the single-partition window is on the SMALL
+    # aggregated set, not the corpus.
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            (F.col("rank") * F.col("freq")).cast("long").alias("rank_freq"),
+        )
+        .orderBy("rank")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: PII redaction — regexp_replace chain for emails and phone-shaped
+# numbers. The fixture corpus is synthetic word-salad with no PII, so the
+# query derives a PII-bearing column first (append a synthetic contact
+# line per doc); the redaction regexes then run on both engines over
+# identical inputs, checking cross-engine regex parity non-vacuously.
+# Patterns are RE2-safe (DuckDB) and Java-regex-identical (Spark): no
+# lookaround, no backreferences.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@query(
+    "X4_pii_redaction",
+    f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(length(regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM pii
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).cast("int").alias("n_phones"),
+        redacted.alias("redacted"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: benchmark-contamination probe — which documents contain any of a
+# fixed set of probe phrases (the "is my eval set in the training data"
+# check). The probe side is broadcast; the corpus side is a pure scan
+# with a substring containment predicate — no shuffle on the big side.
+# --------------------------------------------------------------------------
+
+_PROBES = (
+    "hash value table",
+    "window table table",
+    "query big query",
+    "scan group big",
+    "this phrase does not occur",
+)
+
+
+@query(
+    "X4_contamination_probe",
+    """
+    SELECT probe, COUNT(doc_id) AS n_docs,
+           COALESCE(MIN(doc_id), -1) AS first_doc
+    FROM (VALUES {values}) probes(probe)
+    LEFT JOIN documents ON contains(text, probe)
+    GROUP BY probe
+    """.format(values=", ".join(f"('{p}')" for p in _PROBES)),
+)
+def contamination_probe(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.sparkSession.createDataFrame(
+        [(p,) for p in _PROBES], ["probe"]
+    )
+    joined = docs.join(
+        F.broadcast(probes), F.col("text").contains(F.col("probe")), "right_outer"
+    )
+    return joined.groupBy("probe").agg(
+        F.count("doc_id").alias("n_docs"),
+        F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc"),
+    )
