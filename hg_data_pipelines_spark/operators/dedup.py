@@ -134,6 +134,65 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list → (node, component).
+
+    The dedup-grouping step after pairwise near-dup detection: every
+    document in a component is a duplicate cluster, keyed by the
+    component's minimum node id (deterministic).
+
+    Distributed min-label propagation: each iteration every node takes the
+    minimum label among itself and its neighbors — one shuffle per
+    iteration, converging in O(diameter) rounds. Near-dup clusters have
+    tiny diameters (docs similar to a common template are mutually
+    paired), so 3-5 rounds typically suffice; ``max_iter`` bounds
+    pathological chains. Lineage is truncated per round (localCheckpoint)
+    so the plan does not grow exponentially; the convergence probe is a
+    LIMIT 1 existence check, not a full count.
+
+    At much larger diameters, the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") drops
+    rounds to O(log n); the per-round join shape below is its building
+    block.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.localCheckpoint(eager=False)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = (
+            labels.union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -108,6 +109,54 @@ _SQL_SHINGLES = """
 def ngram_jaccard_query(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# X2: duplicate-cluster grouping — connected components over the exact
+# near-dup pair graph. Spark runs distributed min-label propagation
+# (operators/dedup.py); the oracle computes the same components with a
+# recursive transitive-closure CTE (fixture-scale only — the closure is
+# O(component²), fine for small clusters, while the Spark path is the
+# 100 TB shape). Component id = min doc_id in the component.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X2_dedup_components",
+    _SQL_SHINGLES.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + f"""
+    , cpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), good AS (
+        SELECT id_a, id_b FROM cpairs
+        WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION
+        SELECT id_b, id_a FROM good
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT component, COUNT(*) AS n_members,
+           MAX(node) AS max_member
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_components_query(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
 
 
 # --------------------------------------------------------------------------

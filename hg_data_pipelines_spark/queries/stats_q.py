@@ -1,0 +1,129 @@
+"""Distribution statistics — exact percentiles, histograms, and embedding
+centroids (SURVEY.md §2.5 aggregation-surface widening + X3 support).
+
+Scale notes: exact percentiles require a per-group sort, which Spark
+implements as a single-pass sort-based aggregation per group after one
+shuffle on the group key — the right shape when groups are few and large
+(here: 3 return flags over the whole fact table). For quantiles over
+high-cardinality groups at 100 TB, `approx_percentile` (t-digest, no
+sort) is the scale path; the exact form is the oracle-checkable twin.
+Histogram bucketing is a pure projection + one aggregation on a
+small bucket key. Centroids are one shuffle on (label, dim) after a
+row-local posexplode — dimension count is a constant factor, not a
+shuffle multiplier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load, query
+
+# --------------------------------------------------------------------------
+# A10: exact percentiles per group. Spark's `percentile` and DuckDB's
+# `percentile_cont` both use linear interpolation between closest ranks,
+# so the values agree; the 9dp hash comparison absorbs last-ulp
+# interpolation-arithmetic differences.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A10_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11: fixed-width histogram of order totals — integer bucket arithmetic
+# (floor division) is bit-identical on both engines; no float boundaries.
+# --------------------------------------------------------------------------
+
+_BUCKET = 50000
+
+
+@query(
+    "A11_value_histogram",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / {_BUCKET}) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS bucket_min,
+           MAX(o_totalprice) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / _BUCKET).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("bucket_min"),
+        F.max("o_totalprice").alias("bucket_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: per-label embedding centroids — the cluster-statistics primitive
+# behind IVF training and embedding-space drift monitoring. posexplode is
+# row-local; the only shuffle is the (label, dim) aggregation; the final
+# re-assembly sorts each label's 64 dims inside one array_agg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X3_label_centroids",
+    """
+    WITH dims AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, dim, AVG(v) AS mean_v FROM dims GROUP BY 1, 2
+    )
+    SELECT label,
+           COUNT(*) AS n_dims,
+           list(mean_v ORDER BY dim) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+)
+def label_centroids(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(F.avg("v").alias("mean_v"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("_sorted"),
+        )
+        .select(
+            "label",
+            "n_dims",
+            F.expr("transform(_sorted, x -> x.mean_v)").alias("centroid"),
+        )
+    )
