@@ -162,6 +162,65 @@ def streaming_watermarked_window(spark, sf_dir):
     return _run_available_now(spark, agg, "append")
 
 
+@query(
+    "X10_streaming_stream_join",
+    """
+    SELECT l.event_id AS l_event_id, l.user_id AS l_key,
+           l.ts AS l_ts, l.value AS l_value,
+           r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_join(spark, sf_dir):
+    """X10: watermarked stream-stream join (clicks ⋈ purchases within 30
+    minutes per user) over deterministically replayed micro-batches.
+
+    This genuinely runs Structured Streaming's stream-stream join, and the
+    result is oracle-checkable: batches are globally time-ordered, so by
+    the time a left row is evicted (watermark > l_ts + within + lateness)
+    any still-unseen right row is necessarily too late to match — the
+    streaming inner join therefore emits exactly the batch join. The
+    time-range bound keeps join state at rate × horizon (the 100 TB/day
+    requirement).
+    """
+    from ..streaming import stream_stream_join
+
+    utc(spark)
+    stage = _stage_event_batches(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+
+    def _side(event_type):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/batch_*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == event_type)
+        )
+
+    joined = stream_stream_join(
+        _side("click"), _side("purchase"), watermark="10 minutes", within="30 minutes"
+    )
+    out = _run_available_now(spark, joined, "append")
+    # memory-sink timestamps come back as session-local timestamp; project
+    # to timestamp_ntz to match the parquet-scan oracle's type.
+    return out.select(
+        "l_event_id",
+        "l_key",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        "l_value",
+        "r_event_id",
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+        "r_value",
+    )
+
+
 @query("X9_streaming_dedup_within_watermark")
 def streaming_dedup(spark, sf_dir):
     """X9: dropDuplicatesWithinWatermark over replayed micro-batches; the

@@ -166,6 +166,47 @@ def sessionize_with_state(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right-side events to the
+    left-side event they follow within ``within`` on the same ``key``.
+
+    The conversion-attribution shape (click stream ⋈ purchase stream).
+    Both sides are watermarked and the join condition carries a time-range
+    bound — together they let Spark evict buffered rows once the watermark
+    passes ``left.ts + within``, so state is bounded by (rate × horizon),
+    not by stream length. Without the range condition the state store
+    would grow forever; this is the required shape for stream-stream joins
+    at 100 TB/day. Outer variants emit unmatched rows only after the
+    watermark proves no match can arrive.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        how,
+    )
+
+
 def stream_to_warehouse(
     stream_df: DataFrame,
     warehouse_dir: str,

@@ -13,6 +13,7 @@ import pytest
 from hg_data_pipelines_spark.streaming import (
     sessionize_with_state,
     stream_dedup_within_watermark,
+    stream_stream_join,
     watermarked_tumbling_agg,
 )
 
@@ -169,6 +170,36 @@ class TestStatefulSessionization:
         }
         assert (1, "2026-01-01T10:00:00", 2, 3.0) in sessions
         assert (1, "2026-01-01T12:00:00", 1, 4.0) in sessions
+
+
+class TestStreamStreamJoin:
+    def test_time_bounded_match_and_no_late_match(self, spark, tmp_path, utc):
+        # clicks (left) and purchases (right) on one source stream, split
+        # by event_type. Purchase 11 follows click 1 by 10 min (match);
+        # purchase 12 follows click 2 by 2 hours (outside the 30-min
+        # horizon — no match); purchase 13 has no prior click for its user.
+        b0 = [
+            (1, TS("2026-01-01 10:00:00"), 1, "click", 1.0),
+            (2, TS("2026-01-01 10:00:00"), 2, "click", 2.0),
+        ]
+        b1 = [
+            (11, TS("2026-01-01 10:10:00"), 1, "purchase", 50.0),
+            (12, TS("2026-01-01 12:00:00"), 2, "purchase", 60.0),
+            (13, TS("2026-01-01 10:05:00"), 3, "purchase", 70.0),
+        ]
+        paths = _write_batches(spark, tmp_path, [b0, b1])
+
+        def transform(s):
+            return stream_stream_join(
+                s.filter(s.event_type == "click"),
+                s.filter(s.event_type == "purchase"),
+                watermark="10 minutes",
+                within="30 minutes",
+            )
+
+        rows = _run_stream(spark, paths, transform, "append")
+        matches = {(r["l_event_id"], r["r_event_id"]) for r in rows}
+        assert matches == {(1, 11)}
 
 
 class TestStreamToWarehouse:
