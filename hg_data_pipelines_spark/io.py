@@ -151,6 +151,70 @@ def write_warehouse_table(
     return path
 
 
+def merge_warehouse_table(
+    spark: SparkSession,
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    keys: list[str],
+    order: list[str],
+    partition_by: list[str] | None = None,
+) -> str:
+    """S9 extension: MERGE (upsert) into a Parquet warehouse table.
+
+    Incoming rows win on key collision (latest under ``order`` wins among
+    incoming duplicates too); untouched existing rows are preserved. On a
+    plain Parquet warehouse merge must rewrite files, so the design keeps
+    the rewrite proportional to the DELTA, not the table:
+
+    - with ``partition_by``, only partitions present in the incoming batch
+      are read, merged, and rewritten (dynamic partition overwrite); a
+      100 TB table with a one-day delta rewrites one day.
+    - the merged delta is pinned with an eager localCheckpoint before the
+      write, severing the scan lineage so Spark can overwrite the very
+      files it read (checkpoint size = delta partitions only).
+
+    Transactional formats (Delta/Iceberg MERGE INTO) are the production
+    path for concurrent writers; this is the format-free equivalent with
+    the same cost model.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    path = os.path.join(warehouse_dir, table)
+    if not os.path.isdir(path):
+        return write_warehouse_table(df, warehouse_dir, table, partition_by)
+
+    existing = spark.read.parquet(path)
+    incoming = df.withColumn("_src", F.lit(1))
+    if partition_by:
+        touched = df.select(*partition_by).distinct()
+        base = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    else:
+        base = existing
+    unioned = base.withColumn("_src", F.lit(0)).unionByName(incoming)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("_src"), *[F.desc(c) for c in order]
+    )
+    merged = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+        .localCheckpoint(eager=True)
+    )
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.parquet(path)
+    return path
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False, sep: str = ",") -> None:
     """S7: CSV sink (reference: ``to_csv`` street_level_grouping.py:131,194,228).
 

@@ -1,0 +1,76 @@
+"""MERGE/upsert warehouse sink (io.merge_warehouse_table)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+from hg_data_pipelines_spark.io import merge_warehouse_table, write_warehouse_table
+
+
+def _rows(path):
+    return {
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(f"SELECT id, v, day FROM read_parquet('{path}/*/*.parquet')")
+        .fetchall()
+    }
+
+
+class TestMergeWarehouseTable:
+    def test_upsert_updates_and_inserts_only_touched_partition(
+        self, spark, tmp_path
+    ):
+        wh = str(tmp_path / "wh")
+        seed = spark.createDataFrame(
+            [(1, 10.0, "d1"), (2, 20.0, "d1"), (3, 30.0, "d2")],
+            "id long, v double, day string",
+        )
+        path = write_warehouse_table(seed, wh, "t", partition_by=["day"])
+
+        untouched = os.path.join(path, "day=d2")
+        before = {
+            f: os.path.getmtime(os.path.join(untouched, f))
+            for f in os.listdir(untouched)
+        }
+
+        delta = spark.createDataFrame(
+            [(2, 99.0, "d1"), (4, 40.0, "d1")], "id long, v double, day string"
+        )
+        merge_warehouse_table(
+            spark, delta, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
+        )
+
+        assert _rows(path) == {
+            (1, 10.0, "d1"),
+            (2, 99.0, "d1"),  # updated
+            (3, 30.0, "d2"),  # untouched partition preserved
+            (4, 40.0, "d1"),  # inserted
+        }
+        # dynamic overwrite really left d2's files alone
+        after = {
+            f: os.path.getmtime(os.path.join(untouched, f))
+            for f in os.listdir(untouched)
+        }
+        assert after == before
+
+    def test_incoming_duplicates_latest_wins(self, spark, tmp_path):
+        wh = str(tmp_path / "wh2")
+        seed = spark.createDataFrame([(1, 1.0, "d1")], "id long, v double, day string")
+        write_warehouse_table(seed, wh, "t", partition_by=["day"])
+        delta = spark.createDataFrame(
+            [(1, 5.0, "d1"), (1, 7.0, "d1")], "id long, v double, day string"
+        )
+        path = merge_warehouse_table(
+            spark, delta, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
+        )
+        assert _rows(path) == {(1, 7.0, "d1")}
+
+    def test_first_merge_creates_table(self, spark, tmp_path):
+        wh = str(tmp_path / "wh3")
+        delta = spark.createDataFrame([(1, 1.0, "d1")], "id long, v double, day string")
+        path = merge_warehouse_table(
+            spark, delta, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
+        )
+        assert _rows(path) == {(1, 1.0, "d1")}

@@ -210,3 +210,51 @@ class TestTpchPlanShapes:
     def test_q22_anti_join_shape(self, spark):
         plan = self._plan(spark, "A7_q22_idle_customers")
         assert "LeftAnti" in plan
+
+    def test_q2_correlated_min_is_window_not_self_join(self, spark):
+        # the per-part regional MIN must come from one window over the
+        # aggregated view — not a second scan/aggregation joined back
+        plan = self._plan(spark, "A7_q2_min_cost_supplier")
+        assert "Window" in plan
+        # one lineitem scan only (the ps aggregate is built once)
+        assert sum(1 for s in plan.split("FileScan parquet ") if s.startswith("[l_")) == 1
+
+    def test_q21_exists_and_not_exists_shapes(self, spark):
+        plan = self._plan(spark, "A7_q21_waiting_suppliers")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+
+    def test_q16_not_in_is_anti_join_with_broadcast(self, spark):
+        plan = self._plan(spark, "A7_q16_supplier_diversity")
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan
+
+
+class TestCorpusPlanShapes:
+    """The corpus-analytics queries must keep their promised shapes: PII
+    redaction shuffles nothing, the contamination probe broadcasts the
+    probe side, TF-IDF never cross-joins the exploded terms."""
+
+    @staticmethod
+    def _plan(spark, name):
+        from hg_data_pipelines_spark.queries import QUERIES
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name](spark, SF).explain()
+        return buf.getvalue()
+
+    def test_pii_redaction_is_pure_projection(self, spark):
+        plan = self._plan(spark, "X4_pii_redaction")
+        assert "Exchange" not in plan
+
+    def test_contamination_probe_broadcasts_probe_side(self, spark):
+        plan = self._plan(spark, "X4_contamination_probe")
+        # containment predicate → broadcast nested-loop, corpus side streams
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_tfidf_no_cartesian_on_terms(self, spark):
+        plan = self._plan(spark, "X4_tfidf_top_terms")
+        # the only nested-loop is the broadcast of the 1-row n_sources agg
+        assert plan.count("CartesianProduct") == 0
