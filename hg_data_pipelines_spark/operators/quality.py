@@ -1,0 +1,114 @@
+"""Data-quality operators: one-pass column profiling and constraint checks.
+
+The ETL-gate layer a production pipeline runs between landing and
+publishing a table (the deequ/great-expectations role, DataFrame-native).
+
+Scale design: ``profile`` computes every column's statistics in ONE
+aggregation pass over the table — a single scan, partial-aggregated
+below one exchange, output one row. ``check_constraints`` evaluates all
+rules in the same single pass and returns per-rule violation counts;
+callers decide whether to fail the pipeline. Neither collects data rows
+to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile in one aggregation pass.
+
+    Returns one row per column: count, null count, distinct count
+    (HLL-approximate by default — the 100 TB path; ``exact_distinct=True``
+    for the oracle-comparable exact form), and (numeric columns)
+    min/max/mean. The wide single-row aggregate is unpivoted to rows
+    driver-free, so the output is a small (n_columns)-row DataFrame
+    regardless of table size.
+    """
+    cols = columns or [f.name for f in df.schema.fields]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_total")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(distinct(c).alias(f"ad_{c}"))
+        if isinstance(by_name[c], _NUMERIC):
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+            aggs.append(F.avg(c).cast("double").alias(f"av_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        is_num = isinstance(by_name[c], _NUMERIC)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_total").alias("n_rows"),
+                (F.col("_total") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"ad_{c}").alias("n_distinct"),
+                (F.col(f"mn_{c}") if is_num else F.lit(None).cast("double")).alias("min_value"),
+                (F.col(f"mx_{c}") if is_num else F.lit(None).cast("double")).alias("max_value"),
+                (F.col(f"av_{c}") if is_num else F.lit(None).cast("double")).alias("mean_value"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """A named row-level predicate that must hold for every row."""
+
+    name: str
+    predicate: Column
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate all constraints in one pass → (constraint, n_rows,
+    n_violations, passed). A violation is a row where the predicate is
+    false OR null (SQL three-valued logic must not let nulls slip through
+    a gate).
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for con in constraints:
+        aggs.append(
+            F.sum(
+                F.when(con.predicate.isNull() | ~con.predicate, 1).otherwise(0)
+            ).alias(f"v_{con.name}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c.name).alias("constraint"),
+            F.col("_total").alias("n_rows"),
+            F.col(f"v_{c.name}").alias("n_violations"),
+            (F.col(f"v_{c.name}") == 0).alias("passed"),
+        )
+        for c in constraints
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+def require(df: DataFrame, constraints: list[Constraint]) -> None:
+    """Gate form: raise ValueError listing every failed constraint."""
+    failed = [
+        (r["constraint"], r["n_violations"])
+        for r in check_constraints(df, constraints).collect()
+        if not r["passed"]
+    ]
+    if failed:
+        detail = ", ".join(f"{n} ({v} rows)" for n, v in failed)
+        raise ValueError(f"constraint violations: {detail}")

@@ -19,6 +19,7 @@ from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import stats_q  # noqa: E402,F401
+from . import quality_q  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401

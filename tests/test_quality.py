@@ -1,0 +1,70 @@
+"""Data-quality operators (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hg_data_pipelines_spark.operators.quality import (
+    Constraint,
+    check_constraints,
+    profile,
+    require,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, None), (3, 30.0, "c")],
+        "id long, v double, s string",
+    )
+
+
+class TestProfile:
+    def test_counts_nulls_distincts_numeric_stats(self, df):
+        rows = {r["column"]: r for r in profile(df, exact_distinct=True).collect()}
+        assert rows["id"]["n_rows"] == 4
+        assert rows["id"]["n_null"] == 0
+        assert rows["id"]["n_distinct"] == 3
+        assert rows["v"]["n_null"] == 1
+        assert rows["v"]["min_value"] == 10.0
+        assert rows["v"]["max_value"] == 30.0
+        assert rows["s"]["n_null"] == 1
+        # non-numeric columns carry null numeric stats
+        assert rows["s"]["min_value"] is None
+
+    def test_single_aggregation_pass(self, df):
+        import io as _io
+        from contextlib import redirect_stdout
+
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            profile(df, exact_distinct=False).explain()
+        # approximate form keeps the profile to ONE aggregate over one scan
+        # (exact multi-column count_distinct legitimately expands)
+        assert buf.getvalue().count("Exchange") <= 1
+
+
+class TestConstraints:
+    def test_violations_count_null_as_violation(self, df):
+        out = {
+            r["constraint"]: (r["n_violations"], r["passed"])
+            for r in check_constraints(
+                df,
+                [
+                    Constraint("v_positive", F.col("v") > 0),
+                    Constraint("id_le_3", F.col("id") <= 3),
+                ],
+            ).collect()
+        }
+        # the NULL v row must count as a violation (three-valued logic)
+        assert out["v_positive"] == (1, False)
+        assert out["id_le_3"] == (0, True)
+
+    def test_require_raises_with_detail(self, df):
+        with pytest.raises(ValueError, match="v_positive"):
+            require(df, [Constraint("v_positive", F.col("v") > 0)])
+
+    def test_require_passes_silently(self, df):
+        require(df, [Constraint("id_positive", F.col("id") > 0)])
