@@ -8,18 +8,20 @@ source yields (path, length, content); decode/resize/frame-sample run inside
 ``mapInPandas`` so each executor touches only its partition's bytes; outputs
 are either new binary columns or extracted feature columns.
 
-No cv2/PIL ships in this container, so the codec seam has three tiers:
-- ``decode_png``/``encode_png``: a REAL image format, implemented on stdlib
-  zlib — 8-bit gray/RGB/RGBA (+alpha-gray), all five PNG filter types on
-  decode. Real PNGs flow end-to-end through photo_fanout/visualize.
-- ``decode_image``/``encode_image``: the codec dispatch. PNG is decoded for
-  real; the deterministic RAW format (magic + dims header + uint8 pixels)
-  remains the internal interchange encoding.
-- ``jpeg_dimensions`` parses real JPEG SOF markers byte-wise (the *correct*
+No cv2/PIL ships in this container; all codecs are implemented here:
+- ``decode_png``/``encode_png``: stdlib-zlib PNG — 8-bit gray/RGB/RGBA
+  (+alpha-gray), all five scanline filters on decode.
+- ``decode_jpeg``/``functions/jpeg.py``: pure-Python baseline JPEG
+  (SOF0/SOF1): Huffman entropy decode, dequantize, IDCT, chroma
+  upsampling up to 2×2, restart markers; plus a 4:4:4 encoder with the
+  spec's Annex K tables. Real JPEGs flow end-to-end; progressive (SOF2)
+  raises.
+- ``decode_image``/``encode_image``: the codec dispatch. The
+  deterministic RAW format (magic + dims header + uint8 pixels) remains
+  the internal interchange encoding.
+- ``jpeg_dimensions`` parses JPEG SOF markers byte-wise (the *correct*
   replacement for the reference's fixed-offset-163 sniff,
-  street_level_grouping.py:302-310, which SURVEY.md §7.2 flags as a bug);
-  ``decode_jpeg`` still raises — entropy-coded JPEG decode stays a
-  documented deployment seam (cv2/PIL).
+  street_level_grouping.py:302-310, which SURVEY.md §7.2 flags as a bug).
 """
 
 from __future__ import annotations
@@ -63,14 +65,15 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Image bytes → ndarray (H, W, C) uint8. Dispatches RAW and PNG."""
+    """Image bytes → ndarray (H, W, C) uint8. Dispatches RAW, PNG, JPEG."""
     if data.startswith(_RAW_MAGIC):
         h, w, c = struct.unpack("<III", data[8:20])
         return np.frombuffer(data, dtype=np.uint8, offset=20).reshape(h, w, c)
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
-    raise ValueError("unsupported image bytes (RAW and PNG decode here; "
-                     "JPEG needs cv2/PIL in deployment)")
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(bytes(data))
+    raise ValueError("unsupported image bytes (RAW, PNG, baseline JPEG)")
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -200,11 +203,15 @@ def png_dimensions(data: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG decode seam — requires cv2/PIL, absent in this container."""
-    raise NotImplementedError(
-        "JPEG pixel decode requires cv2 or PIL; the engine's Spark plumbing "
-        "is codec-agnostic — swap this function in deployment"
-    )
+    """Baseline JPEG decode — pure Python/numpy (functions/jpeg.py).
+
+    Replaces the former cv2/PIL deployment seam: Huffman entropy decode,
+    dequantize, IDCT, chroma upsample, BT.601 YCbCr→RGB. Progressive and
+    arithmetic-coded JPEGs still raise NotImplementedError.
+    """
+    from .functions.jpeg import decode_jpeg as _dec
+
+    return _dec(bytes(data))
 
 
 def jpeg_dimensions(data: bytes) -> tuple[int, int] | None:

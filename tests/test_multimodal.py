@@ -42,8 +42,16 @@ class TestCodec:
         with pytest.raises(ValueError):
             M.decode_image(b"\xff\xd8 not raw")
 
-    def test_jpeg_decode_is_a_marked_stub(self):
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_decode_is_real(self):
+        from hg_data_pipelines_spark.functions.jpeg import encode_jpeg
+
+        img = np.full((8, 8, 3), 99, np.uint8)
+        out = M.decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (8, 8, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    def test_jpeg_decode_rejects_garbage(self):
+        with pytest.raises(ValueError):
             M.decode_jpeg(b"\xff\xd8")
 
 
