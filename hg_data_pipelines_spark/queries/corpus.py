@@ -265,6 +265,91 @@ _PROBES = (
 )
 
 
+# --------------------------------------------------------------------------
+# X4: deterministic dataset split — hash-bucket assignment (train/val/test)
+# that is reproducible on any engine and any cluster layout: bucket =
+# first 8 hex chars of md5(doc_id) mod 100. The held-out-split primitive;
+# no RNG, no sampling nondeterminism, rerun-stable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_deterministic_split",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM b GROUP BY 1, 2
+    """,
+)
+def deterministic_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: sequence chunking — split each document's token stream into
+# fixed-size training chunks with overlap (stride < chunk keeps context
+# across boundaries). Row-local explode; chunk count ∝ tokens/stride.
+# --------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "X4_sequence_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+               WHERE doc_id < 40),
+    starts AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks), {_STRIDE})) AS s
+        FROM t
+    )
+    SELECT doc_id, CAST((s - 1) / {_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(toks, s, s + {_CHUNK} - 1), ' ') AS chunk,
+           CAST(len(list_slice(toks, s, s + {_CHUNK} - 1)) AS INTEGER) AS n_tokens
+    FROM starts
+    """,
+)
+def sequence_chunks(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") < 40).select("doc_id", _toks().alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice("toks", F.col("s"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+    )
+
+
 @query(
     "X4_contamination_probe",
     """
