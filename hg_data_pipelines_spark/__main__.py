@@ -4,6 +4,7 @@
         [--config k=v ...]
     python -m hg_data_pipelines_spark list
     python -m hg_data_pipelines_spark query <name> --sf-dir DIR [--limit N]
+    python -m hg_data_pipelines_spark explain <name> [--mode formatted]
 
 The scheduler (cron/airflow) calls ``run``; ``query`` executes one declared
 query and prints rows — the operational front door to the engine.
@@ -48,6 +49,17 @@ def main(argv: list[str] | None = None) -> int:
     q_p.add_argument("name")
     q_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q_p.add_argument("--limit", type=int, default=20)
+
+    e_p = sub.add_parser(
+        "explain", help="print a declared query's physical plan"
+    )
+    e_p.add_argument("name")
+    e_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e_p.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
 
     args = ap.parse_args(argv)
 
@@ -94,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             df = QUERIES[args.name](spark, args.sf_dir)
             df.show(args.limit, truncate=False)
+            return 0
+
+        if args.cmd == "explain":
+            from .queries import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query: {args.name}", file=sys.stderr)
+                return 2
+            QUERIES[args.name](spark, args.sf_dir).explain(args.mode)
             return 0
     finally:
         spark.stop()

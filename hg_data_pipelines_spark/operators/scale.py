@@ -72,3 +72,28 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_files: int = 8,
+) -> str:
+    """Range-partition + sort the data on ``col`` before a Parquet write,
+    so each output file covers a disjoint value range.
+
+    This is the data-skipping layout lever: Parquet stores per-row-group
+    min/max statistics, and a range-clustered layout makes a selective
+    filter on ``col`` prune whole files/row-groups at scan time instead of
+    reading everything (the single-column equivalent of Z-ordering).
+    ``repartitionByRange`` samples split points; ``sortWithinPartitions``
+    orders rows inside each file so row-group stats are tight.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

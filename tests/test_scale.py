@@ -230,6 +230,42 @@ class TestTpchPlanShapes:
         assert "BroadcastHashJoin" in plan
 
 
+class TestRangeClusteredWrite:
+    def test_files_cover_disjoint_ranges_and_skip(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        from hg_data_pipelines_spark.operators.scale import write_range_clustered
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        path = write_range_clustered(
+            orders, str(tmp_path / "rc"), "o_totalprice", n_files=4
+        )
+
+        import os
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        assert len(files) >= 3  # range partitioner may merge tiny tails
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            stats = md.row_group(0).column(
+                names.index("o_totalprice")
+            ).statistics
+            ranges.append((stats.min, stats.max))
+        ranges.sort()
+        # disjoint: each file's min is ≥ the previous file's max
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+
+        # a selective range predicate can skip all but one file via stats
+        lo, hi = ranges[0]
+        n_covering = sum(1 for (l, h) in ranges if l <= lo <= h)
+        assert n_covering == 1
+        # and the data still round-trips completely
+        assert spark.read.parquet(path).count() == orders.count()
+
+
 class TestCorpusPlanShapes:
     """The corpus-analytics queries must keep their promised shapes: PII
     redaction shuffles nothing, the contamination probe broadcasts the
