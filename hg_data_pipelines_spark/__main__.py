@@ -39,8 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--config", nargs="*", default=[], metavar="K=V")
     run_p.add_argument(
         "--mesh-obj",
-        help="OBJ mesh file for the mesh-intersection stage "
-        "(becomes config['mesh_triangles'])",
+        help="OBJ or STL mesh file for the mesh-intersection stage "
+        "(becomes config['mesh_triangles']; format by extension)",
     )
 
     sub.add_parser("list", help="list pipelines and declared queries")
@@ -89,10 +89,17 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in (kv.split("=", 1) for kv in args.config)
             }
             if args.mesh_obj:
-                from .pipelines.wall_extraction import parse_obj_triangles
+                from .pipelines.wall_extraction import (
+                    parse_obj_triangles,
+                    parse_stl_triangles,
+                )
 
-                with open(args.mesh_obj) as fh:
-                    config["mesh_triangles"] = parse_obj_triangles(fh.read())
+                if args.mesh_obj.lower().endswith(".stl"):
+                    with open(args.mesh_obj, "rb") as fb:
+                        config["mesh_triangles"] = parse_stl_triangles(fb.read())
+                else:
+                    with open(args.mesh_obj) as fh:
+                        config["mesh_triangles"] = parse_obj_triangles(fh.read())
             ctx = run_pipeline(spark, args.pipeline, args.warehouse, config)
             for stage, rep in ctx.reports.items():
                 print(f"{stage}: {rep['rows']} rows -> {rep['path']}")

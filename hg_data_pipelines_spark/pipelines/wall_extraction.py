@@ -60,7 +60,7 @@ def parse_obj_faces(obj_text: str) -> pd.DataFrame:
         if parts[0] == "v":
             verts.append([float(x) for x in parts[1:4]])
         elif parts[0] == "f":
-            idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+            idx = [_obj_index(p, len(verts)) for p in parts[1:]]
             for k in range(1, len(idx) - 1):
                 tri = np.array([verts[idx[0]], verts[idx[k]], verts[idx[k + 1]]])
                 n = np.cross(tri[1] - tri[0], tri[2] - tri[0])
@@ -94,10 +94,48 @@ def parse_obj_triangles(obj_text: str) -> np.ndarray:
         if parts[0] == "v":
             verts.append([float(x) for x in parts[1:4]])
         elif parts[0] == "f":
-            idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+            idx = [_obj_index(p, len(verts)) for p in parts[1:]]
             for k in range(1, len(idx) - 1):
                 tris.append([verts[idx[0]], verts[idx[k]], verts[idx[k + 1]]])
     return np.asarray(tris, dtype=np.float64).reshape(-1, 3, 3)
+
+
+def _obj_index(token: str, n_verts: int) -> int:
+    """OBJ face index → 0-based: positive is 1-based, negative is relative
+    to the vertices seen so far (both forms are in the OBJ spec and both
+    appear in exporter output)."""
+    i = int(token.split("/")[0])
+    return i - 1 if i > 0 else n_verts + i
+
+
+def parse_stl_triangles(data: bytes) -> np.ndarray:
+    """STL bytes (binary or ASCII) → (M, 3, 3) triangle vertex array.
+
+    Same contract as ``parse_obj_triangles`` for the broadcast
+    mesh-intersection input. Binary STL: 80-byte header, uint32 count,
+    50-byte records (normal + 3 vertices float32 + attribute uint16).
+    ASCII STL: ``vertex x y z`` lines, three per facet.
+    """
+    import struct as _struct
+
+    if len(data) >= 84:
+        (count,) = _struct.unpack("<I", data[80:84])
+        # exact binary record length is the discriminator — an ASCII file
+        # matching it by coincidence is (2^-32)-level unlikely
+        if len(data) == 84 + 50 * count:
+            arr = np.frombuffer(data, dtype=np.uint8, offset=84)
+            recs = arr.reshape(count, 50)
+            floats = recs[:, :48].copy().view("<f4").reshape(count, 4, 3)
+            return floats[:, 1:4, :].astype(np.float64)
+    text = data.decode("ascii", errors="ignore")
+    verts = [
+        [float(x) for x in line.split()[1:4]]
+        for line in text.splitlines()
+        if line.strip().startswith("vertex")
+    ]
+    if len(verts) % 3:
+        raise ValueError("ASCII STL vertex count not a multiple of 3")
+    return np.asarray(verts, dtype=np.float64).reshape(-1, 3, 3)
 
 
 _CLUSTERED = T.StructType(

@@ -60,6 +60,49 @@ def _building_obj():
     return "\n".join(out + faces)
 
 
+class TestMeshLoaders:
+    def test_obj_negative_indices(self):
+        # relative indices (-3,-2,-1) = the last three vertices, per spec
+        obj = "v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n"
+        from hg_data_pipelines_spark.pipelines.wall_extraction import (
+            parse_obj_triangles,
+        )
+
+        tris = parse_obj_triangles(obj)
+        assert tris.shape == (1, 3, 3)
+        assert tris[0, 1, 0] == 1.0 and tris[0, 2, 1] == 1.0
+
+    def test_binary_stl_round_trip(self):
+        import struct
+
+        from hg_data_pipelines_spark.pipelines.wall_extraction import (
+            parse_stl_triangles,
+        )
+
+        tri = [(0, 0, 0), (2, 0, 0), (0, 3, 0)]
+        rec = struct.pack("<3f", 0, 0, 1)
+        for v in tri:
+            rec += struct.pack("<3f", *v)
+        rec += b"\x00\x00"
+        data = b"\x00" * 80 + struct.pack("<I", 1) + rec
+        tris = parse_stl_triangles(data)
+        assert tris.shape == (1, 3, 3)
+        assert tris[0, 1, 0] == 2.0 and tris[0, 2, 1] == 3.0
+
+    def test_ascii_stl(self):
+        from hg_data_pipelines_spark.pipelines.wall_extraction import (
+            parse_stl_triangles,
+        )
+
+        text = (
+            "solid t\n facet normal 0 0 1\n  outer loop\n"
+            "   vertex 0 0 0\n   vertex 1 0 0\n   vertex 0 1 0\n"
+            "  endloop\n endfacet\nendsolid t\n"
+        )
+        tris = parse_stl_triangles(text.encode())
+        assert tris.shape == (1, 3, 3)
+
+
 class TestWallExtraction:
     def test_two_walls_extracted(self, spark):
         pdf = parse_obj_faces(_building_obj())
