@@ -7,10 +7,12 @@ sequential DCT path from the public JPEG spec (ITU-T T.81): marker
 parse → Huffman entropy decode → dequantize → inverse zigzag → 8×8
 IDCT → chroma upsample → YCbCr→RGB (BT.601, the libjpeg constants).
 
-Supported: baseline (SOF0) and extended-sequential (SOF1) 8-bit frames,
-1 or 3 components, any sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0),
-restart markers, multiple DHT/DQT segments. Progressive (SOF2),
-arithmetic coding, and 12-bit raise NotImplementedError.
+Supported: baseline (SOF0), extended-sequential (SOF1), and progressive
+(SOF2) 8-bit frames — spectral selection and successive approximation
+(DC first/refine, AC first with EOB runs, AC refinement per spec
+G.1.2.3) — 1 or 3 components, sampling factors up to 2×2 (4:4:4, 4:2:2,
+4:2:0), restart markers, multiple DHT/DQT segments. Arithmetic coding,
+hierarchical frames, and 12-bit precision raise NotImplementedError.
 
 The encoder produces baseline 4:4:4 JPEGs with the spec's Annex K
 example quantization (scaled by libjpeg's quality curve) and Huffman
@@ -232,7 +234,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, C) uint8 (C = 1 or 3, RGB order)."""
+    """JPEG bytes → (H, W, C) uint8 (C = 1 or 3, RGB order).
+
+    Handles baseline/extended-sequential (SOF0/SOF1) and progressive
+    (SOF2) frames. All scans decode into a per-component zigzag
+    coefficient store; reconstruction (dequantize → IDCT → upsample →
+    color convert) runs once after the last scan.
+    """
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not JPEG bytes")
     pos = 2
@@ -241,12 +249,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffmanTable] = {}
     huff_ac: dict[int, _HuffmanTable] = {}
     frame = None
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -273,7 +284,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[at + 17 : at + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffmanTable(bits, vals)
                 at += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -286,15 +297,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = []
+            for ci, c in enumerate(comps):
+                c["ci"] = ci
+                # full interleaved-padded grid; non-interleaved scans use
+                # the ceil(comp_dims/8) prefix of it
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["nbw"] = (-(-(w * c["h"]) // hmax) + 7) // 8
+                c["nbh"] = (-(-(h * c["v"]) // vmax) + 7) // 8
+                coefs.append(np.zeros((c["bh"], c["bw"], 64), dtype=np.int64))
+            frame = {
+                "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (marker 0xFF{marker:02X})"
+                f"unsupported JPEG frame type (marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[0:2])[0]
-        elif marker == 0xDA:  # SOS → entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
@@ -303,58 +332,239 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0x0F))
-            pixels = _decode_scan(
-                data, pos + 2 + seg_len, frame, scan, quant,
-                huff_dc, huff_ac, restart_interval,
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            reader = _BitReader(data, pos + 2 + seg_len)
+            _decode_scan_into(
+                reader, frame, scan, coefs, huff_dc, huff_ac,
+                restart_interval, ss, se, ah, al,
             )
-            return pixels
+            if not frame["progressive"]:
+                return _reconstruct(frame, coefs, quant)
+            # next marker search resumes from wherever entropy data ended
+            pos = reader.pos
+            continue
         pos += 2 + seg_len
-    raise ValueError("no SOS segment found")
+    if frame is None or coefs is None:
+        raise ValueError("no frame decoded")
+    return _reconstruct(frame, coefs, quant)
 
 
-def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interval):
+def _decode_scan_into(
+    reader, frame, scan, coefs, huff_dc, huff_ac, restart_interval, ss, se, ah, al
+):
+    """Decode one scan's entropy data into the coefficient store.
+
+    Sequential frames use the full-band interleaved path (ss=0, se=63,
+    ah=al=0). Progressive frames dispatch on (ss, ah): DC-first /
+    DC-refine scans may be interleaved; AC scans are single-component by
+    spec and walk the component's own block raster.
+    """
+    if ss == 0 and se == 0 and frame["progressive"]:
+        if ah == 0:
+            _scan_dc(reader, frame, scan, coefs, huff_dc, restart_interval,
+                     al, first=True)
+        else:
+            _scan_dc(reader, frame, scan, coefs, huff_dc, restart_interval,
+                     al, first=False)
+        return
+    if frame["progressive"]:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        c, _, ac_id = scan[0]
+        if ah == 0:
+            _scan_ac_first(reader, c, coefs[c["ci"]], huff_ac[ac_id],
+                           restart_interval, ss, se, al)
+        else:
+            _scan_ac_refine(reader, c, coefs[c["ci"]], huff_ac[ac_id],
+                            restart_interval, ss, se, al)
+        return
+    _scan_sequential(reader, frame, scan, coefs, huff_dc, huff_ac,
+                     restart_interval)
+
+
+def _mcu_iter(frame, scan):
+    """Yield (mcu_index, ci_entries) where each entry is (comp, dc_id,
+    ac_id, block_y, block_x) in interleaved order."""
+    if len(scan) == 1:
+        c = scan[0][0]
+        # non-interleaved: the component's own raster over its real blocks
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                yield (by * c["nbw"] + bx, [(scan[0], by, bx)])
+        return
+    i = 0
+    for my in range(frame["mcus_y"]):
+        for mx in range(frame["mcus_x"]):
+            entries = []
+            for s in scan:
+                c = s[0]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        entries.append((s, my * c["v"] + by, mx * c["h"] + bx))
+            yield (i, entries)
+            i += 1
+
+
+def _scan_sequential(reader, frame, scan, coefs, huff_dc, huff_ac, restart_interval):
+    pred = [0] * len(frame["comps"])
+    for mcu_index, entries in _mcu_iter(frame, scan):
+        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+            reader.sync_restart()
+            pred = [0] * len(frame["comps"])
+        try:
+            for (c, dc_id, ac_id), by, bx in entries:
+                zz = coefs[c["ci"]][by, bx]
+                t = reader.decode(huff_dc[dc_id])
+                diff = _extend(reader.receive(t), t) if t else 0
+                pred[c["ci"]] += diff
+                zz[0] = pred[c["ci"]]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(huff_ac[ac_id])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overrun")
+                    zz[k] = _extend(reader.receive(s), s)
+                    k += 1
+        except _RestartMarker:
+            reader.sync_restart()
+            pred = [0] * len(frame["comps"])
+
+
+def _scan_dc(reader, frame, scan, coefs, huff_dc, restart_interval, al, first):
+    pred = [0] * len(frame["comps"])
+    for mcu_index, entries in _mcu_iter(frame, scan):
+        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+            reader.sync_restart()
+            pred = [0] * len(frame["comps"])
+        try:
+            for (c, dc_id, _ac), by, bx in entries:
+                zz = coefs[c["ci"]][by, bx]
+                if first:
+                    t = reader.decode(huff_dc[dc_id])
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    pred[c["ci"]] += diff
+                    zz[0] = pred[c["ci"]] << al
+                else:
+                    if reader.read_bit():
+                        zz[0] |= 1 << al
+        except _RestartMarker:
+            reader.sync_restart()
+            pred = [0] * len(frame["comps"])
+
+
+def _scan_ac_first(reader, c, coef, ac_tbl, restart_interval, ss, se, al):
+    eobrun = 0
+    for idx in range(c["nbh"] * c["nbw"]):
+        by, bx = divmod(idx, c["nbw"])
+        if restart_interval and idx and idx % restart_interval == 0:
+            reader.sync_restart()
+            eobrun = 0
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        zz = coef[by, bx]
+        try:
+            k = ss
+            while k <= se:
+                rs = reader.decode(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC band overrun")
+                zz[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        except _RestartMarker:
+            reader.sync_restart()
+            eobrun = 0
+
+
+def _scan_ac_refine(reader, c, coef, ac_tbl, restart_interval, ss, se, al):
+    """Successive-approximation AC refinement (spec G.1.2.3): correction
+    bits move known coefficients one step away from zero; new ±1<<al
+    coefficients appear at positions signalled by run/size symbols."""
+    p1 = 1 << al
+    eobrun = 0
+    for idx in range(c["nbh"] * c["nbw"]):
+        by, bx = divmod(idx, c["nbw"])
+        if restart_interval and idx and idx % restart_interval == 0:
+            reader.sync_restart()
+            eobrun = 0
+        zz = coef[by, bx]
+        try:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement size must be 1")
+                        newval = p1 if reader.read_bit() else -p1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit():
+                                zz[k] += p1 if zz[k] > 0 else -p1
+                        else:
+                            if r == 0:
+                                if newval:
+                                    zz[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0 and reader.read_bit():
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                    k += 1
+                eobrun -= 1
+        except _RestartMarker:
+            reader.sync_restart()
+            eobrun = 0
+
+
+def _reconstruct(frame, coefs, quant):
     h, w = frame["h"], frame["w"]
-    comps = [s[0] for s in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        )
-
-    reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.sync_restart()
-                pred = [0] * len(comps)
-            try:
-                for ci, (c, dc_id, ac_id) in enumerate(scan):
-                    qt = quant[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            block = _decode_block(
-                                reader, huff_dc[dc_id], huff_ac[ac_id], qt, pred, ci
-                            )
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            except _RestartMarker:
-                # tolerate encoders that emit RST without DRI bookkeeping
-                reader.sync_restart()
-                pred = [0] * len(comps)
-            mcu_index += 1
-
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for ci, c in enumerate(comps):
-        plane = planes[ci] + 128.0
+    for c in frame["comps"]:
+        qt = quant[c["tq"]]
+        grid = coefs[c["ci"]]
+        bh, bw = c["bh"], c["bw"]
+        zz = grid.reshape(bh * bw, 64) * qt[None, :]
+        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz.astype(np.float64)
+        blocks = _idct_blocks(nat.reshape(-1, 8, 8))
+        plane = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        ) + 128.0
         sy, sx = vmax // c["v"], hmax // c["h"]
         if sy > 1 or sx > 1:
             plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
@@ -371,31 +581,6 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_block(reader, dc_tbl, ac_tbl, qt, pred, ci):
-    zz = np.zeros(64, dtype=np.int64)
-    t = reader.decode(dc_tbl)
-    diff = _extend(reader.receive(t), t) if t else 0
-    pred[ci] += diff
-    zz[0] = pred[ci]
-    k = 1
-    while k < 64:
-        rs = reader.decode(ac_tbl)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC index overrun")
-        zz[k] = _extend(reader.receive(s), s)
-        k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    coef[ZIGZAG] = (zz * qt).astype(np.float64)
-    return _idct_blocks(coef.reshape(1, 8, 8))[0]
 
 
 # --------------------------------------------------------------------------

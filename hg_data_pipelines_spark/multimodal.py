@@ -11,11 +11,12 @@ are either new binary columns or extracted feature columns.
 No cv2/PIL ships in this container; all codecs are implemented here:
 - ``decode_png``/``encode_png``: stdlib-zlib PNG — 8-bit gray/RGB/RGBA
   (+alpha-gray), all five scanline filters on decode.
-- ``decode_jpeg``/``functions/jpeg.py``: pure-Python baseline JPEG
-  (SOF0/SOF1): Huffman entropy decode, dequantize, IDCT, chroma
-  upsampling up to 2×2, restart markers; plus a 4:4:4 encoder with the
-  spec's Annex K tables. Real JPEGs flow end-to-end; progressive (SOF2)
-  raises.
+- ``decode_jpeg``/``functions/jpeg.py``: pure-Python JPEG — baseline
+  (SOF0/SOF1) and progressive (SOF2, spectral selection + successive
+  approximation): Huffman entropy decode, dequantize, IDCT, chroma
+  upsampling up to 2×2, restart markers; plus a 4:4:4 baseline encoder
+  with the spec's Annex K tables. Real JPEGs flow end-to-end; only
+  arithmetic-coded/hierarchical/12-bit frames raise.
 - ``decode_image``/``encode_image``: the codec dispatch. The
   deterministic RAW format (magic + dims header + uint8 pixels) remains
   the internal interchange encoding.
