@@ -82,6 +82,78 @@ def value_histogram(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# A12: pivot — order counts with priorities as columns. Spark's
+# groupBy().pivot() compiles to the same CASE-sum aggregation the oracle
+# spells out; pinning the value list keeps the output schema static (the
+# dynamic-pivot form needs an extra distinct pass — avoid at scale).
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "A12_pivot_priority_counts",
+    """
+    SELECT o_orderstatus,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
+           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
+           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_counts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"])
+    )
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves NULL for absent combinations; the CASE-sum oracle yields 0
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+# --------------------------------------------------------------------------
+# A13: unpivot (melt) — wide per-column metrics back to long rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A13_unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE)
+        FROM part
+    ) WHERE p_partkey < 200
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    )
+
+
+# --------------------------------------------------------------------------
 # X3: per-label embedding centroids — the cluster-statistics primitive
 # behind IVF training and embedding-space drift monitoring. posexplode is
 # row-local; the only shuffle is the (label, dim) aggregation; the final
