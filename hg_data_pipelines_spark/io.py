@@ -229,3 +229,22 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S8: JSON-lines sink (reference: json.dumps → file, street_level_grouping.py:82-83)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S11: ORC source (columnar alternative to Parquet, built into Spark;
+    same pushdown/pruning contract — predicate and column selection reach
+    the ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> str:
+    """S11: ORC sink. Parquet stays the warehouse default (DuckDB-
+    attachable, the t2 oracle path); ORC covers Hive-ecosystem consumers."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path

@@ -195,6 +195,27 @@ class TestFileSinks:
         assert lines[0] == "id\tlabel"
         assert lines[1] == "1\tx y"
 
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        import io as _io
+        from contextlib import redirect_stdout
+
+        from hg_data_pipelines_spark.io import read_orc, write_orc
+        from pyspark.sql import functions as F
+
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        out = write_orc(src, str(tmp_path / "orc_out"))
+        back = read_orc(spark, out)
+        assert back.count() == src.count()
+        assert back.schema == src.schema
+
+        scan = back.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            scan.explain()
+        plan = buf.getvalue()
+        # predicate and projection reach the ORC reader
+        assert "PushedFilters" in plan and "o_orderkey" in plan
+
     def test_json_sink_roundtrip_nested(self, spark, tmp_path):
         from hg_data_pipelines_spark.io import write_json
 
