@@ -431,6 +431,26 @@ def cube_status_priority(spark, sf_dir):
     )
 
 
+_GROUPING_SETS_SQL = f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+
+
+@query("A8_grouping_sets", _GROUPING_SETS_SQL)
+def grouping_sets_status_priority(spark, sf_dir):
+    """EXT-A8: explicit GROUPING SETS with GROUPING() indicators — the
+    general form rollup/cube specialize. Identical SQL text runs on both
+    engines (the spark.sql surface, SURVEY §2: no parser needed)."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 # --------------------------------------------------------------------------
 # EXT-A9: approximate distinct count (HyperLogLog++). No DuckDB oracle —
 # different sketch implementations — so the driver records the weaker
