@@ -74,6 +74,56 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def approx_top_k(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Heavy hitters: top-k values of ``col`` by count, candidate-then-
+    verify — the 100 TB alternative to a full groupBy when the value
+    domain is huge and only the head matters.
+
+    Phase 1 (no shuffle): each partition counts locally and keeps its own
+    top ``candidates_per_partition`` (default 4k) values. Any global
+    top-k value must be a local top-m in at least one partition whenever
+    m ≥ k (a global heavy hitter cannot be outside a partition's local
+    top-m everywhere if m ≥ k, by averaging); the default margin guards
+    adversarial splits.
+    Phase 2: exact counts for the candidate union only — the shuffle
+    carries |candidates| ≈ partitions × m rows, not the full domain.
+    Counts in the output are EXACT; only membership of the tail near the
+    k-boundary is approximate.
+    """
+    from pyspark.sql import Window
+
+    m = candidates_per_partition or 4 * k
+
+    def _local_top(it):
+        import pandas as pd
+
+        for pdf in it:
+            counts = pdf[col].value_counts().head(m)
+            yield pd.DataFrame({col: counts.index})
+
+    cand = (
+        df.select(col)
+        .mapInPandas(_local_top, f"{col} {dict(df.dtypes)[col]}")
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc(col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def write_range_clustered(
     df: DataFrame,
     path: str,

@@ -230,6 +230,32 @@ class TestTpchPlanShapes:
         assert "BroadcastHashJoin" in plan
 
 
+class TestApproxTopK:
+    def test_matches_exact_on_skewed_data(self, spark):
+        from hg_data_pipelines_spark.operators.scale import approx_top_k
+
+        # Zipf-ish: value i appears ~1000/i times, shuffled across partitions
+        rows = [(i,) for i in range(1, 60) for _ in range(1000 // i)]
+        df = spark.createDataFrame(rows, "v long").repartition(8)
+        got = {(r["v"], r["n"]) for r in approx_top_k(df, "v", k=10).collect()}
+        exact = {
+            (r["v"], r["n"])
+            for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(10)
+            .collect()
+        }
+        assert got == exact
+
+    def test_counts_are_exact(self, spark):
+        from hg_data_pipelines_spark.operators.scale import approx_top_k
+
+        df = spark.createDataFrame([("a",)] * 70 + [("b",)] * 30, "s string")
+        out = {r["s"]: r["n"] for r in approx_top_k(df, "s", k=2).collect()}
+        assert out == {"a": 70, "b": 30}
+
+
 class TestRangeClusteredWrite:
     def test_files_cover_disjoint_ranges_and_skip(self, spark, tmp_path):
         import pyarrow.parquet as pq
