@@ -266,6 +266,33 @@ _PROBES = (
 
 
 # --------------------------------------------------------------------------
+# X4: heavy-hitter terms via the candidate-then-verify scale operator
+# (operators/scale.py::approx_top_k). Counts are exact and membership is
+# deterministic on this corpus (candidate margin ≫ vocabulary skew), so
+# the oracle is the plain exact top-k — the declared query proves the
+# shuffle-light operator agrees with the exact form end-to-end.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_heavy_hitter_terms",
+    f"""
+    WITH terms AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+    SELECT term, COUNT(*) AS n
+    FROM terms GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def heavy_hitter_terms(spark, sf_dir):
+    from ..operators.scale import approx_top_k
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(_toks()).alias("term"))
+    return approx_top_k(terms, "term", k=20).orderBy(F.desc("n"), F.asc("term"))
+
+
+# --------------------------------------------------------------------------
 # X4: deterministic dataset split — hash-bucket assignment (train/val/test)
 # that is reproducible on any engine and any cluster layout: bucket =
 # first 8 hex chars of md5(doc_id) mod 100. The held-out-split primitive;
