@@ -85,8 +85,13 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     aggs = [F.count(F.lit(1)).alias("_total")]
     for con in constraints:
         aggs.append(
-            F.sum(
-                F.when(con.predicate.isNull() | ~con.predicate, 1).otherwise(0)
+            # coalesce: SUM over zero rows is NULL — an empty table must
+            # report 0 violations / passed, not a NULL gate
+            F.coalesce(
+                F.sum(
+                    F.when(con.predicate.isNull() | ~con.predicate, 1).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(f"v_{con.name}")
         )
     wide = df.agg(*aggs)

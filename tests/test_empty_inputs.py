@@ -1,0 +1,60 @@
+"""Degenerate-input behavior: every operator must return an empty (or
+correctly-shaped) result for empty inputs, not throw — the guarantee
+pipelines rely on when a filter stage happens to drain a partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hg_data_pipelines_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    ngram_jaccard_pairs,
+)
+from hg_data_pipelines_spark.operators.quality import (
+    Constraint,
+    check_constraints,
+    profile,
+)
+from hg_data_pipelines_spark.operators.scale import approx_top_k
+
+
+class TestEmptyInputs:
+    def test_connected_components_empty_edges(self, spark):
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(edges).count() == 0
+
+    def test_dedup_exact_empty(self, spark):
+        df = spark.createDataFrame([], "k long, v long")
+        assert dedup_exact(df, ["k"], ["v"]).count() == 0
+
+    def test_jaccard_pairs_empty_docs(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert ngram_jaccard_pairs(docs).count() == 0
+
+    def test_profile_empty_table_reports_zero_rows(self, spark):
+        df = spark.createDataFrame([], "id long, v double")
+        rows = {r["column"]: r for r in profile(df, exact_distinct=True).collect()}
+        assert rows["id"]["n_rows"] == 0
+        assert rows["id"]["n_null"] == 0
+        assert rows["v"]["min_value"] is None
+
+    def test_constraints_empty_table_pass(self, spark):
+        df = spark.createDataFrame([], "id long")
+        out = check_constraints(df, [Constraint("pos", F.col("id") > 0)]).collect()
+        assert out[0]["n_violations"] == 0 and out[0]["passed"]
+
+    def test_approx_top_k_empty(self, spark):
+        df = spark.createDataFrame([], "v string")
+        assert approx_top_k(df, "v", k=5).count() == 0
+
+    def test_asof_join_empty_right_yields_null_values(self, spark):
+        from hg_data_pipelines_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10)], "k long, t long")
+        right = spark.createDataFrame([], "k long, t long, val double")
+        out = asof_join(
+            left, right, "k", "k", "t", "t", value_cols=["val"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["asof_val"] is None
