@@ -82,6 +82,35 @@ def value_histogram(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# A14: correlation / covariance / stddev — the bivariate-stats aggregate
+# family. Both engines accumulate in double; association-order noise is
+# ~1e-12 relative, far inside the 9dp comparison.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A14_corr_covar",
+    """
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice) AS qty_price_corr,
+           covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+           stddev_samp(l_discount) AS discount_stddev,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_covar(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.stddev_samp("l_discount").alias("discount_stddev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A12: pivot — order counts with priorities as columns. Spark's
 # groupBy().pivot() compiles to the same CASE-sum aggregation the oracle
 # spells out; pinning the value list keeps the output schema static (the
