@@ -248,6 +248,125 @@ def session_window_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# EXT-W4: time-RANGE rolling aggregate — each event's trailing-1-hour sum
+# per user. RANGE frames on the epoch axis include every row inside the
+# interval regardless of row position, so no tiebreak is needed for a
+# commutative aggregate; the sum accumulates in exact decimal.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W4_time_range_rolling",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS rolling_1h_n
+    FROM events
+    """,
+)
+def time_range_rolling(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_epoch_us("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X6: gap-filled hourly series — generate each user's hour spine between
+# their first and last event, left-join hourly aggregates, forward-fill
+# the running metric into empty hours. The resample/interpolate op time-
+# series pipelines need; spine generation is row-local (sequence+explode),
+# the join shuffles on (user, hour) only.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X6_gap_fill_hourly",
+    """
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS hour_sum
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.hour_sum IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+)
+def gap_fill_hourly(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("hour_sum"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )
+
+
 @query(
     "N_json_extract",
     f"""
