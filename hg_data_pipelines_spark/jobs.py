@@ -174,6 +174,112 @@ register_pipeline(
     )
 )
 
+
+# ---------------------------------------------------------------------------
+# LLM corpus-curation pipeline: the north-star operators chained as one
+# orchestrated job — quality gate → exact dedup → near-dup cluster removal
+# → deterministic split → sequence chunks, landing each stage in the
+# warehouse. Every transform is the same code the declared queries check.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_quality_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Keep documents above the composite quality score (X4 gate)."""
+    from pyspark.sql import functions as F
+
+    from .io import load_table
+
+    docs = load_table(spark, ctx.config["sf_dir"], "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    n_tokens = F.size(toks)
+    score = (
+        0.5 * F.when(n_tokens >= 20, 1.0).otherwise(n_tokens / 20.0)
+        + 0.5 * distinct_ratio
+    )
+    threshold = float(ctx.config.get("quality_threshold", 0.6))
+    return docs.withColumn("quality", score).filter(F.col("quality") >= threshold)
+
+
+def _corpus_exact_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Drop byte-identical duplicates, keeping the lowest doc_id."""
+    from .operators.dedup import dedup_exact
+
+    return dedup_exact(ctx.tables["corpus_quality"], keys=["text"], order=["doc_id"])
+
+
+def _corpus_neardup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Remove near-duplicate clusters: connected components over Jaccard
+    pairs, keep only each component's minimum doc_id (plus all unpaired
+    docs)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = ctx.tables["corpus_exact_dedup"]
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=float(ctx.config.get("jaccard_threshold", 0.5))
+    )
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def _corpus_split_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment."""
+    from pyspark.sql import functions as F
+
+    docs = ctx.tables["corpus_neardup"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return docs.withColumn("split", split)
+
+
+def _corpus_chunks_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Fixed-size token chunks with stride overlap, ready for tokenization."""
+    from pyspark.sql import functions as F
+
+    chunk = int(ctx.config.get("chunk_tokens", 64))
+    stride = int(ctx.config.get("chunk_stride", 48))
+    docs = ctx.tables["corpus_split"]
+    t = docs.select(
+        "doc_id", "split", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    starts = t.select(
+        "doc_id",
+        "split",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(stride))).alias("s"),
+    )
+    piece = F.slice("toks", F.col("s"), chunk)
+    return starts.select(
+        "doc_id",
+        "split",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )
+
+
+register_pipeline(
+    Pipeline(
+        "llm_corpus_curation",
+        [
+            Stage("corpus_quality", _corpus_quality_stage),
+            Stage("corpus_exact_dedup", _corpus_exact_dedup_stage),
+            Stage("corpus_neardup", _corpus_neardup_stage),
+            Stage("corpus_split", _corpus_split_stage),
+            Stage("corpus_chunks", _corpus_chunks_stage, partition_by=["split"]),
+        ],
+    )
+)
+
 register_pipeline(
     Pipeline(
         "results_file",
