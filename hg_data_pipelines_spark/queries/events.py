@@ -385,3 +385,59 @@ def json_extract(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-J7: interval (range) join — for each purchase event, count and sum
+# the same user's follow-up events inside the next 12 hours (half-open
+# (ts, ts + 12h]). A genuine theta/range join, NOT a window: the
+# follow-up rows are a different row set per anchor.
+#
+# Scale shape: the equi component (same user_id) drives a plain hash/
+# sort-merge join — ONE shuffle on the user key — and the time range is a
+# residual predicate on the matched pairs, so cost is per-user pair
+# count, never a cross join. Without an equi key the scale path is
+# bucketing both sides to a common time grain and equi-joining on
+# (bucket ± 1), which bounds candidates the same way LSH bounds X2.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J7_interval_join_followups",
+    f"""
+    SELECT a.event_id,
+           a.user_id,
+           COUNT(b.event_id) AS n_followups,
+           {sql_dsum('b.value', 'followup_value')}
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 12 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def interval_join_followups(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("value").alias("b_value"),
+    )
+    joined = anchors.join(
+        others,
+        (F.col("b_user_id") == F.col("user_id"))
+        & (F.col("b_ts") > F.col("ts"))
+        & (F.col("b_ts") <= F.col("ts") + F.expr("INTERVAL 12 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("b_event_id").alias("n_followups"),
+        dsum("b_value", "followup_value"),
+    )

@@ -867,3 +867,32 @@ def q18_large_orders(spark, sf_dir):
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-W5: distribution window family — percent_rank / cume_dist. Values
+# depend only on the sort KEY (ties collapse to equal ranks), so the
+# result is deterministic without a tiebreak column; both engines use the
+# ANSI definitions ((rank-1)/(n-1) and ties-high cumulative fraction).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W5_distribution_ranks",
+    """
+    SELECT c_nationkey, c_custkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def distribution_ranks(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
