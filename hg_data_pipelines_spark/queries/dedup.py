@@ -121,10 +121,9 @@ def ngram_jaccard_query(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query(
-    "X2_dedup_components",
-    _SQL_SHINGLES.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
-    + f"""
+# Shared oracle prelude: recursive transitive closure of the near-dup
+# pair graph → (node, component) as `comp`.
+_SQL_COMPONENTS = _SQL_SHINGLES.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + f"""
     , cpairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
                COUNT(*) AS c
@@ -144,6 +143,13 @@ def ngram_jaccard_query(spark, sf_dir):
     ), comp AS (
         SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
     )
+"""
+
+
+@query(
+    "X2_dedup_components",
+    _SQL_COMPONENTS
+    + """
     SELECT component, COUNT(*) AS n_members,
            MAX(node) AS max_member
     FROM comp GROUP BY component
@@ -156,6 +162,59 @@ def dedup_components_query(spark, sf_dir):
     return labels.groupBy(F.col("comp").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: cluster-representative selection — the step that turns near-dup
+# clusters into a keep-list. Every document maps to its component (itself
+# when it has no near-dup edge); the kept representative is the longest
+# member (n_chars, tiebreak min doc_id) — the usual "keep the most
+# complete copy" curation policy.
+#
+# Scale shape: components come from distributed label propagation, the
+# doc→label join is one shuffle on doc_id, and the representative pick is
+# a per-component window — no step exceeds one shuffle on an evenly
+# distributed key. Component sizes are bounded by dedup-cluster sizes
+# (small by construction), so the window never sees a mega-partition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X2_component_representatives",
+    _SQL_COMPONENTS
+    + """
+    , alldocs AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component,
+           FIRST_VALUE(doc_id) OVER w AS rep_doc_id,
+           doc_id = FIRST_VALUE(doc_id) OVER w AS is_kept
+    FROM alldocs
+    WINDOW w AS (PARTITION BY component ORDER BY n_chars DESC, doc_id)
+    """,
+)
+def component_representatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    with_comp = docs.select("doc_id", "n_chars").join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return with_comp.select(
+        "doc_id",
+        "component",
+        F.first("doc_id").over(w).alias("rep_doc_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_kept"),
     )
 
 

@@ -440,3 +440,92 @@ def quality_score(spark, sf_dir):
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
         "distinct_ratio", "quality_score",
     )
+
+
+# --------------------------------------------------------------------------
+# X4: Gopher-style repetition filter — how concentrated a document is on
+# its single most frequent token and bigram (Rae et al. 2021 "duplicated
+# n-gram fraction" rules; for these single-line documents the line-level
+# rules collapse to n-gram concentration). High concentration = boilerplate
+# or generator loops; the pass flag applies the published-style thresholds.
+#
+# Scale shape: explode → count → max is one shuffle on (doc_id, gram) and
+# one on doc_id — both evenly keyed, no window over the whole corpus; at
+# 100 TB this is the standard map-side-combinable two-stage aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_repetition_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(toks) - 1 AS n_bigrams,
+               unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+        FROM t WHERE len(toks) >= 2
+    ), bgc AS (
+        SELECT doc_id, n_tokens, n_bigrams, bg, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2, 3, 4
+    ), topbg AS (
+        SELECT doc_id, n_tokens, n_bigrams, MAX(c) AS top_bigram_count
+        FROM bgc GROUP BY 1, 2, 3
+    ), uni AS (
+        SELECT doc_id, MAX(c) AS top_token_count FROM (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM t
+            ) GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INTEGER) AS n_tokens,
+           CAST(u.top_token_count AS DOUBLE) / b.n_tokens AS top_token_frac,
+           CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+           (CAST(u.top_token_count AS DOUBLE) / b.n_tokens <= 0.30
+            AND CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams <= 0.18)
+               AS passes_repetition
+    FROM topbg b JOIN uni u ON b.doc_id = u.doc_id
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks().alias("toks")).filter(F.size("toks") >= 2)
+    base = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - 1).alias("n_bigrams"),
+        "toks",
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    topbg = (
+        bigrams.groupBy("doc_id", "n_tokens", "n_bigrams", "bg")
+        .count()
+        .groupBy("doc_id", "n_tokens", "n_bigrams")
+        .agg(F.max("count").alias("top_bigram_count"))
+    )
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_token_count"))
+    )
+    tt = F.col("top_token_count").cast("double") / F.col("n_tokens")
+    tb = F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+    return topbg.join(uni, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        tt.alias("top_token_frac"),
+        tb.alias("top_bigram_frac"),
+        ((tt <= 0.30) & (tb <= 0.18)).alias("passes_repetition"),
+    )
