@@ -1,0 +1,118 @@
+"""Audio multimodal leg (X5): WAV codec correctness and Spark plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hg_data_pipelines_spark.audio import (
+    audio_feature_row,
+    audio_features,
+    decode_wav,
+    encode_wav,
+    extract_audio_metadata,
+    wav_info,
+)
+
+
+def _sine(freq=440.0, rate=8000, secs=0.5, amp=0.5):
+    t = np.arange(int(rate * secs)) / rate
+    return np.round(amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+class TestWavCodec:
+    def test_round_trip_mono(self):
+        s = _sine()
+        blob = encode_wav(s, 8000)
+        x, rate = decode_wav(blob)
+        assert rate == 8000
+        assert x.shape == (len(s), 1)
+        np.testing.assert_allclose(x[:, 0], s / 32768.0)
+
+    def test_round_trip_stereo(self):
+        s = np.stack([_sine(440.0), _sine(220.0)], axis=1)
+        blob = encode_wav(s, 8000)
+        x, rate = decode_wav(blob)
+        assert x.shape == s.shape
+        np.testing.assert_allclose(x, s / 32768.0)
+
+    def test_info_header_only(self):
+        blob = encode_wav(_sine(rate=16000, secs=1.25), 16000)
+        assert wav_info(blob) == (16000, 1, 16, 20000)
+
+    def test_rejects_non_wav(self):
+        with pytest.raises(ValueError):
+            wav_info(b"\x89PNG not audio at all............")
+
+    def test_rejects_compressed_format(self):
+        blob = bytearray(encode_wav(_sine(), 8000))
+        # flip the fmt audio_format field (offset 20) to 85 (MP3)
+        blob[20:22] = (85).to_bytes(2, "little")
+        with pytest.raises(ValueError, match="unsupported WAV"):
+            wav_info(bytes(blob))
+
+    def test_8bit_decode(self):
+        # hand-build an 8-bit WAV: silence at midpoint 128 + full-scale pair
+        import struct
+
+        raw = bytes([128, 128, 255, 0])
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(raw))
+            + raw
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        x, rate = decode_wav(blob)
+        np.testing.assert_allclose(x[:, 0], [0.0, 0.0, 127 / 128, -1.0])
+
+
+class TestFeatureKernels:
+    def test_sine_rms_and_zcr(self):
+        rate, freq, amp = 8000, 400.0, 0.5
+        blob = encode_wav(_sine(freq, rate, 1.0, amp), rate)
+        row = audio_feature_row(blob)
+        assert row["duration_s"] == pytest.approx(1.0)
+        # RMS of a sine = amp/sqrt(2); zcr = 2 crossings/cycle * f/rate
+        assert row["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+        assert row["zero_crossing_rate"] == pytest.approx(2 * freq / rate, rel=0.02)
+        assert row["peak"] == pytest.approx(amp, rel=1e-3)
+        assert len(row["rms_windows"]) == 16
+
+    def test_silence(self):
+        blob = encode_wav(np.zeros(1000, dtype=np.int16), 8000)
+        row = audio_feature_row(blob)
+        assert row["rms"] == 0.0 and row["peak"] == 0.0
+        assert row["zero_crossing_rate"] == 0.0
+
+
+class TestSparkPlumbing:
+    @pytest.fixture(scope="class")
+    def binary_df(self, spark):
+        rows = [
+            ("a.wav", encode_wav(_sine(440.0, 8000, 0.25), 8000)),
+            ("b.wav", encode_wav(np.zeros(4000, dtype=np.int16), 16000)),
+            ("bad.bin", b"not a wav file at all...."),
+        ]
+        return spark.createDataFrame(
+            [(p, len(c), bytearray(c)) for p, c in rows],
+            "path string, length long, content binary",
+        )
+
+    def test_metadata(self, binary_df):
+        got = {r["path"]: r.asDict() for r in extract_audio_metadata(binary_df).collect()}
+        assert got["a.wav"]["sample_rate"] == 8000
+        assert got["a.wav"]["n_frames"] == 2000
+        assert got["b.wav"]["duration_s"] == pytest.approx(0.25)
+        assert got["bad.bin"]["sample_rate"] is None
+
+    def test_features(self, binary_df):
+        ok = binary_df.filter("path != 'bad.bin'")
+        got = {r["path"]: r.asDict() for r in audio_features(ok).collect()}
+        assert got["a.wav"]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+        assert got["b.wav"]["rms"] == 0.0
+        assert len(got["a.wav"]["rms_windows"]) == 16
