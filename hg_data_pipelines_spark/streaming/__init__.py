@@ -11,6 +11,7 @@ with deterministic file-source micro-batches and expected-state goldens
 from .jobs import (  # noqa: F401
     sessionize_with_state,
     stream_dedup_within_watermark,
+    stream_merge_to_warehouse,
     stream_stream_join,
     stream_to_warehouse,
     watermarked_tumbling_agg,

@@ -244,3 +244,48 @@ def stream_to_warehouse(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_merge_to_warehouse(
+    stream_df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    keys: list[str],
+    order: list[str],
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Streaming UPSERT sink: each micro-batch MERGEs into the warehouse
+    table by key via ``io.merge_warehouse_table`` (foreachBatch).
+
+    Complements ``stream_to_warehouse`` (append-shaped): here a key seen
+    again — a corrected record, a CDC update, a replayed batch — rewrites
+    the row instead of duplicating it. Replay safety comes from MERGE
+    idempotence: re-merging a batch whose rows are already present leaves
+    the table unchanged, so at-least-once foreachBatch delivery still
+    yields exactly-once table state. With ``partition_by`` the per-batch
+    rewrite cost stays proportional to the partitions the batch touches
+    (dynamic partition overwrite), which is what keeps a continuous
+    upsert stream viable against a 100 TB table.
+    """
+    import os
+
+    from ..io import merge_warehouse_table
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        merge_warehouse_table(
+            batch_df.sparkSession,
+            batch_df,
+            warehouse_dir,
+            table,
+            keys=keys,
+            order=order,
+            partition_by=partition_by,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -241,3 +241,55 @@ class TestStreamToWarehouse:
             f" FROM read_parquet('{wh}/events_stream/*/*.parquet')"
         ).fetchone()
         assert n == (1000, 1000)
+
+
+class TestStreamMergeToWarehouse:
+    def test_streaming_upsert_converges_to_latest_per_key(self, spark, tmp_path):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.io import load_table
+        from hg_data_pipelines_spark.queries.streaming_q import (
+            _stage_event_batches,
+        )
+        from hg_data_pipelines_spark.streaming import stream_merge_to_warehouse
+
+        sf = "/root/testdata/sf0.001"
+        stage = _stage_event_batches(spark, sf)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/batch_*")
+        )
+        wh = str(tmp_path / "wh")
+        q = stream_merge_to_warehouse(
+            stream,
+            wh,
+            "events_latest",
+            keys=["user_id", "event_type"],
+            order=["ts", "event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+        got = {
+            (r["user_id"], r["event_type"]): r["event_id"]
+            for r in spark.read.parquet(f"{wh}/events_latest").collect()
+        }
+        # batch ground truth: latest row per key over the whole table.
+        # Batches are staged in (ts, event_id) order, so sequential MERGEs
+        # must converge to exactly this.
+        ev = load_table(spark, sf, "events")
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        want = {
+            (r["user_id"], r["event_type"]): r["event_id"]
+            for r in ev.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .collect()
+        }
+        assert got == want
