@@ -201,11 +201,29 @@ def _corpus_quality_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     return docs.withColumn("quality", score).filter(F.col("quality") >= threshold)
 
 
+def _corpus_repetition_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Drop documents failing the Gopher-style repetition gate (top-token
+    / top-bigram concentration — the X4_repetition_filter metric)."""
+    from pyspark.sql import functions as F
+
+    from .queries.text import repetition_metrics
+
+    docs = ctx.tables["corpus_quality"]
+    passing = (
+        repetition_metrics(docs)
+        .filter(F.col("passes_repetition"))
+        .select("doc_id")
+    )
+    return docs.join(passing, "doc_id", "left_semi")
+
+
 def _corpus_exact_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     """Drop byte-identical duplicates, keeping the lowest doc_id."""
     from .operators.dedup import dedup_exact
 
-    return dedup_exact(ctx.tables["corpus_quality"], keys=["text"], order=["doc_id"])
+    return dedup_exact(
+        ctx.tables["corpus_repetition"], keys=["text"], order=["doc_id"]
+    )
 
 
 def _corpus_neardup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
@@ -272,6 +290,7 @@ register_pipeline(
         "llm_corpus_curation",
         [
             Stage("corpus_quality", _corpus_quality_stage),
+            Stage("corpus_repetition", _corpus_repetition_stage),
             Stage("corpus_exact_dedup", _corpus_exact_dedup_stage),
             Stage("corpus_neardup", _corpus_neardup_stage),
             Stage("corpus_split", _corpus_split_stage),

@@ -489,7 +489,17 @@ def quality_score(spark, sf_dir):
 )
 def repetition_filter(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", _toks().alias("toks")).filter(F.size("toks") >= 2)
+    return repetition_metrics(docs)
+
+
+def repetition_metrics(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition-concentration metrics + pass flag (the
+    reusable form behind X4_repetition_filter; the curation pipeline's
+    repetition gate filters on ``passes_repetition``)."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= 2)
     base = t.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),

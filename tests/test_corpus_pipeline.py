@@ -22,8 +22,10 @@ class TestCorpusCurationPipeline:
         )
 
         r = ctx.reports
-        # monotone filtering through the dedup stages
-        assert r["corpus_quality"]["rows"] >= r["corpus_exact_dedup"]["rows"]
+        # monotone filtering through the gate and dedup stages
+        assert r["corpus_quality"]["rows"] >= r["corpus_repetition"]["rows"]
+        assert r["corpus_repetition"]["rows"] >= r["corpus_exact_dedup"]["rows"]
+        assert r["corpus_repetition"]["rows"] > 0
         assert r["corpus_exact_dedup"]["rows"] >= r["corpus_neardup"]["rows"]
         assert r["corpus_neardup"]["rows"] > 0
 
