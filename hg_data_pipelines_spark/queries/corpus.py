@@ -399,3 +399,53 @@ def contamination_probe(spark, sf_dir):
         F.count("doc_id").alias("n_docs"),
         F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: stratified deterministic sampling — an exact per-stratum fraction
+# (ceil(f·n) docs per lang), selection ordered by md5(doc_id) so the
+# sample is RNG-free, layout-stable, and reproducible across engines and
+# cluster layouts. Complements X4_deterministic_split (global hash
+# buckets, approximate fractions): this is the form for "exactly 20% of
+# every language", e.g. eval carve-outs from skewed corpora.
+#
+# Scale shape: one window per stratum (count + row_number share the same
+# shuffle); strata are languages, so partitions are few and fat — the
+# window sort is the cost, O(n log n) per stratum, same as any exact
+# sample. The hash order means no pre-sorted input is assumed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= CEIL(0.2 * n)
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n")))
+        .select("doc_id", "lang")
+    )

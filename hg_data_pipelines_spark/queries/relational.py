@@ -896,3 +896,70 @@ def distribution_ranks(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.8 widening: bitwise scalar surface (partition-id math, bloom/bitmap
+# membership, salt extraction all reduce to these). Pure codegen
+# expressions on both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_bitwise_funcs",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 1023 AS salt_bucket,
+           o_orderkey | 1 AS forced_odd,
+           xor(o_orderkey, o_custkey) AS key_mix,
+           o_custkey << 4 AS shifted,
+           o_orderkey >> 2 AS quartered,
+           bit_count(o_orderkey) AS popcount
+    FROM orders WHERE o_orderkey <= 4096
+    """,
+)
+def bitwise_funcs(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return orders.filter(k <= 4096).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(1023)).alias("salt_bucket"),
+        k.bitwiseOR(F.lit(1)).alias("forced_odd"),
+        k.bitwiseXOR(c).alias("key_mix"),
+        F.shiftleft(c, 4).alias("shifted"),
+        F.shiftright(k, 2).alias("quartered"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-W6: SCD2 interval build — an order history becomes a slowly-changing
+# dimension: each row valid from its date until the customer's next order
+# (NULL = current). One window on the natural partition key; the standard
+# warehouse dimension-build op.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W6_scd2_intervals",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
