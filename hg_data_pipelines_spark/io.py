@@ -84,6 +84,47 @@ def read_results_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path, schema=schemas.RESULTS_JSON, multiLine=True)
 
 
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    multi_line: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardening: schema-enforced JSON read that QUARANTINES rather than
+    drops or poisons malformed records.
+
+    Returns ``(good, bad)``: ``good`` carries the declared schema; ``bad``
+    holds the raw text of every record Spark could not parse into it. At
+    100 TB a single producer bug writes millions of bad lines — FAILFAST
+    kills the job, DROPMALFORMED silently loses data; PERMISSIVE with a
+    ``_corrupt_record`` column is the only mode that keeps the pipeline
+    running AND preserves the evidence. Writing ``bad`` to a quarantine
+    table gives the producer an exact replay set.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = spark.read.json(
+        path,
+        schema=with_corrupt,
+        multiLine=multi_line,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    # Spark requires a materialization boundary before filtering on the
+    # corrupt-record column (it is populated at parse time, not re-derivable
+    # from the pruned plan) — cache() is the documented contract.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, bad
+
+
 def read_pose_csv(spark: SparkSession, path: str) -> DataFrame:
     """S2: tab-separated camera-pose CSV.
 

@@ -232,12 +232,21 @@ def _corpus_neardup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     docs)."""
     from pyspark.sql import functions as F
 
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
+    from .operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = ctx.tables["corpus_exact_dedup"]
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=float(ctx.config.get("jaccard_threshold", 0.5))
-    )
+    threshold = float(ctx.config.get("jaccard_threshold", 0.5))
+    # "exact" is the oracle-checkable fixture path; "minhash" is the same
+    # contract at 100 TB (banded LSH candidates, exact-Jaccard verified —
+    # identical precision, probabilistic recall).
+    if ctx.config.get("neardup_method", "exact") == "minhash":
+        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(docs, threshold=threshold)
     labels = connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")

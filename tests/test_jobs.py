@@ -230,3 +230,49 @@ class TestFileSinks:
         )
         got = {r["id"]: (r["obj"]["a"], list(r["arr"])) for r in back.collect()}
         assert got == {1: (2, [1, 2, 3]), 2: (5, [])}
+
+
+class TestJsonQuarantine:
+    def test_good_and_bad_records_split(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from hg_data_pipelines_spark.io import read_json_with_quarantine
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"id": 1, "name": "ok"}\n'
+            '{"id": 2, "name": "also ok"}\n'
+            '{"id": "NOT A NUMBER", "name": 3}\n'
+            "this is not json at all\n"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        good, bad = read_json_with_quarantine(spark, str(p), schema)
+        assert {r["id"] for r in good.collect()} == {1, 2}
+        assert good.columns == ["id", "name"]
+        raws = [r["raw_record"] for r in bad.collect()]
+        assert len(raws) == 2
+        # quarantine preserves the exact offending text for replay
+        assert any("NOT A NUMBER" in r for r in raws)
+        assert any("not json at all" in r for r in raws)
+
+
+class TestCorpusNeardupMethod:
+    def test_minhash_path_runs_and_filters_monotonically(self, spark, tmp_path):
+        ctx = run_pipeline(
+            spark,
+            "llm_corpus_curation",
+            str(tmp_path / "wh"),
+            {
+                "sf_dir": "/root/testdata/sf0.001",
+                "jaccard_threshold": 0.3,
+                "neardup_method": "minhash",
+            },
+        )
+        r = ctx.reports
+        assert r["corpus_exact_dedup"]["rows"] >= r["corpus_neardup"]["rows"]
+        assert r["corpus_neardup"]["rows"] > 0
