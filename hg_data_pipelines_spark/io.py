@@ -289,3 +289,63 @@ def write_orc(
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
     return path
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a Parquet table's small files toward ``target_file_bytes``.
+
+    The small-file problem is the canonical warehouse decay mode: every
+    streaming micro-batch / incremental MERGE lands a few rows per file,
+    and a year later the NameNode/listing and per-file open costs dominate
+    scans. Compaction = read → repartition to ceil(bytes/target) →
+    atomic-ish swap (write to a sibling temp dir, then rename), preserving
+    Hive-style partition directories via dynamic partition discovery.
+
+    Returns the new file count. Row order within the table is not
+    preserved (Parquet tables are unordered by contract); content equality
+    is what the test asserts. Transactional formats (Delta OPTIMIZE /
+    Iceberg rewrite_data_files) are the concurrent-writer production path;
+    this is the format-free equivalent with the same cost model.
+    """
+    import math
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    # Detect Hive-style partition columns from directory names so the
+    # rewrite keeps the same pruning layout.
+    part_cols = []
+    probe = path
+    while True:
+        subs = [
+            d for d in sorted(os.listdir(probe))
+            if os.path.isdir(os.path.join(probe, d)) and "=" in d
+        ]
+        if not subs:
+            break
+        part_cols.append(subs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subs[0])
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -963,3 +963,37 @@ def scd2_intervals(spark, sf_dir):
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-A15: ordered string aggregation + conditional/boolean aggregates.
+# listagg WITHIN GROUP (ORDER BY) needs the tiebreak-free total order of
+# its own input to be cross-engine deterministic — n_name is unique per
+# region, so the concatenation is a total order. count_if/bool_and/bool_or
+# are plain one-pass conditional aggregates (map-side combinable).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A15_agg_extras",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           count_if(n.n_nationkey % 2 = 0) AS n_even,
+           bool_and(n.n_nationkey >= 0) AS all_nonneg,
+           bool_or(n.n_name LIKE 'A%') AS any_a
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_extras(spark, sf_dir):
+    nation, region = load(spark, sf_dir, "nation", "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+        F.count_if(F.col("n_nationkey") % 2 == 0).alias("n_even"),
+        F.bool_and(F.col("n_nationkey") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("n_name").like("A%")).alias("any_a"),
+    )

@@ -276,3 +276,35 @@ class TestCorpusNeardupMethod:
         r = ctx.reports
         assert r["corpus_exact_dedup"]["rows"] >= r["corpus_neardup"]["rows"]
         assert r["corpus_neardup"]["rows"] > 0
+
+
+class TestCompaction:
+    def test_small_files_compacted_content_preserved(self, spark, tmp_path):
+        from hg_data_pipelines_spark.io import compact_table, load_table
+
+        path = str(tmp_path / "frag")
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        # fragment: many tiny files, partitioned by event_type
+        ev.withColumn("event_date", ev.ts.cast("date")).repartition(
+            40
+        ).write.partitionBy("event_type").parquet(path)
+
+        import os
+
+        before = sum(
+            1
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        want = spark.read.parquet(path).groupBy("event_type").count().collect()
+
+        n_after = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+        assert n_after < before
+
+        got = spark.read.parquet(path).groupBy("event_type").count().collect()
+        assert sorted((r["event_type"], r["count"]) for r in got) == sorted(
+            (r["event_type"], r["count"]) for r in want
+        )
+        # partition layout (pruning) preserved
+        assert any(d.startswith("event_type=") for d in os.listdir(path))
