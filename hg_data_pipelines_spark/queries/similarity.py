@@ -117,3 +117,42 @@ def embedding_neardup_lsh_q(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(emb, _NEARDUP_COS, n_planes=4, n_tables=16)
+
+
+# --------------------------------------------------------------------------
+# X3: k-NN graph — EVERY vector's top-k neighbor list (the input to
+# graph-based semantic dedup, SNN clustering, and connectivity pruning).
+# The exact form is the fenced fixture-scale twin (all-pairs, fine at 500
+# vectors on both engines); X3_knn_graph_lsh is the identical contract
+# through RHP-LSH bucketing — at 100 TB the bucket join replaces the
+# quadratic scan, the same substitution as X2 MinHash for Jaccard pairs.
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+@query(
+    "X3_knn_graph",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_COSINE} AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+           ) AS INTEGER) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    QUALIFY rank <= {_KNN_K}
+    """,
+)
+def knn_graph_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb, k=_KNN_K).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query("X3_knn_graph_lsh")
+def knn_graph_lsh(spark, sf_dir):
+    """Rows-only LSH twin of X3_knn_graph (xxhash64 planes not in DuckDB);
+    pytest pins recall vs the exact graph."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb, k=_KNN_K, n_planes=4, n_tables=16)

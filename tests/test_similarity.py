@@ -151,3 +151,26 @@ class TestEmbeddingNearDup:
         assert got <= exact
         # recall: P(bucket collision) ≈ 95%+ at the threshold angle
         assert len(got) / len(exact) >= 0.7
+
+
+class TestKnnGraph:
+    def test_lsh_graph_recall_vs_exact(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, emb, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, emb, k=3, n_planes=4, n_tables=16).collect()
+        }
+        assert len(exact) == emb.count() * 3
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"kNN-graph LSH recall {recall:.2f} below floor"
+
+    def test_every_vector_has_neighbors(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        g = cosine_topk(emb, emb, k=3)
+        per = g.groupBy("query_id").count().collect()
+        assert len(per) == emb.count()
+        assert all(r["count"] == 3 for r in per)
