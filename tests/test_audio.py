@@ -116,3 +116,45 @@ class TestSparkPlumbing:
         assert got["a.wav"]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
         assert got["b.wav"]["rms"] == 0.0
         assert len(got["a.wav"]["rms_windows"]) == 16
+
+
+class TestCustomSources:
+    def test_wavfile_source_reads_directory(self, spark, tmp_path):
+        from hg_data_pipelines_spark.sources import register_sources
+
+        d = tmp_path / "wavs"
+        d.mkdir()
+        (d / "tone.wav").write_bytes(encode_wav(_sine(440.0, 8000, 0.25), 8000))
+        (d / "quiet.wav").write_bytes(
+            encode_wav(np.zeros(2000, dtype=np.int16), 8000)
+        )
+        (d / "ignored.txt").write_text("not audio")
+
+        register_sources(spark)
+        df = spark.read.format("wavfile").load(str(d))
+        rows = {r["path"].split("/")[-1]: r.asDict() for r in df.collect()}
+        assert set(rows) == {"tone.wav", "quiet.wav"}
+        assert rows["tone.wav"]["sample_rate"] == 8000
+        assert rows["tone.wav"]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+        assert rows["quiet.wav"]["rms"] == 0.0
+
+    def test_synth_events_deterministic_across_layouts(self, spark):
+        from hg_data_pipelines_spark.sources import register_sources
+
+        register_sources(spark)
+
+        def table(parts):
+            return sorted(
+                spark.read.format("synth_events")
+                .option("rows", 500)
+                .option("partitions", parts)
+                .option("seed", 7)
+                .load()
+                .collect()
+            )
+
+        a, b = table(2), table(16)
+        assert a == b
+        assert len(a) == 500
+        # generated values look sane
+        assert all(0 <= r["user_id"] < 1000 for r in a[:50])
