@@ -39,6 +39,11 @@ HEADLINE = [
     "X4_text_stats",
     "X8_session_window_agg",
     "X6_tumbling_window_agg",
+    # round-2 additions (new keys — prior-round keys above stay stable)
+    "J7_interval_join_followups",
+    "X3_knn_graph",
+    "X4_repetition_filter",
+    "X2_component_representatives",
 ]
 
 

@@ -5,6 +5,7 @@
     python -m hg_data_pipelines_spark list
     python -m hg_data_pipelines_spark query <name> --sf-dir DIR [--limit N]
     python -m hg_data_pipelines_spark explain <name> [--mode formatted]
+    python -m hg_data_pipelines_spark compact <table_dir> [--target-mb N]
 
 The scheduler (cron/airflow) calls ``run``; ``query`` executes one declared
 query and prints rows — the operational front door to the engine.
@@ -60,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
         default="formatted",
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
+
+    c_p = sub.add_parser(
+        "compact", help="compact a Parquet table's small files"
+    )
+    c_p.add_argument("path")
+    c_p.add_argument("--target-mb", type=int, default=128)
 
     args = ap.parse_args(argv)
 
@@ -122,6 +129,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query: {args.name}", file=sys.stderr)
                 return 2
             QUERIES[args.name](spark, args.sf_dir).explain(args.mode)
+            return 0
+
+        if args.cmd == "compact":
+            from .io import compact_table
+
+            n = compact_table(
+                spark, args.path, target_file_bytes=args.target_mb * 1024 * 1024
+            )
+            print(f"compacted -> {n} file(s)")
             return 0
     finally:
         spark.stop()
