@@ -43,13 +43,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning + predicate pushdown reach the parquet scan because this
     returns the lazy scan directly (no materialization).
 
-    ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark has no
-    native type for — we read it as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    TIMESTAMP_NTZ with integer division (float division would lose precision:
-    epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range). DuckDB
-    applies the same floor-truncation reading the file, so both engines see
-    identical microsecond values.
+    ``events.ts`` has shipped with two physical encodings across TESTDATA
+    generations: parquet TIMESTAMP(NANOS) (no native Spark type — read as
+    int64 nanoseconds via ``spark.sql.legacy.parquet.nanosAsLong`` and
+    floor-truncated to microseconds with integer division, matching DuckDB's
+    truncation; float division would lose precision since epoch-nanos ≈
+    1.7e18 exceeds double's 2^53 exact-integer range) and plain
+    TIMESTAMP(MICROS). We branch on the type the scan actually produces, so
+    both generations yield the identical microsecond TIMESTAMP_NTZ column.
     """
     from pyspark.sql import functions as F
 
@@ -61,9 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session TZ, so pin UTC for a host-independent result.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            ts = F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+        else:
+            ts = F.col("ts").cast("timestamp_ntz")
+        df = df.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     else:
         df = spark.read.parquet(path)
     _check_schema(df, expected, path)

@@ -22,17 +22,34 @@ from .common import query, sql_dsum, utc
 
 _COUNTER = itertools.count()
 
-# Physical schema of events.parquet: ts is INT64 nanoseconds (see io.py).
-_RAW_EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _raw_events_schema(spark, path):
+    """Physical schema of events.parquet — ``ts`` has shipped as both INT64
+    nanoseconds and TIMESTAMP(MICROS) across TESTDATA generations (see
+    ``io.load_table``). Sniff the batch scan's resolved type so the stream
+    schema matches the files on disk."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _to_ntz(df):
+    """Normalize the raw ``ts`` column (int64-nanos or timestamp) to
+    microsecond TIMESTAMP_NTZ, mirroring ``io.load_table``."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts = F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+    return df.withColumn("ts", ts)
 
 
 @query(
@@ -50,11 +67,8 @@ def streaming_tumbling(spark, sf_dir):
     # parquet file into a temp dir (testdata is read-only).
     stage = tempfile.mkdtemp(prefix="x6_events_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
-    stream = (
-        spark.readStream.schema(_RAW_EVENTS)
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
-    )
+    schema = _raw_events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = _to_ntz(spark.readStream.schema(schema).parquet(stage))
     agg = (
         stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
