@@ -28,6 +28,19 @@ def _cosine(a: str, b: str) -> F.Column:
     return F.expr(f"({dot}) / sqrt(({na}) * ({nb}))")
 
 
+def _self_dot(col: str) -> F.Column:
+    """The squared-norm fold, evaluated once per ROW instead of once per
+    candidate pair. The per-pair cosine then divides by sqrt(qn * cn) —
+    the identical float expression tree as ``_cosine``, so results stay
+    bit-exact while the array folds per pair drop from 3 to 1."""
+    return F.expr(_DOT.format(a=col, b=col))
+
+
+def _cosine_pre(a: str, b: str, an: str, bn: str) -> F.Column:
+    dot = _DOT.format(a=a, b=b)
+    return F.expr(f"({dot}) / sqrt({an} * {bn})")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -43,8 +56,16 @@ def cosine_topk(
     Queries are broadcast: the corpus is scanned once, no shuffle until the
     tiny top-k window.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _self_dot(vec_col).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _self_dot(vec_col).alias("_cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -52,7 +73,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine("qv", "cv"), round_dp).alias("cosine"),
+            F.round(_cosine_pre("qv", "cv", "_qn", "_cn"), round_dp).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -102,7 +123,9 @@ def lsh_topk(
     """
     def sig_table(df: DataFrame, prefix: str) -> DataFrame:
         out = df.select(
-            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}v")
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}v"),
+            _self_dot(vec_col).alias(f"_{prefix}n"),
         )
         tables = F.array(
             *[
@@ -111,7 +134,10 @@ def lsh_topk(
             ]
         )
         return out.select(
-            f"{prefix}_id", f"{prefix}v", F.posexplode(tables).alias("table", "bucket")
+            f"{prefix}_id",
+            f"{prefix}v",
+            f"_{prefix}n",
+            F.posexplode(tables).alias("table", "bucket"),
         )
 
     qs = sig_table(queries, "query")
@@ -124,7 +150,9 @@ def lsh_topk(
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine("queryv", "neighborv"), round_dp).alias("cosine"),
+        F.round(
+            _cosine_pre("queryv", "neighborv", "_queryn", "_neighborn"), round_dp
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -177,15 +205,86 @@ def embedding_neardup_lsh(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    va = vecs.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), _self_dot("_v").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), _self_dot("_v").alias("_nb")
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", F.round(_cosine("va", "vb"), round_dp).alias("cosine")
+            "id_a",
+            "id_b",
+            F.round(_cosine_pre("va", "vb", "_na", "_nb"), round_dp).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def knn_graph_exact(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact k-NN graph (every vector's top-k neighbors) — each unordered
+    pair is scored ONCE and mirrored with an explode, halving the dominant
+    all-pairs fold work vs running ``cosine_topk(corpus, corpus)``.
+
+    Bit-exactness of the mirror: ``zip_with(a,b)`` per-element products are
+    commutative floats and the fold order is unchanged, and ``sqrt(na*nb)``
+    is symmetric — so cosine(a,b) ≡ cosine(b,a) at the bit level. The
+    explode mirrors rows inside one evaluation of the scored subtree (a
+    union of two branches would recompute it per side).
+
+    Fenced fixture-scale twin: all-pairs is O(n²) by contract (the oracle
+    needs the exact graph); ``lsh_topk`` is the 100 TB path.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _self_dot(vec_col).alias("_n"),
+    )
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine_pre("va", "vb", "na", "nb"), round_dp).alias("cosine"),
+        )
+    )
+    mirrored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("query_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

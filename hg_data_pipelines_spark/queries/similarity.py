@@ -144,10 +144,10 @@ _KNN_K = 3
     """,
 )
 def knn_graph_exact(spark, sf_dir):
+    from ..operators.similarity import knn_graph_exact as knn_op
+
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb, k=_KNN_K).withColumn(
-        "rank", F.col("rank").cast("int")
-    )
+    return knn_op(emb, k=_KNN_K).withColumn("rank", F.col("rank").cast("int"))
 
 
 @query("X3_knn_graph_lsh")
