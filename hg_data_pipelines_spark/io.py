@@ -23,6 +23,45 @@ class SchemaDriftError(RuntimeError):
     """Raised when a source's physical schema diverges from the contract."""
 
 
+# Scan-parallelism floor for small local inputs. A parquet file smaller
+# than maxPartitionBytes (and with one row group, as fixture writers
+# produce) arrives as ONE scan task, which serializes every narrow
+# transformation fused above it onto a single core of local[32]. The
+# conditional repartition below restores map-side parallelism for exactly
+# that case and is a no-op at scale: a 100 TB table's scan has thousands
+# of splits, so the size gate never fires and no shuffle is added.
+#
+# Only compute-dense tables qualify: documents (shingling / text analysis
+# higher-order functions) and embeddings (vector kernels) spend seconds of
+# CPU per partition above the scan, so one extra tiny round-robin exchange
+# buys a 32x map side (measured: shingle pipeline 14s -> 0.7s). Relational
+# fact tables do NOT qualify — their map sides are cheap filter/project
+# and the very next operator re-shuffles by join/agg key, so a round-robin
+# exchange is pure overhead (measured: TPC-H q18 1.65s -> 2.92s when
+# lineitem/orders were repartitioned). Correctness is unaffected either
+# way: declared queries use order-independent decimal accumulation and
+# total-order window tiebreaks (queries/common.py), never input-order
+# semantics.
+_SCAN_PAR_MIN_BYTES = 48 * 1024
+_SCAN_PAR_MAX_BYTES = 512 * 1024 * 1024
+_SCAN_PAR_TABLES = {"documents", "embeddings"}
+
+
+def _with_scan_parallelism(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
+    if name not in _SCAN_PAR_TABLES:
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and _SCAN_PAR_MIN_BYTES <= size <= _SCAN_PAR_MAX_BYTES:
+        return df.repartition(par)
+    return df
+
+
 def _check_schema(df: DataFrame, expected: T.StructType, source: str) -> None:
     """Names must match exactly and in order; types must be compatible.
 
@@ -72,7 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     _check_schema(df, expected, path)
-    return df
+    return _with_scan_parallelism(spark, df, path, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -49,15 +49,29 @@ def ngram_jaccard_pairs(
         .select("_id", word_shingles("toks", ngram).alias("shingles"))
         .select("_id", F.size("shingles").alias("_n"), F.explode("shingles").alias("s"))
     )
-    a = sh.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("na"), F.col("s")
+    # Bucket-then-combine instead of an inverted-index self-join: the
+    # shingle subtree is evaluated ONCE (a self-join recomputes it per
+    # side) and pairs expand inside each shingle's posting list. Posting
+    # lists are bounded by document-frequency (hot shingles are rare in
+    # the candidate set by the Jaccard threshold's nature), so the
+    # expansion stays near-linear; the (least, greatest) canonicalization
+    # makes output independent of collect_list order.
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.collect_list(F.struct("_id", "_n")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    b = sh.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("nb"), F.col("s")
+    pair_expr = (
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " CASE WHEN x._id < y._id"
+        " THEN struct(x._id as id_a, y._id as id_b, x._n as na, y._n as nb)"
+        " ELSE struct(y._id as id_a, x._id as id_b, y._n as na, x._n as nb)"
+        " END)))"
     )
     common = (
-        a.join(b, ["s"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.na", "p.nb")
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
     )

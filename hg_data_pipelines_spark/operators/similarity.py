@@ -229,62 +229,113 @@ def knn_graph_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    n_chunks: int | None = None,
+    candidate_buffer: int = 32,
 ) -> DataFrame:
-    """Exact k-NN graph (every vector's top-k neighbors) — each unordered
-    pair is scored ONCE and mirrored with an explode, halving the dominant
-    all-pairs fold work vs running ``cosine_topk(corpus, corpus)``.
+    """Exact k-NN graph (every vector's top-k neighbors) via chunked block
+    scoring: the corpus splits into hash chunks, each chunk is cogrouped
+    with a full copy of the corpus, and an Arrow-batched kernel scores the
+    chunk against the block with a per-dimension accumulation loop.
 
-    Bit-exactness of the mirror: ``zip_with(a,b)`` per-element products are
-    commutative floats and the fold order is unchanged, and ``sqrt(na*nb)``
-    is symmetric — so cosine(a,b) ≡ cosine(b,a) at the bit level. The
-    explode mirrors rows inside one evaluation of the scored subtree (a
-    union of two branches would recompute it per side).
+    Why this shape: a pair-level crossJoin materializes O(n²) rows each
+    carrying two full vectors (the dominant cost at any n), while here the
+    only shuffled data is the corpus replicated once per chunk —
+    O(n · n_chunks) rows — and the n² arithmetic happens vectorized inside
+    the kernel without ever existing as rows.
 
-    Fenced fixture-scale twin: all-pairs is O(n²) by contract (the oracle
-    needs the exact graph); ``lsh_topk`` is the 100 TB path.
+    Bit-exactness vs the SQL fold oracle: the kernel accumulates
+    ``acc = acc + q_d * c_d`` over dimensions in index order — the same
+    IEEE operation sequence as ``aggregate(zip_with(...))`` (the fold's
+    ``0.0 + t1`` seed is exact) — and mirrors Spark's NaN-greatest DESC
+    ordering. The kernel emits ``k + candidate_buffer`` candidates ranked
+    by unrounded cosine; the final Spark-side round + row_number window
+    reproduces the declared rounded-cosine ordering exactly (rounding is
+    monotone, so the buffered candidate set always covers the rounded
+    top-k short of a >buffer-way rounding tie).
+
+    Fenced fixture-scale twin: the n² kernel work is O(n²) by contract
+    (the oracle needs the exact graph); ``lsh_topk`` is the 100 TB path.
+    Per-query output is independent of chunk assignment, so results do not
+    depend on cluster layout.
     """
-    v = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _self_dot(vec_col).alias("_n"),
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    if n_chunks is None:
+        n_chunks = max(spark.sparkContext.defaultParallelism, 1)
+    m = k + candidate_buffer
+
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    chunked = v.withColumn("_chunk", F.pmod(F.xxhash64("_id"), F.lit(n_chunks)))
+    chunk_ids = spark.range(n_chunks).select(F.col("id").alias("_chunk"))
+    block = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).crossJoin(F.broadcast(chunk_ids))
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    a = v.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
-    )
-    b = v.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-    )
-    pairs = (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_cosine_pre("va", "vb", "na", "nb"), round_dp).alias("cosine"),
+
+    def score_chunk(queries_pdf: pd.DataFrame, corpus_pdf: pd.DataFrame) -> pd.DataFrame:
+        if queries_pdf.empty or corpus_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"cosine": "float64"})
+        q_ids = queries_pdf["_id"].to_numpy()
+        c_ids = corpus_pdf["_cid"].to_numpy()
+        q = np.stack(queries_pdf["_v"].to_numpy()).astype(np.float64)
+        c = np.stack(corpus_pdf["_cv"].to_numpy()).astype(np.float64)
+        nb, dim = len(c_ids), q.shape[1]
+        dots = np.zeros((len(q_ids), nb))
+        qn = np.zeros(len(q_ids))
+        cn = np.zeros(nb)
+        for d in range(dim):  # index-order accumulation == SQL fold order
+            dots += q[:, d : d + 1] * c[None, :, d]
+            qn += q[:, d] * q[:, d]
+            cn += c[:, d] * c[:, d]
+        cos = dots / np.sqrt(qn[:, None] * cn[None, :])
+        # Exclude self-pairs; order by (cosine DESC with NaN greatest,
+        # neighbor_id ASC) exactly like the declared window.
+        cos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        sort_key = np.where(np.isnan(cos), np.inf, cos)
+        take = min(m, nb)
+        order = np.lexsort((np.broadcast_to(c_ids, cos.shape), -sort_key), axis=1)
+        top = order[:, :take]
+        rows = np.arange(len(q_ids))[:, None]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, take),
+                "neighbor_id": c_ids[top].ravel(),
+                "cosine": cos[rows, top].ravel(),
+            }
         )
+        return out[np.isfinite(out["cosine"]) | np.isnan(out["cosine"])]
+
+    scored = (
+        chunked.groupBy("_chunk")
+        .cogroup(block.groupBy("_chunk"))
+        .applyInPandas(score_chunk, schema=out_schema)
     )
-    mirrored = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("query_id"),
-                    F.col("id_b").alias("neighbor_id"),
-                    F.col("cosine"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("query_id"),
-                    F.col("id_a").alias("neighbor_id"),
-                    F.col("cosine"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), round_dp)), "neighbor_id"
+    )
     return (
-        mirrored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), round_dp).alias("cosine"),
+            "rank",
+        )
     )
 
 

@@ -308,7 +308,12 @@ class TestCorpusPlanShapes:
 
     def test_pii_redaction_is_pure_projection(self, spark):
         plan = self._plan(spark, "X4_pii_redaction")
-        assert "Exchange" not in plan
+        # No key shuffle: redaction is a narrow per-row projection. The one
+        # permitted exchange is io.py's round-robin scan-parallelism
+        # repartition of the single-split documents file.
+        assert "hashpartitioning" not in plan
+        assert "rangepartitioning" not in plan
+        assert plan.count("Exchange") <= 1
 
     def test_contamination_probe_broadcasts_probe_side(self, spark):
         plan = self._plan(spark, "X4_contamination_probe")
