@@ -1,0 +1,82 @@
+"""Iterative graph operators over edge lists (SURVEY.md X11).
+
+Fixed-point PageRank: the rank vector lives in scaled BIGINT arithmetic
+(rank ≈ r · 10^15) and every step — division by out-degree, damping,
+teleport — is exact integer division. Integer ops are associative,
+commutative, and identical on every engine, so an N-iteration run is
+bit-reproducible regardless of partitioning, executor count, or which
+SQL engine computes it: the DuckDB oracle matches the distributed Spark
+run exactly, with no float-summation-order caveats. (A double-based
+PageRank cannot make that guarantee: SUM over in-neighbor contributions
+is order-dependent in the last ulps, and ROUND/DECIMAL-cast rounding of
+arbitrary doubles is not specified identically across engines.)
+
+Scale design: one shuffle per iteration (the contribution groupBy on
+dst); the out-degree table joins in once up front; the node-count scalar
+rides along as a broadcast 1-row cross join, never a driver collect.
+Iterations extend the lazy plan — for deep runs (n_iter >> 10) callers
+should localCheckpoint between rounds like
+``operators.dedup.connected_components`` does; at the 3-5 iterations
+that rank stabilizes for dedup-quality propagation, plan growth is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**15
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank_scaled BIGINT).
+
+    ``rank_scaled`` is the rank times 10^15, truncated; ranks of a node
+    set sum to just under 10^15 (integer truncation sheds < 1 per op).
+    Nodes are the union of sources and destinations; every node gets the
+    teleport mass even with zero in-edges.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_nn"))
+    # Scalar node count rides as a broadcast column — no driver action.
+    nodes_nn = nodes.crossJoin(F.broadcast(n_nodes))
+
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    e_deg = e.join(outdeg, "_src")
+
+    base = F.expr(
+        f"(({damping_den - damping_num} * ({SCALE} DIV _nn)) DIV {damping_den})"
+    )
+    ranks = nodes_nn.select(
+        "node", "_nn", F.expr(f"{SCALE} DIV _nn").alias("rank_scaled")
+    )
+    for _ in range(n_iter):
+        contrib = e_deg.join(
+            ranks.select(F.col("node").alias("_src"), "rank_scaled"), "_src"
+        ).select(F.col("_dst"), F.expr("rank_scaled DIV _deg").alias("_c"))
+        sums = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes_nn.join(sums, nodes_nn["node"] == sums["_dst"], "left")
+            .select(
+                "node",
+                "_nn",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L)) DIV {damping_den}"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+    return ranks.select("node", "rank_scaled")

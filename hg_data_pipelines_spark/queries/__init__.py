@@ -22,6 +22,7 @@ from . import stats_q  # noqa: E402,F401
 from . import quality_q  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import graph_q  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import geometry_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401

@@ -1,0 +1,74 @@
+"""Graph-analytics queries (SURVEY.md X11): PageRank over the k-NN graph.
+
+The k-NN graph (each embedding → its 3 nearest cosine neighbors) is the
+standard similarity backbone for corpus curation: rank mass flows toward
+documents many others point at, marking cluster centers / canonical
+copies. The declared query runs fixed-point (scaled-BIGINT) PageRank —
+see ``operators/graph.py`` — so the iterative result is bit-identical on
+any engine and the DuckDB oracle is an exact hash match, something a
+float PageRank cannot promise.
+
+The oracle unrolls the Spark-side iteration loop as chained CTEs: one
+``s{i}`` (in-neighbor contribution sum) + ``r{i}`` (damped update) pair
+per iteration, all in ``//`` integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.graph import SCALE, pagerank_fixed_point
+from ..operators.similarity import knn_graph_exact
+from .common import load, query
+from .similarity import _KNN_K, _SQL_COSINE
+
+_PR_ITER = 4
+
+
+def _pagerank_oracle(n_iter: int = _PR_ITER, k: int = _KNN_K) -> str:
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT q.vec_id AS src, c.vec_id AS dst
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+        ) <= {k}
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM nodes
+    ), deg AS (
+        SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node, ({SCALE} // nn.n) AS r FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", s{i} AS (
+        SELECT e.dst, CAST(SUM(r.r // deg.d) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ), r{i} AS (
+        SELECT n.node,
+               ((15 * ({SCALE} // nn.n)) // 100)
+               + (85 * COALESCE(s{i}.s, 0)) // 100 AS r
+        FROM nodes n
+        CROSS JOIN nn
+        LEFT JOIN s{i} ON n.node = s{i}.dst
+    )"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_scaled FROM r{n_iter}")
+    return "".join(parts)
+
+
+@query("X11_pagerank_knn", _pagerank_oracle())
+def pagerank_knn(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    edges = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank_fixed_point(edges, n_iter=_PR_ITER)

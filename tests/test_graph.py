@@ -1,0 +1,47 @@
+"""Fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from hg_data_pipelines_spark.operators.graph import SCALE, pagerank_fixed_point
+
+
+def _pr(spark, edges, n_iter=4, parts=None):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    if parts is not None:
+        df = df.repartition(parts)
+    return {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_fixed_point(df, n_iter=n_iter).collect()
+    }
+
+
+class TestPagerankFixedPoint:
+    def test_mass_conserved_within_truncation(self, spark):
+        # integer truncation sheds < 1 unit per div per node per round
+        got = _pr(spark, [(1, 2), (2, 3), (3, 1)])
+        total = sum(got.values())
+        assert 0 <= SCALE - total < 1000
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        got = _pr(spark, [(1, 2), (2, 3), (3, 1)])
+        assert len(set(got.values())) == 1
+
+    def test_sink_hub_accumulates_rank(self, spark):
+        # star: 1..4 all point at 5, 5 points back at 1. The 1<->5 cycle
+        # oscillates with period 2, so score the hub after an odd round.
+        edges = [(i, 5) for i in range(1, 5)] + [(5, 1)]
+        got = _pr(spark, edges, n_iter=5)
+        assert got[5] == max(got.values())
+        assert got[5] > got[2] > 0
+        # 2,3,4 are structurally identical -> identical integer ranks
+        assert got[2] == got[3] == got[4]
+
+    def test_partitioning_invariant(self, spark):
+        # integer arithmetic: exact equality across cluster layouts
+        edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, i + 1) for i in range(22)]
+        assert _pr(spark, edges, parts=1) == _pr(spark, edges, parts=13)
+
+    def test_zero_in_degree_gets_teleport_mass(self, spark):
+        got = _pr(spark, [(1, 2)])
+        # node 1 has no in-edges: exactly the teleport base term
+        assert got[1] == (15 * (SCALE // 2)) // 100
