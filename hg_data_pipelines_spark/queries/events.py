@@ -441,3 +441,85 @@ def interval_join_followups(spark, sf_dir):
         F.count("b_event_id").alias("n_followups"),
         dsum("b_value", "followup_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# X12: product-analytics staples over the event log — weekly cohort
+# retention and ordered funnel conversion. Both are exact integer/timestamp
+# arithmetic end-to-end (week truncation, day diffs, counts), so the
+# oracles hash-match with no float discipline needed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           date_diff('day', f.cohort_week, a.active_week) // 7 AS week_offset,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly retention triangle: users grouped by first-seen week, counted
+    in each subsequent active week. Two aggregations plus one join on
+    user_id; the firsts table is |users|-sized (broadcastable at scale)."""
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) DIV 7").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "X12_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'view', 2, COUNT(*) FROM s2
+    UNION ALL SELECT 'click', 3, COUNT(*) FROM s3
+    UNION ALL SELECT 'purchase', 4, COUNT(*) FROM s4
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """signup -> view -> click -> purchase ordered funnel; see
+    operators/funnel.py for the per-stage shrinking-join design."""
+    from ..operators.funnel import funnel_counts
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
