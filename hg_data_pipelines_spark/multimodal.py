@@ -422,3 +422,211 @@ def write_images(binary_df: DataFrame, out_dir: str) -> int:
 
     rows.foreachPartition(_write)
     return len(os.listdir(out_dir))
+
+
+# ---------------------------------------------------------------------------
+# Video modality (X5): opaque binary container + typed metadata. The
+# deterministic RAWVID container (magic + frame-count/fps/dims header +
+# frame-major uint8 pixels) is the test-path codec; real containers
+# (MP4/Matroska) are detected by magic and raise at the clearly-marked
+# pyav/ffmpeg seam — the Spark-side plumbing (schemas, mapInPandas batch
+# shapes, per-frame explode) is identical for both.
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"RAWVID1\x00"
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def encode_video(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
+    """(F, H, W[, C]) uint8 frames → RAWVID bytes."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = frames[:, :, :, None]
+    f, h, w, c = frames.shape
+    num, den = fps
+    header = struct.pack("<IIIIII", f, num, den, h, w, c)
+    return _VID_MAGIC + header + frames.tobytes()
+
+
+def decode_video(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Video bytes → ((F, H, W, C) uint8, (fps_num, fps_den)).
+
+    Real-container seam: MP4 (ftyp) and Matroska/WebM (EBML) blobs are
+    recognized but require an external demuxer/decoder (pyav or ffmpeg),
+    which this container does not ship.
+    """
+    if data.startswith(_VID_MAGIC):
+        f, num, den, h, w, c = struct.unpack_from("<IIIIII", data, len(_VID_MAGIC))
+        off = len(_VID_MAGIC) + 24
+        arr = np.frombuffer(data, dtype=np.uint8, count=f * h * w * c, offset=off)
+        return arr.reshape(f, h, w, c), (num, den)
+    if len(data) > 11 and data[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4 container detected: decoding requires pyav/ffmpeg (seam)"
+        )
+    if data.startswith(b"\x1a\x45\xdf\xa3"):
+        raise NotImplementedError(
+            "Matroska/WebM container detected: decoding requires pyav/ffmpeg (seam)"
+        )
+    raise ValueError("unsupported video bytes (RAWVID, MP4, Matroska)")
+
+
+def video_metadata(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → typed per-video metadata (header parse only —
+    never materializes pixel arrays for metadata)."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["content"])
+                f, num, den, h, w, c = struct.unpack_from(
+                    "<IIIIII", data, len(_VID_MAGIC)
+                )
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "length": len(data),
+                        "n_frames": f,
+                        "fps_num": num,
+                        "fps_den": den,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "duration_s": f * den / num,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_META_SCHEMA])
+
+    return binary_df.select("path", "content").mapInPandas(_meta, VIDEO_META_SCHEMA)
+
+
+def sample_video_frames(binary_df: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Explode videos into every-Nth-frame image rows (RAW-encoded) with
+    frame index and presentation time — the decode→subsample step of a
+    video training-data pipeline. Row-local (no shuffle); each output
+    frame is an independent image for the downstream image operators."""
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("t_seconds", T.DoubleType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, (num, den) = decode_video(bytes(r["content"]))
+                for idx in range(0, frames.shape[0], every_nth):
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "frame_idx": idx,
+                            "t_seconds": idx * den / num,
+                            "content": encode_image(frames[idx]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_idx", "t_seconds", "content"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(_sample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (X5→X2 bridge): 64-bit pHash (DCT) and dHash
+# (gradient) fingerprints, joinable into the generic Hamming-blocked
+# near-dup machinery (operators/dedup.py hamming_near_pairs).
+# ---------------------------------------------------------------------------
+
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 → (H, W) float64 luma (ITU-R BT.601)."""
+    a = arr.astype(np.float64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        return a[:, :, 0]
+    return a
+
+
+def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor downsample (no codec dependence)."""
+    h, w = img.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """Bit array (MSB first) → signed 64-bit int (Spark LongType range)."""
+    val = 0
+    for b in bits.ravel():
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Perceptual hash: 32×32 luma → 2D DCT-II → low-frequency 8×8 block
+    (DC excluded) thresholded at its median → 64 bits. Identical images
+    hash equal; small blur/noise/re-encode flips few bits."""
+    g = _resize_nearest(_to_gray(arr), 32, 32)
+    d = _dct_matrix(32)
+    coeffs = d @ g @ d.T
+    block = coeffs[:8, :8].copy().ravel()
+    rest = block[1:]  # exclude DC
+    med = np.median(rest)
+    bits = np.concatenate([[False], rest > med])
+    return _pack_bits(bits)
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """Difference hash: 9×8 luma, horizontal gradient sign → 64 bits."""
+    g = _resize_nearest(_to_gray(arr), 8, 9)
+    return _pack_bits(g[:, 1:] > g[:, :-1])
+
+
+def image_fingerprints(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → (path, phash, dhash) for Hamming-blocked image
+    dedup: ``hamming_near_pairs(image_fingerprints(df), 'path', 'phash')``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image(bytes(r["content"]))
+                rows.append(
+                    {"path": r["path"], "phash": phash64(arr), "dhash": dhash64(arr)}
+                )
+            yield pd.DataFrame(rows, columns=["path", "phash", "dhash"])
+
+    return binary_df.select("path", "content").mapInPandas(_fp, out_schema)

@@ -216,41 +216,68 @@ def simhash_fingerprints(
     ).select("doc_id", simhash64("toks").alias("simhash"))
 
 
+def hamming_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs of 64-bit fingerprints via chunk-blocked Hamming.
+
+    Pigeonhole: any pair within Hamming distance ``n_chunks - 1`` shares
+    at least one exact 64/n_chunks-bit chunk; larger ``max_hamming``
+    trades recall. Bucket-then-combine (one evaluation of the fingerprint
+    subtree, pair expansion inside each chunk bucket) keeps candidate
+    generation near-linear; the exact ``bit_count`` check filters.
+    Works for any 64-bit LSH family: SimHash text fingerprints,
+    perceptual image hashes (pHash/dHash), etc.
+    """
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    base = fingerprints.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    chunks = base.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" c -> shiftright(_h, c * {bits}) & {mask}L)"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(F.collect_list(F.struct("_id", "_h")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " CASE WHEN x._id < y._id"
+        " THEN struct(x._id as id_a, y._id as id_b, x._h as ha, y._h as hb)"
+        " ELSE struct(y._id as id_a, x._id as id_b, y._h as ha, x._h as hb)"
+        " END)))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup pairs via 4×16-bit chunk blocking.
-
-    Pigeonhole: any pair within Hamming distance 3 shares at least one exact
-    16-bit chunk; larger ``max_hamming`` trades recall. Chunk-equality join
-    keeps candidate generation near-linear, then the exact Hamming check
-    filters.
-    """
+    """SimHash near-dup pairs via 4×16-bit chunk blocking
+    (see ``hamming_near_pairs``)."""
     fp = simhash_fingerprints(docs, id_col, text_col)
-    chunks = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " c -> shiftright(simhash, c * 16) & 65535L)"
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    a = chunks.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
-    )
-    return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_near_pairs(fp, "doc_id", "simhash", max_hamming)
