@@ -228,3 +228,29 @@ def label_centroids(spark, sf_dir):
             F.expr("transform(_sorted, x -> x.mean_v)").alias("centroid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A16: approximate percentiles — the mergeable-sketch path for the exact
+# A10 query. Spark's approx_percentile (GK-style) and DuckDB's
+# approx_quantile (t-digest) are different sketches with different
+# guarantees, so no cross-engine oracle exists BY DESIGN (rows-only);
+# tests/test_stats_sketches.py pins the rank-error bound against the
+# exact A10 values instead. At 100 TB this is the right default: one
+# map-side-mergeable sketch per group, no full sort, accuracy set by the
+# accuracy knob, not the data size.
+# --------------------------------------------------------------------------
+
+
+@query("A16_approx_percentiles")
+def approx_percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", pcts, F.lit(10000)).alias("approx")
+    ).select(
+        "l_returnflag",
+        F.col("approx")[0].alias("p50"),
+        F.col("approx")[1].alias("p90"),
+        F.col("approx")[2].alias("p99"),
+    )

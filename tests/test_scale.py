@@ -292,6 +292,53 @@ class TestRangeClusteredWrite:
         assert spark.read.parquet(path).count() == orders.count()
 
 
+class TestZorderClusteredWrite:
+    def test_both_dimensions_cluster(self, spark, tmp_path):
+        import os
+        import pyarrow.parquet as pq
+        from hg_data_pipelines_spark.operators.scale import (
+            write_range_clustered,
+            write_zorder_clustered,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+        def per_file_spans(path, col):
+            spans = []
+            for f in os.listdir(path):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(path, f)).metadata
+                names = md.schema.to_arrow_schema().names
+                st = md.row_group(0).column(names.index(col)).statistics
+                spans.append(float(st.max) - float(st.min))
+            return spans
+
+        z = write_zorder_clustered(
+            orders, str(tmp_path / "z"), "o_custkey", "o_totalprice", n_files=16
+        )
+        r = write_range_clustered(
+            orders, str(tmp_path / "r"), "o_custkey", n_files=16
+        )
+
+        row = orders.agg(
+            F.max("o_custkey") - F.min("o_custkey"),
+            F.max("o_totalprice") - F.min("o_totalprice"),
+        ).collect()[0]
+        cust_span, price_span = float(row[0]), float(row[1])
+
+        z_cust = sum(per_file_spans(z, "o_custkey")) / 16 / cust_span
+        z_price = sum(per_file_spans(z, "o_totalprice")) / 16 / price_span
+        r_price = sum(per_file_spans(r, "o_totalprice")) / 16 / price_span
+
+        # z-order: BOTH dimensions tight per file (≈ 1/sqrt(16) of global)
+        assert z_cust <= 0.5 and z_price <= 0.5
+        # single-column range clustering leaves the other dimension wide
+        assert r_price >= 2 * z_price
+        # layout-only: values unchanged
+        assert spark.read.parquet(z).count() == orders.count()
+
+
 class TestCorpusPlanShapes:
     """The corpus-analytics queries must keep their promised shapes: PII
     redaction shuffles nothing, the contamination probe broadcasts the
