@@ -44,6 +44,9 @@ HEADLINE = [
     "X3_knn_graph",
     "X4_repetition_filter",
     "X2_component_representatives",
+    # round-2 (cont.): iterative graph + product analytics
+    "X11_pagerank_knn",
+    "X12_cohort_retention",
 ]
 
 

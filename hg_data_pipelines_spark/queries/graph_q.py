@@ -72,3 +72,61 @@ def pagerank_knn(spark, sf_dir):
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank_fixed_point(edges, n_iter=_PR_ITER)
+
+
+# --------------------------------------------------------------------------
+# SQL surface: Spark 4 recursive CTEs. The SAME recursive shape runs on
+# both engines — bounded-depth BFS reachability from the lowest vec_id
+# over the k-NN graph. Exact integer depths, so no float discipline
+# needed; only the cosine inside the edge derivation needs the usual
+# 6dp-rounded ordering. Path count is bounded by out-degree^max_depth
+# (k=3, depth<=4 → ≤81 paths per expansion), the standard guard for
+# recursive traversals without a visited-set.
+# --------------------------------------------------------------------------
+
+_REACH_DEPTH = 4
+
+_SPARK_COSINE = """
+    round(
+        aggregate(zip_with(q.embedding, c.embedding,
+                           (x, y) -> cast(x as double) * cast(y as double)),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        / sqrt(aggregate(zip_with(q.embedding, q.embedding,
+                                  (x, y) -> cast(x as double) * cast(y as double)),
+                         cast(0.0 as double), (acc, v) -> acc + v)
+             * aggregate(zip_with(c.embedding, c.embedding,
+                                  (x, y) -> cast(x as double) * cast(y as double)),
+                         cast(0.0 as double), (acc, v) -> acc + v)),
+        6)
+"""
+
+
+def _reachability_sql(cosine: str, k: int = _KNN_K, depth: int = _REACH_DEPTH) -> str:
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT src, dst FROM (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY {cosine} DESC, c.vec_id
+                   ) AS rnk
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        ) ranked WHERE rnk <= {k}
+    ), seed AS (
+        SELECT MIN(vec_id) AS node FROM embeddings
+    ), walk(node, depth) AS (
+        SELECT node, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.depth < {depth}
+    )
+    SELECT node, MIN(depth) AS hops, COUNT(*) AS n_paths
+    FROM walk GROUP BY node
+    """
+
+
+@query("SQL_recursive_reachability", _reachability_sql(_SQL_COSINE))
+def recursive_reachability(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    return spark.sql(_reachability_sql(_SPARK_COSINE))
