@@ -42,7 +42,12 @@ def pagerank_fixed_point(
     Nodes are the union of sources and destinations; every node gets the
     teleport mass even with zero in-edges.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # Truncate the edge lineage once: the edge subtree would otherwise be
+    # embedded (and risk re-execution) in every iteration's plan — costly
+    # when edges come from an expensive derivation like the k-NN kernel.
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))

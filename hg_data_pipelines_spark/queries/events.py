@@ -523,3 +523,40 @@ def funnel_conversion(spark, sf_dir):
     utc(spark)
     ev = load(spark, sf_dir, "events")
     return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+# --------------------------------------------------------------------------
+# N-VARIANT: Spark 4 VARIANT ingestion of semi-structured props — the
+# shredded-JSON path. parse_json builds the binary VARIANT once; typed
+# variant_get extraction replaces per-access string re-parsing
+# (get_json_object walks the JSON text on EVERY call — the VARIANT
+# decode-once form is the 100 TB shape for multi-field access). Oracle is
+# DuckDB's json_extract on the same source column; the extracted field is
+# integer so no float discipline applies.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "N_variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extract(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -997,3 +997,28 @@ def agg_extras(spark, sf_dir):
         F.bool_and(F.col("n_nationkey") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("n_name").like("A%")).alias("any_a"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL surface: LATERAL correlated subquery — per-nation top-2 customers by
+# balance. The lateral derived table re-executes per outer row (Catalyst
+# decorrelates it into a ranked join), the idiomatic SQL form of
+# "top-N per group" without a window over the full table. The identical
+# SQL text runs on both engines.
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@query("SQL_lateral_topn_per_group", _LATERAL_SQL)
+def sql_lateral_topn(spark, sf_dir):
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
