@@ -156,3 +156,55 @@ def knn_graph_lsh(spark, sf_dir):
     pytest pins recall vs the exact graph."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb, k=_KNN_K, n_planes=4, n_tables=16)
+
+
+# --------------------------------------------------------------------------
+# X5 → driver gate: the multimodal image path as a declared query. Each
+# embedding renders as a deterministic 8×8 grayscale image (per-vector
+# min-max quantization — no RNG, no codec dependence), flows through the
+# RAW image codec and the perceptual-hash fingerprinter, and the 64-bit
+# pHash/dHash land back as columns. Rows-only by design (a DCT cannot be
+# expressed in the SQL oracle); determinism means the driver's rows-only
+# check is stable across runs and layouts.
+# --------------------------------------------------------------------------
+
+
+@query("X5_image_phash_fingerprints")
+def image_phash_fingerprints_query(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_image, dhash64, encode_image, phash64
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _fp(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                v = np.asarray(r["embedding"], dtype=np.float64)
+                lo, hi = v.min(), v.max()
+                scale = (hi - lo) if hi > lo else 1.0
+                img = ((v - lo) / scale * 255.0).astype(np.uint8).reshape(8, 8)
+                # round-trip through the RAW codec (exercises the real
+                # image interchange path), then fingerprint
+                arr = decode_image(encode_image(img))
+                rows.append(
+                    {
+                        "vec_id": r["vec_id"],
+                        "phash": phash64(arr),
+                        "dhash": dhash64(arr),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["vec_id", "phash", "dhash"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(_fp, out_schema)
