@@ -1022,3 +1022,46 @@ def sql_lateral_topn(spark, sf_dir):
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# §2.8 map-typed functions: build a priority→count map per order status
+# (map_from_entries), double the values (transform_values), drop small
+# entries (map_filter), then explode map_entries back to rows so the
+# oracle compares plain relational output (DuckDB MAP canonicalizes
+# differently in the comparator, so maps stay an internal representation
+# — which is also the realistic shape: maps as in-flight state, rows at
+# the boundary).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_map_funcs",
+    """
+    SELECT o_orderstatus, o_orderpriority AS priority,
+           cnt * 2 AS doubled_count
+    FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2)
+    WHERE cnt * 2 >= 100
+    """,
+)
+def map_funcs(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "cnt"))
+        ).alias("prio_counts")
+    )
+    transformed = mapped.select(
+        "o_orderstatus",
+        F.map_filter(
+            F.transform_values("prio_counts", lambda _, v: v * 2),
+            lambda _, v: v >= 100,
+        ).alias("m"),
+    )
+    return transformed.select(
+        "o_orderstatus", F.explode("m").alias("priority", "doubled_count")
+    )

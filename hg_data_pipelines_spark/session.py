@@ -56,6 +56,11 @@ def get_spark(
         # batches instead of pickled rows.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python UDTFs also cross via Arrow batches (ArrowEvalPythonUDTF
+        # instead of row-pickled BatchEvalPythonUDTF) — keeps the entire
+        # declared surface free of row-at-a-time Python exec nodes
+        # (asserted by tests/test_plan_audit.py).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Deterministic timestamp semantics regardless of host TZ.
         .config("spark.sql.session.timeZone", "UTC")
         # Broadcast threshold: dims (region/nation/customer/class_dim) are
