@@ -454,3 +454,226 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    round_dp: int = 6,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Product-quantization approximate top-k (asymmetric distance).
+
+    The 100 TB memory-side ANN lever: each corpus vector compresses to
+    ``m_subvectors`` one-byte codes (64 floats → 8 bytes here), so the
+    scan side touches codes, not vectors. Scoring is asymmetric: the
+    query stays exact, and per query a (m × n_codes) inner-product
+    lookup table against the codebooks turns each candidate score into m
+    table lookups — no per-pair float vector work at all.
+
+    Training mirrors ``ivf_topk``'s discipline: deterministic lowest-id
+    seeding per subspace, Lloyd refinement where the shuffled output is
+    only (m × n_codes × sub_dim) sums, the bounded codebook is the one
+    permissible driver collect, and means are rounded to 9 dp so no
+    result depends on partition-order float summation. Vectors are
+    L2-normalized first, making inner product ≡ cosine for ranking.
+    Rows-only by design (k-means codebooks are not SQL-expressible);
+    pytest pins recall against the exact brute force.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    sub = m_subvectors
+
+    def normalized(df, out_id):
+        norm = _DOT.format(a="_v0", b="_v0")
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("_v0")
+        ).select(
+            out_id,
+            F.expr(
+                f"transform(_v0, x -> cast(x as double) / sqrt({norm}))"
+            ).alias("_v"),
+        )
+
+    cvecs = normalized(corpus, "_id")
+
+    # --- train: deterministic seed + Lloyd, all subspaces in one frame ---
+    seed_rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .collect()
+    )
+    dim = len(seed_rows[0]["sv"])
+    sd = dim // sub
+    seeds = np.stack(
+        [np.asarray(r["sv"], dtype=np.float64) for r in sorted(
+            seed_rows, key=lambda r: r["sid"]
+        )]
+    )
+    seeds = seeds / np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
+    # codebook[m][c] = centroid vector (sub_dim,)
+    codebook = np.stack(
+        [seeds[:, m * sd : (m + 1) * sd] for m in range(sub)]
+    )  # (m, n_codes, sd)
+
+    subvecs = cvecs.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {sub - 1}),"
+                f" m -> slice(_v, m * {sd} + 1, {sd}))"
+            )
+        ).alias("m", "sv"),
+    )
+
+    for _ in range(max(0, n_iter)):
+        cb = spark.createDataFrame(
+            [
+                (m, c, [float(x) for x in codebook[m, c]])
+                for m in range(sub)
+                for c in range(n_codes)
+            ],
+            "m int, c int, cv array<double>",
+        )
+        dist = (
+            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        w_assign = Window.partitionBy("_id", "m").orderBy("_d", "c")
+        assigned = (
+            subvecs.join(F.broadcast(cb), "m")
+            .select("_id", "m", "sv", "c", F.round(F.expr(dist), 9).alias("_d"))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+        )
+        sums = (
+            assigned.select("m", "c", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("m", "c", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cb = codebook.copy()
+        for r in sums:
+            new_cb[int(r["m"]), int(r["c"]), int(r["dim"])] = round(
+                r["s"] / r["n"], 9
+            )
+        codebook = new_cb
+
+    bc_codebook = spark.sparkContext.broadcast(codebook)
+
+    # --- encode: corpus vectors → m one-byte codes ---
+    code_schema = T.StructType(
+        [
+            T.StructField("_id", corpus.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        cb_local = bc_codebook.value  # (m, K, sd)
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"_id": [], "codes": []})
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(v), sub), dtype=np.int64)
+            for m in range(sub):
+                s = v[:, m * sd : (m + 1) * sd]  # (n, sd)
+                # squared L2 to each centroid; argmin = first minimum
+                d2 = (
+                    (s[:, None, :] - cb_local[m][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    coded = cvecs.mapInPandas(encode, code_schema)
+
+    # --- serve: broadcast exact queries, ADC scoring over codes ---
+    qvecs = normalized(queries, "query_id")
+    paired = coded.crossJoin(F.broadcast(qvecs))
+
+    score_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches):
+        cb_local = bc_codebook.value
+        luts: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "score": []}
+                )
+                continue
+            out_q, out_n, out_s = [], [], []
+            for qid, grp in pdf.groupby("query_id", sort=True):
+                key = qid
+                if key not in luts:
+                    qv = np.asarray(
+                        grp["_v"].iloc[0], dtype=np.float64
+                    )
+                    lut = np.empty((sub, n_codes))
+                    for m in range(sub):
+                        lut[m] = cb_local[m] @ qv[m * sd : (m + 1) * sd]
+                    luts[key] = lut
+                lut = luts[key]
+                codes = np.stack(grp["codes"].to_numpy())  # (n, m)
+                score = np.zeros(len(codes))
+                for m in range(sub):  # index order: deterministic sum
+                    score += lut[m][codes[:, m]]
+                out_q.extend([qid] * len(codes))
+                out_n.extend(grp["_id"].tolist())
+                out_s.extend(score.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = paired.mapInPandas(adc, score_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), round_dp)), "neighbor_id"
+    )
+    shortlist = (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- refine: exact cosine on the ADC shortlist only (the standard
+    # PQ-then-rerank serving shape: candidate generation touches codes,
+    # exact float work touches k × refine_factor rows per query) ---
+    cand = shortlist.join(
+        cvecs.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(qvecs.select("query_id", F.col("_v").alias("qv2"))),
+        "query_id",
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(_DOT.format(a="qv2", b="nv")), round_dp).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

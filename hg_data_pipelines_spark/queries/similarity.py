@@ -208,3 +208,17 @@ def image_phash_fingerprints_query(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["vec_id", "phash", "dhash"])
 
     return emb.select("vec_id", "embedding").mapInPandas(_fp, out_schema)
+
+
+@query("X3_cosine_topk_pq")
+def cosine_topk_pq(spark, sf_dir):
+    """Product-quantization ANN twin of X3_cosine_topk_bruteforce: corpus
+    compressed to 8 one-byte codes per vector, ADC-shortlisted, exact
+    refine on k×4 candidates (operators/similarity.py::pq_topk). Rows-only
+    by design (k-means codebooks aren't SQL-expressible); pytest pins
+    recall vs brute force."""
+    from ..operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_topk(queries, emb, k=_K)

@@ -10,6 +10,7 @@ from hg_data_pipelines_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    pq_topk,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -37,6 +38,19 @@ class TestANNRecall:
         }
         recall = len(got & truth) / len(truth)
         assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"
+
+    def test_pq_recall_and_determinism(self, spark):
+        # 8 subvectors × 16 codes (64 floats → 8 bytes) + exact refine on
+        # a 4k shortlist; floor is conservative vs the ~0.6 measured
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        got_rows = pq_topk(q, emb, k=K).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+        truth = _truth_pairs(spark)
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.4, f"PQ recall {recall:.2f} below floor"
+        again = {(r["query_id"], r["neighbor_id"]) for r in pq_topk(q, emb, k=K).collect()}
+        assert got == again
 
     def test_ivf_recall(self, spark):
         emb = spark.read.parquet(f"{SF}/embeddings.parquet")
