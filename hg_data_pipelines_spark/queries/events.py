@@ -560,3 +560,78 @@ def variant_extract(spark, sf_dir):
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-W7: aggregate-as-window — rolling median of each user's last five
+# event values. The frame holds ≤5 exact doubles, so percentile_cont
+# interpolation ((a+b)/2 on the two middles) is a fixed IEEE op sequence
+# on both engines: exact hash match without decimal discipline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W7_rolling_median",
+    """
+    SELECT event_id, user_id, ts,
+           median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM events
+    """,
+)
+def rolling_median(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_w7_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               percentile(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS rolling_median
+        FROM _w7_events
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-J8: banded range join — NO equi key (cross-user by design): for
+# each purchase, count ALL events platform-wide in the following two
+# minutes. Without banding this is a nested-loop; with it, a bucket
+# equi-join (operators/rangejoin.py). Integer epoch arithmetic → exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J8_range_join_banded",
+    """
+    SELECT a.event_id, COUNT(b.event_id) AS n_after
+    FROM events a LEFT JOIN events b
+      ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+)
+def range_join_banded(spark, sf_dir):
+    from ..operators.rangejoin import banded_range_join
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    others = ev.select(
+        F.col("event_id").alias("b_event_id"), F.col("ts").alias("b_ts")
+    )
+    pairs = banded_range_join(
+        anchors, others, "ts", "b_ts", lower_us=0, upper_us=120_000_000
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("b_event_id").alias("n_after")
+    )
+    return anchors.join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_after", F.lit(0)).alias("n_after")
+    )
