@@ -25,7 +25,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -107,20 +112,59 @@ class SynthEventsReader(DataSourceReader):
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         # Pure function of (seed, i): identical output for any partition
         # layout — the determinism contract every test source needs.
-        import hashlib
-
-        types = ("click", "view", "purchase", "signup", "error")
         for i in range(partition.start, partition.end):
-            h = hashlib.md5(f"{self.seed}:{i}".encode()).digest()
-            user = int.from_bytes(h[0:4], "big") % 1000
-            etype = types[h[4] % len(types)]
-            value = round(int.from_bytes(h[5:9], "big") % 100_000 / 100.0, 2)
-            ts_us = 1_704_067_200_000_000 + i * 1_000_000  # 2024-01-01 + i sec
-            yield (i, ts_us, user, etype, value)
+            yield _synth_event_row(self.seed, i)
+
+
+def _synth_event_row(seed: int, i: int) -> tuple:
+    """Pure function of (seed, i) — shared by the batch and stream readers
+    so a replayed stream equals the batch table over the same index range."""
+    import hashlib
+
+    types = ("click", "view", "purchase", "signup", "error")
+    h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+    user = int.from_bytes(h[0:4], "big") % 1000
+    etype = types[h[4] % len(types)]
+    value = round(int.from_bytes(h[5:9], "big") % 100_000 / 100.0, 2)
+    ts_us = 1_704_067_200_000_000 + i * 1_000_000  # 2024-01-01 + i sec
+    return (i, ts_us, user, etype, value)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic generator.
+
+    Offsets are plain row indices, so recovery/replay
+    (``readBetweenOffsets``) regenerates exactly the rows of any earlier
+    batch — the exactly-once contract a file-backed source gets from
+    immutable files, here from purity.
+    """
+
+    def __init__(self, options: dict):
+        self.rate = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        i0 = int(start["index"])
+        i1 = i0 + self.rate
+        return (
+            iter([_synth_event_row(self.seed, i) for i in range(i0, i1)]),
+            {"index": i1},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            _synth_event_row(self.seed, i)
+            for i in range(int(start["index"]), int(end["index"]))
+        )
 
 
 class SynthEventsSource(DataSource):
-    """``spark.read.format("synth_events").option("rows", N).load()``."""
+    """``spark.read.format("synth_events").option("rows", N).load()`` —
+    batch; ``spark.readStream.format("synth_events")`` — micro-batch
+    stream over the same deterministic rows."""
 
     @classmethod
     def name(cls) -> str:
@@ -134,6 +178,9 @@ class SynthEventsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SynthEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SynthEventsStreamReader(self.options)
 
 
 def register_sources(spark) -> None:

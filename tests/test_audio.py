@@ -158,3 +158,42 @@ class TestCustomSources:
         assert len(a) == 500
         # generated values look sane
         assert all(0 <= r["user_id"] < 1000 for r in a[:50])
+
+    def test_synth_events_streaming_equals_batch(self, spark, tmp_path):
+        """The Python streaming source (SimpleDataSourceStreamReader)
+        replays the same pure-function rows as the batch reader over the
+        same index range."""
+        from hg_data_pipelines_spark.sources import register_sources
+
+        register_sources(spark)
+        sink = "synth_stream_sink"
+        q = (
+            spark.readStream.format("synth_events")
+            .option("rows_per_batch", 50)
+            .option("seed", 7)
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table(sink).count() >= 100:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        got = sorted(spark.table(sink).collect())[:100]
+        batch = sorted(
+            spark.read.format("synth_events")
+            .option("rows", 100)
+            .option("seed", 7)
+            .load()
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in batch]
