@@ -236,6 +236,25 @@ def write_warehouse_table(
     return path
 
 
+def read_warehouse_table(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """S9 read side with schema evolution: ``mergeSchema`` unions the
+    footer schemas across files, so a table appended with new columns over
+    time reads as the superset schema (older files yield NULL for columns
+    they predate). At 100 TB this is the cheap evolution path — no
+    rewrite of historical partitions when a fact gains a column; pair
+    with explicit column defaults downstream when NULL isn't the right
+    backfill."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .parquet(os.path.join(warehouse_dir, table))
+    )
+
+
 def merge_warehouse_table(
     spark: SparkSession,
     df: DataFrame,

@@ -74,3 +74,28 @@ class TestMergeWarehouseTable:
             spark, delta, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
         )
         assert _rows(path) == {(1, 1.0, "d1")}
+
+
+class TestSchemaEvolution:
+    def test_appended_column_reads_as_superset(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.io import (
+            read_warehouse_table,
+            write_warehouse_table,
+        )
+
+        wh = str(tmp_path / "wh")
+        old = spark.range(3).select("id", F.lit("a").alias("src"))
+        write_warehouse_table(old, wh, "facts", mode="append")
+        new = spark.range(3, 6).select(
+            "id", F.lit("b").alias("src"), F.lit(2.5).alias("quality")
+        )
+        write_warehouse_table(new, wh, "facts", mode="append")
+
+        got = read_warehouse_table(spark, wh, "facts")
+        assert set(got.columns) == {"id", "src", "quality"}
+        assert got.count() == 6
+        # rows written before the column existed read as NULL
+        assert got.filter(F.col("quality").isNull()).count() == 3
+        assert got.filter(F.col("quality") == 2.5).count() == 3
