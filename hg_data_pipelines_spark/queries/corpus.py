@@ -449,3 +449,53 @@ def stratified_sample(spark, sf_dir):
         .filter(F.col("rn") <= F.ceil(0.2 * F.col("n")))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# X4: per-source character-distribution entropy — the information-theoretic
+# text metric (low entropy flags repetitive/boilerplate sources; a standard
+# corpus-quality signal). Float discipline: probabilities are exact
+# (int/int in double), each p·ln(p) term is quantized to 12 dp and summed
+# in exact DECIMAL — term-order independence — and libm-vs-JVM ln()
+# last-ulp differences sit 3 orders of magnitude below the quantization
+# step. Output rounded to 6 dp.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_char_entropy",
+    """
+    WITH chars AS (
+        SELECT source, unnest(string_split(lower(text), '')) AS ch
+        FROM documents
+    ), counts AS (
+        SELECT source, ch, COUNT(*) AS c FROM chars GROUP BY source, ch
+    ), totals AS (
+        SELECT source, SUM(c) AS t FROM counts GROUP BY source
+    )
+    SELECT counts.source,
+           COUNT(*) AS n_distinct_chars,
+           round(-CAST(SUM(CAST(round(
+               (CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t), 12
+           ) AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy_nats
+    FROM counts JOIN totals ON counts.source = totals.source
+    GROUP BY counts.source
+    """,
+)
+def char_entropy(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    term = F.round(p * F.log(p), 12).cast("decimal(38,12)")
+    return (
+        counts.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy_nats"),
+        )
+    )

@@ -635,3 +635,67 @@ def range_join_banded(spark, sf_dir):
     return anchors.join(counts, "event_id", "left").select(
         "event_id", F.coalesce("n_after", F.lit(0)).alias("n_after")
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-W8: trailing z-score anomaly flag. Mean/variance of the last five
+# values are spelled out as explicit lag() arithmetic (NOT avg/stddev
+# window aggregates) so both engines execute the IDENTICAL IEEE op
+# sequence — window-aggregate internals (Welford vs two-pass vs segment
+# tree) are implementation-defined, but lag chains are just columns.
+# Rows before a full 5-value history emit NULL, matching both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W8_zscore_trailing",
+    """
+    WITH lagged AS (
+        SELECT event_id, user_id, ts, value,
+               lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+               lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           round((value - (value + l1 + l2 + l3 + l4) / 5)
+                 / sqrt((
+                     (value - (value + l1 + l2 + l3 + l4) / 5) * (value - (value + l1 + l2 + l3 + l4) / 5)
+                   + (l1 - (value + l1 + l2 + l3 + l4) / 5) * (l1 - (value + l1 + l2 + l3 + l4) / 5)
+                   + (l2 - (value + l1 + l2 + l3 + l4) / 5) * (l2 - (value + l1 + l2 + l3 + l4) / 5)
+                   + (l3 - (value + l1 + l2 + l3 + l4) / 5) * (l3 - (value + l1 + l2 + l3 + l4) / 5)
+                   + (l4 - (value + l1 + l2 + l3 + l4) / 5) * (l4 - (value + l1 + l2 + l3 + l4) / 5)
+                 ) / 4), 6) AS zscore
+    FROM lagged
+    """,
+)
+def zscore_trailing(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+        F.lag("value", 4).over(w).alias("l4"),
+    )
+    mean = (
+        F.col("value") + F.col("l1") + F.col("l2") + F.col("l3") + F.col("l4")
+    ) / 5
+    var = (
+        (F.col("value") - mean) * (F.col("value") - mean)
+        + (F.col("l1") - mean) * (F.col("l1") - mean)
+        + (F.col("l2") - mean) * (F.col("l2") - mean)
+        + (F.col("l3") - mean) * (F.col("l3") - mean)
+        + (F.col("l4") - mean) * (F.col("l4") - mean)
+    ) / 4
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
+    )
