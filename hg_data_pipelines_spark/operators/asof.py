@@ -30,14 +30,22 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     left_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Return ``left`` columns + the as-of values from ``right``.
 
     ``value_cols`` are carried from the right side (null when no right row
-    precedes the left row).
+    precedes the left row). ``direction="backward"`` (default) attaches
+    the most recent right row with ``right.time <= left.time``;
+    ``direction="forward"`` attaches the EARLIEST right row with
+    ``right.time >= left.time`` — implemented by running the identical
+    single-shuffle window over a descending time order, so both
+    directions share cardinality |L| + |R| and one pass per key.
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left_cols if left_cols is not None else left.columns
 
     # The right side's values travel as ONE struct, not as separate columns:
@@ -64,10 +72,15 @@ def asof_join(
     )
 
     # One shuffle: partition by key, order by (time, side). Right rows sort
-    # first at equal times so `<=` matches see them.
+    # first at equal times so inclusive matches see them. Forward direction
+    # = the same running-last over a time-reversed order.
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_is_left").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_is_left").asc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(

@@ -18,36 +18,37 @@ from pyspark.sql import DataFrame, functions as F
 def funnel_stage_times(
     events: DataFrame,
     stages: list[str],
-    user_col: str = "user_id",
+    user_col: str | list[str] = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> list[DataFrame]:
-    """Per-stage conversion tables [(user, t)] — earliest qualifying event
-    per user per stage, each at-or-after the user's previous stage time."""
+    """Per-stage conversion tables [(*keys, t)] — earliest qualifying event
+    per key per stage, each at-or-after the key's previous stage time.
+    ``user_col`` may be a composite key list (e.g. ``["user_id",
+    "session_id"]`` for within-session funnels)."""
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     out: list[DataFrame] = []
     prev: DataFrame | None = None
     for stage in stages:
         ev = events.filter(F.col(type_col) == stage).select(
-            F.col(user_col).alias("user_id"), F.col(ts_col).alias("_ts")
+            *keys, F.col(ts_col).alias("_ts")
         )
         if prev is not None:
-            ev = ev.join(prev, "user_id").filter(
-                F.col("_ts") >= F.col("_prev_ts")
-            )
-        cur = ev.groupBy("user_id").agg(F.min("_ts").alias("_t"))
-        out.append(cur.select("user_id", F.col("_t").alias("t")))
-        prev = cur.select("user_id", F.col("_t").alias("_prev_ts"))
+            ev = ev.join(prev, keys).filter(F.col("_ts") >= F.col("_prev_ts"))
+        cur = ev.groupBy(*keys).agg(F.min("_ts").alias("_t"))
+        out.append(cur.select(*keys, F.col("_t").alias("t")))
+        prev = cur.select(*keys, F.col("_t").alias("_prev_ts"))
     return out
 
 
 def funnel_counts(
     events: DataFrame,
     stages: list[str],
-    user_col: str = "user_id",
+    user_col: str | list[str] = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """(stage, stage_idx, n_users) — users reaching each funnel prefix."""
+    """(stage, stage_idx, n_users) — keys reaching each funnel prefix."""
     tables = funnel_stage_times(events, stages, user_col, ts_col, type_col)
     parts = [
         t.agg(F.count(F.lit(1)).alias("n_users")).select(

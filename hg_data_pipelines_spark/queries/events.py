@@ -699,3 +699,122 @@ def zscore_trailing(spark, sf_dir):
         "ts",
         F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
     )
+
+
+# --------------------------------------------------------------------------
+# X12: session-scoped funnel — X8's gap sessionization composed with the
+# ordered-funnel operator on a composite (user, session) key: a view →
+# click → purchase sequence only converts when it happens INSIDE one
+# 30-minute session. Pure timestamp/integer arithmetic; exact oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_session_funnel",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ), s1 AS (
+        SELECT user_id, session_id, MIN(ts) AS t FROM numbered
+        WHERE event_type = 'view' GROUP BY 1, 2
+    ), s2 AS (
+        SELECT e.user_id, e.session_id, MIN(e.ts) AS t FROM numbered e
+        JOIN s1 ON e.user_id = s1.user_id AND e.session_id = s1.session_id
+               AND e.ts >= s1.t
+        WHERE e.event_type = 'click' GROUP BY 1, 2
+    ), s3 AS (
+        SELECT e.user_id, e.session_id, MIN(e.ts) AS t FROM numbered e
+        JOIN s2 ON e.user_id = s2.user_id AND e.session_id = s2.session_id
+               AND e.ts >= s2.t
+        WHERE e.event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS n_sessions FROM s1
+    UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
+    UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3
+    """,
+)
+def session_funnel(spark, sf_dir):
+    from ..operators.funnel import funnel_counts
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            _epoch_us("ts")
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    return funnel_counts(
+        numbered,
+        ["view", "click", "purchase"],
+        user_col=["user_id", "session_id"],
+    ).withColumnRenamed("n_users", "n_sessions")
+
+
+# --------------------------------------------------------------------------
+# EXT-J6 forward: for each event, the user's EARLIEST order at-or-after
+# the event (asof_join direction="forward" — the same single-shuffle
+# union+window, run over a time-reversed order). DuckDB's ASOF JOIN is
+# backward-only, so the oracle is the ranked LEFT JOIN formulation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J6_asof_next_order",
+    """
+    SELECT event_id, user_id, ts, asof_o_orderkey FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id ORDER BY o.o_orderdate, o.o_orderkey
+               ) AS rn
+        FROM events e LEFT JOIN (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        ) o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    ) ranked WHERE rn = 1
+    """,
+)
+def asof_next_order(spark, sf_dir):
+    utc(spark)
+    ev, orders = load(spark, sf_dir, "events", "orders")
+    orders_d = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    return asof_join(
+        ev,
+        orders_d,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        left_cols=["event_id", "user_id", "ts"],
+        direction="forward",
+    )
