@@ -222,3 +222,59 @@ def cosine_topk_pq(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return pq_topk(queries, emb, k=_K)
+
+
+# --------------------------------------------------------------------------
+# X2: semantic dedup (SemDeDup-style) — embedding-space analogue of the
+# text near-dup pipeline: cosine edges above a threshold → connected
+# components (distributed min-label propagation) → one representative
+# kept per semantic cluster (min vec_id; members counted). The oracle
+# replays the identical contract in SQL: cosine pair CTE + recursive
+# transitive closure + per-component aggregation. Singleton vectors are
+# their own representative, so output cardinality = |corpus| − (cluster
+# members beyond the first).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X2_semantic_dedup_representatives",
+    f"""
+    WITH RECURSIVE good AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_SQL_PAIR_COSINE} >= {_NEARDUP_COS}
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION
+        SELECT id_b, id_a FROM good
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT COALESCE(c.component, e.vec_id) AS representative,
+           COUNT(*) AS n_members
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    GROUP BY 1
+    """,
+)
+def semantic_dedup_representatives(spark, sf_dir):
+    # Edge generation here is the exact fenced twin (oracle needs it);
+    # at scale substitute embedding_neardup_lsh for the pair step — the
+    # components/representative stages are unchanged.
+    from ..operators.dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels, emb["vec_id"] == labels["node"], "left")
+        .select(
+            F.coalesce("comp", "vec_id").alias("representative"),
+        )
+        .groupBy("representative")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
