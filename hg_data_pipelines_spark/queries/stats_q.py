@@ -254,3 +254,39 @@ def approx_percentiles(spark, sf_dir):
         F.col("approx")[1].alias("p90"),
         F.col("approx")[2].alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# A9b: mergeable HLL sketch rollup (Spark 4 DataSketches surface) — the
+# two-level pattern that matters at 100 TB: per-nation customer sketches
+# build in one pass (map-side combinable), then UNION up to region
+# without touching the raw data again. The oracle is the exact distinct
+# count: HLL_4 at lgConfigK=14 stays in exact (sparse) mode far beyond
+# gate-scale cardinalities (hundreds per region), so the estimate equals
+# the exact count; at real scale the same query returns ±0.4% estimates
+# and the oracle pairing would move to rows-only, like A9.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A9_hll_sketch_rollup",
+    """
+    SELECT r.r_name AS region_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def hll_sketch_rollup(spark, sf_dir):
+    c, n, r = load(spark, sf_dir, "customer", "nation", "region")
+    per_nation = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"))
+    )
+    return per_nation.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_customers")
+    )

@@ -1,0 +1,112 @@
+"""Snapshot-versioned warehouse tables — Iceberg-lite time travel.
+
+Plain-parquet warehouses overwrite in place, so a reader racing a writer
+sees partial state and yesterday's numbers are gone after today's load.
+The fix every table format converges on: immutable data versions plus an
+atomically-swapped pointer. Here that is the smallest faithful shape:
+
+    <warehouse>/<table>/data/v<N>/part-*.parquet   (immutable)
+    <warehouse>/<table>/_snapshots/v<N>.json       (manifest)
+
+A snapshot becomes visible exactly when its manifest lands (``os.replace``
+— atomic on POSIX), readers pin a version by reading one small JSON, and
+old versions stay readable until explicitly expired. At 100 TB the same
+layout works on object storage (conditional PUT for the manifest); the
+data-file write path is a normal distributed Spark write either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _snap_dir(warehouse_dir: str, table: str) -> str:
+    return os.path.join(warehouse_dir, table, "_snapshots")
+
+
+def snapshot_versions(warehouse_dir: str, table: str) -> list[int]:
+    """Committed versions, ascending (a data dir without a manifest is an
+    uncommitted write and is invisible)."""
+    d = _snap_dir(warehouse_dir, table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def write_table_snapshot(
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    compression: str = "zstd",
+) -> int:
+    """Write the next immutable snapshot version; returns its id.
+
+    The distributed parquet write lands in a fresh versioned directory
+    first; the manifest is written via tmp + atomic rename LAST, so a
+    crashed writer leaves no visible (or readable) half-version.
+    """
+    versions = snapshot_versions(warehouse_dir, table)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = os.path.join(warehouse_dir, table, "data", f"v{version}")
+    df.write.mode("errorifexists").option("compression", compression).parquet(
+        data_dir
+    )
+    manifest = {
+        "version": version,
+        "data_dir": data_dir,
+        "committed_at_unix": time.time(),
+    }
+    snap_dir = _snap_dir(warehouse_dir, table)
+    os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(snap_dir, f"v{version}.json"))
+    return version
+
+
+def read_table_snapshot(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest committed)."""
+    versions = snapshot_versions(warehouse_dir, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots for table {table!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"table {table!r} has no snapshot v{version} (have {versions})"
+        )
+    with open(os.path.join(_snap_dir(warehouse_dir, table), f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(manifest["data_dir"])
+
+
+def expire_snapshots(
+    warehouse_dir: str, table: str, keep_latest: int = 2
+) -> list[int]:
+    """Vacuum: drop all but the newest ``keep_latest`` versions (manifest
+    first, then data, so a concurrent reader never resolves a manifest to
+    deleted files). Returns the expired version ids."""
+    versions = snapshot_versions(warehouse_dir, table)
+    expired = versions[:-keep_latest] if keep_latest > 0 else versions
+    for v in expired:
+        manifest_path = os.path.join(_snap_dir(warehouse_dir, table), f"v{v}.json")
+        with open(manifest_path) as fh:
+            data_dir = json.load(fh)["data_dir"]
+        os.remove(manifest_path)
+        shutil.rmtree(data_dir, ignore_errors=True)
+    return expired

@@ -1,0 +1,63 @@
+"""Snapshot-versioned warehouse tables (snapshots.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hg_data_pipelines_spark.snapshots import (
+    expire_snapshots,
+    read_table_snapshot,
+    snapshot_versions,
+    write_table_snapshot,
+)
+
+
+class TestSnapshots:
+    def test_time_travel_reads_old_version(self, spark, tmp_path):
+        wh = str(tmp_path)
+        v1 = write_table_snapshot(
+            spark.range(3).select("id", F.lit("old").alias("tag")), wh, "t"
+        )
+        v2 = write_table_snapshot(
+            spark.range(5).select("id", F.lit("new").alias("tag")), wh, "t"
+        )
+        assert (v1, v2) == (1, 2)
+        assert snapshot_versions(wh, "t") == [1, 2]
+        # latest by default; pinned version sees the immutable past
+        assert read_table_snapshot(spark, wh, "t").count() == 5
+        old = read_table_snapshot(spark, wh, "t", version=1)
+        assert old.count() == 3
+        assert old.select("tag").distinct().collect()[0]["tag"] == "old"
+
+    def test_uncommitted_data_dir_is_invisible(self, spark, tmp_path):
+        wh = str(tmp_path)
+        write_table_snapshot(spark.range(2), wh, "t")
+        # simulate a crashed writer: data dir exists, no manifest
+        os.makedirs(os.path.join(wh, "t", "data", "v9"))
+        assert snapshot_versions(wh, "t") == [1]
+        assert read_table_snapshot(spark, wh, "t").count() == 2
+
+    def test_expire_keeps_latest(self, spark, tmp_path):
+        wh = str(tmp_path)
+        for n in (2, 4, 6):
+            write_table_snapshot(spark.range(n), wh, "t")
+        expired = expire_snapshots(wh, "t", keep_latest=2)
+        assert expired == [1]
+        assert snapshot_versions(wh, "t") == [2, 3]
+        assert read_table_snapshot(spark, wh, "t", version=2).count() == 4
+        with pytest.raises(FileNotFoundError):
+            read_table_snapshot(spark, wh, "t", version=1)
+        # expired data files are gone from disk
+        assert not os.path.isdir(os.path.join(wh, "t", "data", "v1"))
+
+    def test_versions_continue_after_expiry(self, spark, tmp_path):
+        wh = str(tmp_path)
+        for n in (1, 2, 3):
+            write_table_snapshot(spark.range(n), wh, "t")
+        expire_snapshots(wh, "t", keep_latest=1)
+        v = write_table_snapshot(spark.range(9), wh, "t")
+        assert v == 4
+        assert read_table_snapshot(spark, wh, "t").count() == 9
