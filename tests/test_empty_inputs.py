@@ -58,3 +58,48 @@ class TestEmptyInputs:
         ).collect()
         assert len(out) == 1
         assert out[0]["asof_val"] is None
+
+
+class TestEmptyInputsRound2:
+    def test_pagerank_empty_edges(self, spark):
+        from hg_data_pipelines_spark.operators.graph import pagerank_fixed_point
+
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert pagerank_fixed_point(edges).count() == 0
+
+    def test_funnel_empty_events(self, spark):
+        from hg_data_pipelines_spark.operators.funnel import funnel_counts
+
+        ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+        rows = {r["stage"]: r["n_users"] for r in funnel_counts(
+            ev, ["signup", "view"]
+        ).collect()}
+        assert rows == {"signup": 0, "view": 0}
+
+    def test_banded_range_join_empty_sides(self, spark):
+        from hg_data_pipelines_spark.operators.rangejoin import banded_range_join
+
+        left = spark.createDataFrame([], "id_l long, l timestamp")
+        right = spark.createDataFrame([], "id_r long, r timestamp")
+        assert banded_range_join(left, right, "l", "r", 0, 1_000_000).count() == 0
+
+    def test_hamming_near_pairs_empty(self, spark):
+        from hg_data_pipelines_spark.operators.dedup import hamming_near_pairs
+
+        fp = spark.createDataFrame([], "doc_id long, h long")
+        assert hamming_near_pairs(fp, "doc_id", "h").count() == 0
+
+    def test_knn_graph_single_vector(self, spark):
+        from hg_data_pipelines_spark.operators.similarity import knn_graph_exact
+
+        one = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        # a single vector has no neighbors; must not throw
+        assert knn_graph_exact(one, k=3).count() == 0
+
+    def test_video_metadata_empty(self, spark):
+        from hg_data_pipelines_spark.multimodal import video_metadata
+
+        df = spark.createDataFrame([], "path string, content binary")
+        assert video_metadata(df).count() == 0
