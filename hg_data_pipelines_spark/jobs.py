@@ -254,11 +254,50 @@ def _corpus_neardup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def _corpus_semantic_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """SemDeDup-style embedding-space dedup after text-space dedup: cosine
+    edges above ``semantic_cos_threshold`` → connected components → keep
+    each cluster's minimum doc_id. Documents without an embedding (the
+    embeddings table covers a subset) pass through untouched — semantic
+    dedup only ever REMOVES covered near-clones, it never gates on
+    coverage. Edge generation uses the RHP-LSH pair operator (the scale
+    path) unless config['semantic_method'] == 'exact'."""
+    from pyspark.sql import functions as F
+
+    from .io import load_table
+    from .operators.dedup import connected_components
+    from .operators.similarity import embedding_neardup_lsh
+
+    docs = ctx.tables["corpus_neardup"]
+    emb = load_table(spark, ctx.config["sf_dir"], "embeddings")
+    threshold = float(ctx.config.get("semantic_cos_threshold", 0.45))
+    if ctx.config.get("semantic_method", "lsh") == "exact":
+        from .operators.similarity import _cosine
+
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.round(_cosine("va", "vb"), 6) >= threshold)
+            .select("id_a", "id_b")
+        )
+    else:
+        pairs = embedding_neardup_lsh(
+            emb, threshold, n_planes=4, n_tables=16
+        ).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def _corpus_split_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     """Deterministic md5-bucket train/val/test assignment."""
     from pyspark.sql import functions as F
 
-    docs = ctx.tables["corpus_neardup"]
+    docs = ctx.tables["corpus_semantic_dedup"]
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -302,6 +341,7 @@ register_pipeline(
             Stage("corpus_repetition", _corpus_repetition_stage),
             Stage("corpus_exact_dedup", _corpus_exact_dedup_stage),
             Stage("corpus_neardup", _corpus_neardup_stage),
+            Stage("corpus_semantic_dedup", _corpus_semantic_dedup_stage),
             Stage("corpus_split", _corpus_split_stage),
             Stage("corpus_chunks", _corpus_chunks_stage, partition_by=["split"]),
         ],
