@@ -372,3 +372,49 @@ register_pipeline(
         ],
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Image-dedup pipeline: multimodal dedup orchestrated end-to-end — binary
+# image files → perceptual fingerprints → Hamming-blocked near-dup
+# clusters → keep-list of representatives. The 100 TB shape: fingerprints
+# are row-local mapInPandas (8 bytes/image out), candidate pairs come
+# from 16-bit chunk blocking (never all-pairs), components are the same
+# min-label propagation the text path uses.
+# ---------------------------------------------------------------------------
+
+
+def _image_fingerprint_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from .io import read_binary_files
+    from .multimodal import image_fingerprints
+
+    imgs = read_binary_files(
+        spark, ctx.config["images_dir"], ctx.config.get("pattern", "*")
+    )
+    return image_fingerprints(imgs)
+
+
+def _image_keep_list_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components, hamming_near_pairs
+
+    fp = ctx.tables["image_fingerprints"]
+    max_hamming = int(ctx.config.get("max_hamming", 8))
+    pairs = hamming_near_pairs(fp, "path", "phash", max_hamming=max_hamming)
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("path")
+    )
+    return fp.join(losers, "path", "left_anti")
+
+
+register_pipeline(
+    Pipeline(
+        "image_dedup",
+        [
+            Stage("image_fingerprints", _image_fingerprint_stage),
+            Stage("image_keep_list", _image_keep_list_stage),
+        ],
+    )
+)
