@@ -117,3 +117,23 @@ def require(df: DataFrame, constraints: list[Constraint]) -> None:
     if failed:
         detail = ", ".join(f"{n} ({v} rows)" for n, v in failed)
         raise ValueError(f"constraint violations: {detail}")
+
+
+def observed_filter(df, cond, name: str = "gate"):
+    """Filter with free pass/fail metrics via the Observation API.
+
+    Returns ``(filtered_df, observation)``: the observation's counters
+    (``n_input``, ``n_pass``) are collected DURING the same action that
+    consumes the filtered result — at 100 TB a separate ``count()`` for
+    gate metrics re-scans the table; observe() rides the existing pass
+    for free. Read ``observation.get`` only after an action has run.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(cond.cast("long")).alias("n_pass"),
+    )
+    return observed.filter(cond), obs

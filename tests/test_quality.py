@@ -68,3 +68,15 @@ class TestConstraints:
 
     def test_require_passes_silently(self, df):
         require(df, [Constraint("id_positive", F.col("id") > 0)])
+
+
+class TestObservedFilter:
+    def test_metrics_ride_the_main_action(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.quality import observed_filter
+
+        df = spark.range(100).withColumn("v", F.col("id") % 10)
+        kept, obs = observed_filter(df, F.col("v") < 3, name="small_v")
+        assert kept.count() == 30  # the action; also populates obs
+        assert obs.get == {"n_input": 100, "n_pass": 30}
