@@ -499,3 +499,76 @@ def char_entropy(spark, sf_dir):
             F.round(-F.sum(term).cast("double"), 6).alias("entropy_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X4: n-gram decontamination — the GPT-3-style eval-set leak check, at the
+# n-gram level rather than exact containment (X4_contamination_probe):
+# any training document sharing ≥ min_shared distinct 5-gram shingles
+# with any eval-set document is flagged with its worst offender. The
+# scale shape is the same inverted-index join as X2 Jaccard, with the
+# eval side tiny → broadcast.
+# --------------------------------------------------------------------------
+
+_DECON_N = 5
+_DECON_PROBE_DOCS = 5  # doc_id < 5 stand in for the eval set
+_DECON_MIN_SHARED = 3
+
+
+@query(
+    "X4_ngram_decontamination",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), sh0 AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' ||
+               toks[CAST(i AS INT)+2] || ' ' || toks[CAST(i AS INT)+3] || ' ' ||
+               toks[CAST(i AS INT)+4] AS s
+        FROM tok, UNNEST(range(1, len(toks) - {_DECON_N - 2})) AS r(i)
+        WHERE len(toks) >= {_DECON_N}
+    ), sh AS (
+        SELECT DISTINCT doc_id, s FROM sh0
+    ), hits AS (
+        SELECT t.doc_id, p.doc_id AS probe_doc_id, COUNT(*) AS n_shared
+        FROM sh t JOIN sh p ON t.s = p.s
+        WHERE p.doc_id < {_DECON_PROBE_DOCS} AND t.doc_id >= {_DECON_PROBE_DOCS}
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, probe_doc_id, n_shared FROM (
+        SELECT doc_id, probe_doc_id, n_shared,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY n_shared DESC, probe_doc_id
+               ) AS rn
+        FROM hits WHERE n_shared >= {_DECON_MIN_SHARED}
+    ) ranked WHERE rn = 1
+    """,
+)
+def ngram_decontamination(spark, sf_dir):
+    from ..functions.text import tokens, word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(F.col("doc_id").alias("_id"), tokens("text").alias("toks"))
+        .select("_id", word_shingles("toks", _DECON_N).alias("shingles"))
+        .select("_id", F.explode("shingles").alias("s"))
+    )
+    train = sh.filter(F.col("_id") >= _DECON_PROBE_DOCS).select(
+        F.col("_id").alias("doc_id"), "s"
+    )
+    probe = sh.filter(F.col("_id") < _DECON_PROBE_DOCS).select(
+        F.col("_id").alias("probe_doc_id"), "s"
+    )
+    hits = (
+        train.join(F.broadcast(probe), "s")
+        .groupBy("doc_id", "probe_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_shared"), "probe_doc_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "probe_doc_id", "n_shared")
+    )
