@@ -6,6 +6,8 @@
     python -m hg_data_pipelines_spark query <name> --sf-dir DIR [--limit N]
     python -m hg_data_pipelines_spark explain <name> [--mode formatted]
     python -m hg_data_pipelines_spark compact <table_dir> [--target-mb N]
+    python -m hg_data_pipelines_spark snapshots list|show|expire \
+        --warehouse DIR --table T [--version N] [--keep K]
 
 The scheduler (cron/airflow) calls ``run``; ``query`` executes one declared
 query and prints rows — the operational front door to the engine.
@@ -67,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     c_p.add_argument("path")
     c_p.add_argument("--target-mb", type=int, default=128)
+
+    s_p = sub.add_parser(
+        "snapshots", help="list/read/expire table snapshot versions"
+    )
+    s_p.add_argument("action", choices=["list", "show", "expire"])
+    s_p.add_argument("--warehouse", required=True)
+    s_p.add_argument("--table", required=True)
+    s_p.add_argument("--version", type=int, help="pin a version for show")
+    s_p.add_argument("--keep", type=int, default=2, help="versions kept on expire")
+    s_p.add_argument("--limit", type=int, default=20)
 
     args = ap.parse_args(argv)
 
@@ -138,6 +150,27 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.path, target_file_bytes=args.target_mb * 1024 * 1024
             )
             print(f"compacted -> {n} file(s)")
+            return 0
+
+        if args.cmd == "snapshots":
+            from .snapshots import (
+                expire_snapshots,
+                read_table_snapshot,
+                snapshot_versions,
+            )
+
+            if args.action == "list":
+                for v in snapshot_versions(args.warehouse, args.table):
+                    print(f"v{v}")
+            elif args.action == "show":
+                read_table_snapshot(
+                    spark, args.warehouse, args.table, args.version
+                ).show(args.limit, truncate=False)
+            else:
+                expired = expire_snapshots(
+                    args.warehouse, args.table, keep_latest=args.keep
+                )
+                print(f"expired: {[f'v{v}' for v in expired]}")
             return 0
     finally:
         spark.stop()
