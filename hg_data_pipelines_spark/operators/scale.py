@@ -206,3 +206,43 @@ def write_zorder_clustered(
         .parquet(path)
     )
     return path
+
+
+def adaptive_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    hot_k: int = 8,
+    hot_min_fraction: float = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew join that salts ONLY the hot keys.
+
+    Blanket salting (``salted_join``) replicates the ENTIRE right side
+    ``n_salts``× — fine for a small dim, a disaster for a large one.
+    The adaptive form first discovers the left side's heavy hitters with
+    ``approx_top_k`` (candidate-then-verify; exact counts, no full-domain
+    shuffle), keeps those above ``hot_min_fraction`` of rows, and splits
+    the join: hot keys get salted left rows against a ``n_salts``×
+    replicated-hot-only right slice; everything else joins plain. The
+    replication cost drops from |right| × n_salts to |right ∩ hot| ×
+    n_salts — at 100 TB that is the difference between a working skew
+    mitigation and a new bottleneck. The hot-key set is a bounded driver
+    list (≤ hot_k values), the same permissible-collect class as IVF
+    centroids. Result ≡ plain join for any salt assignment.
+    """
+    total = left.count()
+    hot_rows = approx_top_k(left, on, k=hot_k).collect()
+    hot = [r[on] for r in hot_rows if r["n"] >= max(1, int(total * hot_min_fraction))]
+    if not hot:
+        return left.join(right, on, how)
+
+    l_hot = left.filter(F.col(on).isin(hot))
+    l_cold = left.filter(~F.col(on).isin(hot) | F.col(on).isNull())
+    r_hot = right.filter(F.col(on).isin(hot))
+    r_cold = right.filter(~F.col(on).isin(hot) | F.col(on).isNull())
+
+    hot_joined = salted_join(l_hot, r_hot, on, n_salts=n_salts, how=how)
+    cold_joined = l_cold.join(r_cold, on, how)
+    return hot_joined.unionByName(cold_joined)

@@ -414,3 +414,33 @@ class TestCorpusPlanShapes:
         plan = self._plan(spark, "X4_tfidf_top_terms")
         # the only nested-loop is the broadcast of the 1-row n_sources agg
         assert plan.count("CartesianProduct") == 0
+
+
+class TestAdaptiveSaltedJoin:
+    def test_result_parity_under_skew(self, spark):
+        from pyspark.sql import functions as F
+        from hg_data_pipelines_spark.operators.scale import adaptive_salted_join
+
+        # 90% of left rows share one hot key
+        left = spark.range(2000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("rv")
+        )
+        plain = left.join(right, "k").select("k", "lv", "rv")
+        adaptive = adaptive_salted_join(left, right, "k").select("k", "lv", "rv")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, adaptive.collect())
+        )
+
+    def test_no_hot_keys_falls_back_to_plain_join(self, spark):
+        from pyspark.sql import functions as F
+        from hg_data_pipelines_spark.operators.scale import adaptive_salted_join
+
+        left = spark.range(100).select((F.col("id") % 97).alias("k"), "id")
+        right = spark.range(97).select(F.col("id").alias("k"))
+        out = adaptive_salted_join(left, right, "k", hot_min_fraction=0.5)
+        assert out.count() == left.join(right, "k").count()
