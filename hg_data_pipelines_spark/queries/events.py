@@ -818,3 +818,42 @@ def asof_next_order(spark, sf_dir):
         left_cols=["event_id", "user_id", "ts"],
         direction="forward",
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-J9: adaptive skew join in the gate — events⋈per-user profile on
+# user_id, where the fixture's heavier users clear the hot threshold so
+# the salted-hot ∪ plain-cold split genuinely executes (not the
+# fallback). The oracle is the plain join: salting never changes
+# results, only task-size distribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J9_adaptive_skew_join",
+    f"""
+    WITH profile AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, p.first_ts, COUNT(*) AS n_events,
+           {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    GROUP BY 1, 2
+    """,
+)
+def adaptive_skew_join_query(spark, sf_dir):
+    from ..operators.scale import adaptive_salted_join
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = adaptive_salted_join(
+        ev.select("user_id", "value"),
+        profile,
+        "user_id",
+        hot_k=8,
+        hot_min_fraction=0.005,
+    )
+    return joined.groupBy("user_id", "first_ts").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
