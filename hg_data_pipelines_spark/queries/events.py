@@ -857,3 +857,52 @@ def adaptive_skew_join_query(spark, sf_dir):
     return joined.groupBy("user_id", "first_ts").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# X13: first-order Markov transition matrix over per-user event
+# sequences — the sequence-modeling summary (what follows what, with
+# probabilities). Counts are exact; the probability is one int/int double
+# division (identical IEEE op on both engines), so no rounding discipline
+# is needed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X13_event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), t AS (
+        SELECT prev_type, SUM(n) AS total FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS p
+    FROM c JOIN t ON c.prev_type = t.prev_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return c.join(t, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p"),
+    )
