@@ -28,17 +28,17 @@ _PR_ITER = 4
 def _pagerank_oracle(n_iter: int = _PR_ITER, k: int = _KNN_K) -> str:
     parts = [
         f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT q.vec_id AS src, c.vec_id AS dst
         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
         ) <= {k}
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
         SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ), nn AS (
         SELECT COUNT(*) AS n FROM nodes
-    ), deg AS (
+    ), deg AS MATERIALIZED (
         SELECT src, COUNT(*) AS d FROM edges GROUP BY src
     ), r0 AS (
         SELECT node, ({SCALE} // nn.n) AS r FROM nodes CROSS JOIN nn
@@ -101,9 +101,16 @@ _SPARK_COSINE = """
 """
 
 
-def _reachability_sql(cosine: str, k: int = _KNN_K, depth: int = _REACH_DEPTH) -> str:
+def _reachability_sql(
+    cosine: str, k: int = _KNN_K, depth: int = _REACH_DEPTH, mat: str = ""
+) -> str:
+    # ``mat=" MATERIALIZED"`` for the DuckDB oracle: the recursive walk
+    # references ``edges`` per iteration, and without materialization
+    # DuckDB re-derives the O(n²) k-NN subquery each time (OOM at 10×
+    # fixture scale). Spark has no MATERIALIZED keyword and handles reuse
+    # via its own plan, so the Spark variant passes the default "".
     return f"""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE edges AS{mat} (
         SELECT src, dst FROM (
             SELECT q.vec_id AS src, c.vec_id AS dst,
                    ROW_NUMBER() OVER (
@@ -125,7 +132,10 @@ def _reachability_sql(cosine: str, k: int = _KNN_K, depth: int = _REACH_DEPTH) -
     """
 
 
-@query("SQL_recursive_reachability", _reachability_sql(_SQL_COSINE))
+@query(
+    "SQL_recursive_reachability",
+    _reachability_sql(_SQL_COSINE, mat=" MATERIALIZED"),
+)
 def recursive_reachability(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     emb.createOrReplaceTempView("embeddings")

@@ -260,25 +260,15 @@ def approx_percentiles(spark, sf_dir):
 # A9b: mergeable HLL sketch rollup (Spark 4 DataSketches surface) — the
 # two-level pattern that matters at 100 TB: per-nation customer sketches
 # build in one pass (map-side combinable), then UNION up to region
-# without touching the raw data again. The oracle is the exact distinct
-# count: HLL_4 at lgConfigK=14 stays in exact (sparse) mode far beyond
-# gate-scale cardinalities (hundreds per region), so the estimate equals
-# the exact count; at real scale the same query returns ±0.4% estimates
-# and the oracle pairing would move to rows-only, like A9.
+# without touching the raw data again. Rows-only BY DESIGN, like its A9
+# sibling: the estimate is exact only while the sketch stays in sparse
+# mode (a sf0.1 cross-scale audit caught the dense-mode deviation at
+# ~2.9k distinct/region — an estimate, as specified, not a bug);
+# tests/test_stats_sketches.py pins the relative error instead.
 # --------------------------------------------------------------------------
 
 
-@query(
-    "A9_hll_sketch_rollup",
-    """
-    SELECT r.r_name AS region_name,
-           COUNT(DISTINCT c.c_custkey) AS n_customers
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY 1
-    """,
-)
+@query("A9_hll_sketch_rollup")
 def hll_sketch_rollup(spark, sf_dir):
     c, n, r = load(spark, sf_dir, "customer", "nation", "region")
     per_nation = (
