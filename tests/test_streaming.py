@@ -201,6 +201,46 @@ class TestStreamStreamJoin:
         matches = {(r["l_event_id"], r["r_event_id"]) for r in rows}
         assert matches == {(1, 11)}
 
+    def test_left_outer_emits_unmatched_after_watermark(self, spark, tmp_path, utc):
+        # click 1 gets a purchase inside the horizon; click 2 never does.
+        # Left-outer must emit (2, NULL) — but only after the watermark
+        # proves no match can still arrive, which the far-future batch 2
+        # forces before the stream drains.
+        b0 = [
+            (1, TS("2026-01-01 10:00:00"), 1, "click", 1.0),
+            (2, TS("2026-01-01 10:00:00"), 2, "click", 2.0),
+        ]
+        b1 = [(11, TS("2026-01-01 10:10:00"), 1, "purchase", 50.0)]
+        # Trailing watermark-advancing batches must feed BOTH withWatermark
+        # operators: the global watermark is the MIN across them, and a
+        # trailing purchase alone would leave the click side's watermark at
+        # batch-0 time, never releasing the outer-join state. Eviction then
+        # emits on the trigger AFTER the watermark advanced, hence two
+        # trailing batches.
+        b2 = [
+            (98, TS("2026-01-02 00:00:00"), 9, "click", 1.0),
+            (99, TS("2026-01-02 00:00:00"), 9, "purchase", 1.0),
+        ]
+        b3 = [
+            (100, TS("2026-01-03 00:00:00"), 9, "click", 1.0),
+            (101, TS("2026-01-03 00:00:00"), 9, "purchase", 1.0),
+        ]
+        paths = _write_batches(spark, tmp_path, [b0, b1, b2, b3])
+
+        def transform(s):
+            return stream_stream_join(
+                s.filter(s.event_type == "click"),
+                s.filter(s.event_type == "purchase"),
+                watermark="10 minutes",
+                within="30 minutes",
+                how="left_outer",
+            )
+
+        rows = _run_stream(spark, paths, transform, "append")
+        matches = {(r["l_event_id"], r["r_event_id"]) for r in rows}
+        assert (1, 11) in matches
+        assert (2, None) in matches  # unmatched left row emitted with NULLs
+
 
 class TestStreamToWarehouse:
     def test_foreachbatch_sink_lands_all_rows_readable_by_duckdb(
