@@ -110,3 +110,32 @@ def expire_snapshots(
         os.remove(manifest_path)
         shutil.rmtree(data_dir, ignore_errors=True)
     return expired
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Maintenance under versioning: rewrite the latest snapshot's small
+    files into a NEW snapshot version sized toward ``target_file_bytes``.
+
+    Unlike in-place compaction (``io.compact_table``), nothing is ever
+    rewritten under a live reader: the compacted data lands as the next
+    immutable version and becomes visible atomically with its manifest —
+    Iceberg's rewrite_data_files shape. Old versions remain readable
+    until ``expire_snapshots``. Returns the new version id.
+    """
+    import math
+
+    df = read_table_snapshot(spark, warehouse_dir, table)
+    versions = snapshot_versions(warehouse_dir, table)
+    cur_dir = os.path.join(warehouse_dir, table, "data", f"v{versions[-1]}")
+    total = 0
+    for root, _dirs, files in os.walk(cur_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    return write_table_snapshot(df.repartition(n_files), warehouse_dir, table)

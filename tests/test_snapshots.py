@@ -61,3 +61,31 @@ class TestSnapshots:
         v = write_table_snapshot(spark.range(9), wh, "t")
         assert v == 4
         assert read_table_snapshot(spark, wh, "t").count() == 9
+
+
+class TestCompactSnapshot:
+    def test_compaction_lands_as_new_version(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import compact_snapshot
+
+        wh = str(tmp_path)
+        # many small files in v1
+        write_table_snapshot(spark.range(1000).repartition(16), wh, "t")
+        v = compact_snapshot(spark, wh, "t", target_file_bytes=10**9)
+        assert v == 2
+        assert snapshot_versions(wh, "t") == [1, 2]
+
+        def n_files(version):
+            d = os.path.join(wh, "t", "data", f"v{version}")
+            return sum(
+                1
+                for root, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        assert n_files(1) == 16
+        assert n_files(2) < 16
+        # content identical across versions; v1 still readable (time travel)
+        a = sorted(r["id"] for r in read_table_snapshot(spark, wh, "t", 1).collect())
+        b = sorted(r["id"] for r in read_table_snapshot(spark, wh, "t", 2).collect())
+        assert a == b
