@@ -677,3 +677,51 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def quantize_embeddings_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization: each vector stores as 1-byte codes plus
+    per-vector (scale, offset) — 4× smaller than float32 at rest, the
+    storage-side compression lever (PQ is the compute-side one).
+
+    Codes are ``floor(normalized * 255) - 128`` capped into int8 —
+    floor-based on exact double arithmetic, so quantization is
+    bit-reproducible on any engine (ROUND's half-way tie behavior is
+    implementation-defined across engines; floor is not).
+    Dequantization: ``code + 128`` back through scale/offset, landing on
+    bin centers via the +0.5: ``offset + (code + 128 + 0.5) * scale``.
+    All JVM-side array expressions, no Python in the path.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.expr(f"cast(array_min({vec_col}) as double)").alias("_mn"),
+        F.expr(f"cast(array_max({vec_col}) as double)").alias("_mx"),
+    ).withColumn(
+        "_span",
+        F.when(F.col("_mx") == F.col("_mn"), 1.0).otherwise(
+            F.col("_mx") - F.col("_mn")
+        ),
+    )
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.expr(
+            "transform(_v, x -> cast(least("
+            " floor((cast(x as double) - _mn) / _span * 255.0), 254.0)"
+            " - 128 as int))"
+        ).alias("codes"),
+        (F.col("_span") / 255.0).alias("scale"),
+        F.col("_mn").alias("offset"),
+    )
+
+
+def dequantized_vector(codes_col: str, scale_col: str, offset_col: str) -> F.Column:
+    """codes + (scale, offset) → array<double> on bin centers."""
+    return F.expr(
+        f"transform({codes_col}, c ->"
+        f" {offset_col} + (cast(c as double) + 128.0 + 0.5) * {scale_col})"
+    )

@@ -278,3 +278,72 @@ def semantic_dedup_representatives(spark, sf_dir):
         .groupBy("representative")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+# --------------------------------------------------------------------------
+# X3: int8-quantized similarity — the storage-side twin: embeddings
+# compress 4× to per-vector int8 codes (+scale/offset), and top-k runs on
+# the dequantized bin centers. FULLY oracle-checked: quantization is
+# floor-based exact double arithmetic (ROUND's half-way ties are
+# implementation-defined across engines; floor is not), so both engines
+# produce identical codes, identical dequantized vectors, and identical
+# 6dp cosines.
+# --------------------------------------------------------------------------
+
+_SQL_Q8 = """
+    q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> least(floor((x - mn) / span * 255.0), 254.0) - 128
+               ) AS codes,
+               span / 255.0 AS scale, mn AS m_off
+        FROM (
+            SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS mn,
+                   CASE WHEN list_max(embedding) = list_min(embedding) THEN 1.0
+                        ELSE CAST(list_max(embedding) AS DOUBLE)
+                             - CAST(list_min(embedding) AS DOUBLE)
+                   END AS span
+            FROM embeddings
+        )
+    ), deq AS (
+        SELECT vec_id,
+               list_transform(codes, c -> m_off + (c + 128.0 + 0.5) * scale) AS v
+        FROM q8
+    )
+"""
+
+_SQL_DEQ_COSINE = """
+    round(
+        list_dot_product(q.v, c.v)
+        / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)),
+        6)
+"""
+
+
+@query(
+    "X3_quantized_topk",
+    f"""
+    WITH {_SQL_Q8}
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_DEQ_COSINE} AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id ORDER BY {_SQL_DEQ_COSINE} DESC, c.vec_id
+           ) AS INTEGER) AS rank
+    FROM deq q JOIN deq c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+    QUALIFY rank <= {_K}
+    """,
+)
+def quantized_topk(spark, sf_dir):
+    from ..operators.similarity import dequantized_vector, quantize_embeddings_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    q8 = quantize_embeddings_int8(emb)
+    deq = q8.select(
+        "vec_id", dequantized_vector("codes", "scale", "offset").alias("embedding")
+    )
+    queries = deq.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(queries, deq, k=_K).withColumn(
+        "rank", F.col("rank").cast("int")
+    )

@@ -188,3 +188,45 @@ class TestKnnGraph:
         per = g.groupBy("query_id").count().collect()
         assert len(per) == emb.count()
         assert all(r["count"] == 3 for r in per)
+
+
+class TestInt8Quantization:
+    def test_round_trip_error_bounded_and_recall(self, spark):
+        from hg_data_pipelines_spark.operators.similarity import (
+            dequantized_vector,
+            quantize_embeddings_int8,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q8 = quantize_embeddings_int8(emb)
+        joined = emb.join(q8, "vec_id").select(
+            "vec_id",
+            "embedding",
+            dequantized_vector("codes", "scale", "offset").alias("deq"),
+            "scale",
+        )
+        err = joined.select(
+            F.expr(
+                "array_max(transform(zip_with(embedding, deq,"
+                " (a, b) -> abs(cast(a as double) - b)), x -> x))"
+            ).alias("max_err"),
+            "scale",
+        ).collect()
+        # each component lands on its bin center: error ≤ scale/2 + eps
+        assert all(r["max_err"] <= r["scale"] * 0.5 + 1e-12 for r in err)
+
+        # codes really are int8-range
+        rng = q8.select(
+            F.expr("array_min(codes)").alias("lo"), F.expr("array_max(codes)").alias("hi")
+        ).agg(F.min("lo"), F.max("hi")).collect()[0]
+        assert rng[0] >= -128 and rng[1] <= 127
+
+        # similarity on dequantized vectors recovers most true neighbors
+        deq = joined.select("vec_id", F.col("deq").alias("embedding"))
+        truth = _truth_pairs(spark)
+        got_rows = cosine_topk(
+            deq.filter(F.col("vec_id") < N_QUERIES), deq, k=K
+        ).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, f"int8 recall {recall:.2f}"
