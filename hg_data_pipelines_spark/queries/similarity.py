@@ -347,3 +347,58 @@ def quantized_topk(spark, sf_dir):
     return cosine_topk(queries, deq, k=_K).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# X5 video → driver gate: per label, its embeddings (sorted by vec_id)
+# render as the frames of one deterministic RAWVID; the video flows
+# through the container codec and every-2nd-frame sampling, and each
+# sampled frame reports its luma mean. Rows-only (codec paths aren't
+# SQL-expressible); fully deterministic → stable rows-only checks.
+# --------------------------------------------------------------------------
+
+
+@query("X5_video_frame_sample_stats")
+def video_frame_sample_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_video, encode_video
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("t_seconds", T.DoubleType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+
+    def _per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        frames = []
+        for v in pdf["embedding"]:
+            a = np.asarray(v, dtype=np.float64)
+            lo, hi = a.min(), a.max()
+            span = (hi - lo) if hi > lo else 1.0
+            frames.append(((a - lo) / span * 255.0).astype(np.uint8).reshape(8, 8))
+        video = encode_video(np.stack(frames), fps=(4, 1))
+        decoded, (num, den) = decode_video(video)
+        rows = []
+        for idx in range(0, decoded.shape[0], 2):
+            rows.append(
+                {
+                    "label": int(pdf["label"].iloc[0]),
+                    "n_frames": decoded.shape[0],
+                    "frame_idx": idx,
+                    "t_seconds": idx * den / num,
+                    "mean_intensity": float(decoded[idx].mean()),
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return emb.groupBy("label").applyInPandas(_per_label, out_schema)
