@@ -402,3 +402,58 @@ def video_frame_sample_stats(spark, sf_dir):
         return pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return emb.groupBy("label").applyInPandas(_per_label, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X5 audio → driver gate: per label, its embeddings concatenate into a
+# PCM waveform, round-trip the real RIFF/WAVE codec, and the standard
+# audio features (RMS/peak/ZCR) come back as columns — the third
+# modality in the declared surface. Rows-only; deterministic.
+# --------------------------------------------------------------------------
+
+
+@query("X5_audio_feature_stats")
+def audio_feature_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..audio import audio_feature_row, encode_wav
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+        ]
+    )
+
+    def _per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        wave = np.concatenate(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        peak = np.abs(wave).max() or 1.0
+        samples = (wave / peak).astype(np.float64)[:, None]
+        blob = encode_wav(samples, sample_rate=8000)
+        feats = audio_feature_row(blob)
+        return pd.DataFrame(
+            [
+                {
+                    "label": int(pdf["label"].iloc[0]),
+                    "n_samples": len(samples),
+                    "duration_s": feats["duration_s"],
+                    "rms": feats["rms"],
+                    "peak": feats["peak"],
+                    "zero_crossing_rate": feats["zero_crossing_rate"],
+                }
+            ],
+            columns=[f.name for f in out_schema],
+        )
+
+    return emb.groupBy("label").applyInPandas(_per_label, out_schema)
