@@ -906,3 +906,64 @@ def event_transition_matrix(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# X14: RFM segmentation — recency / frequency / monetary quartiles per
+# user, the classic customer-value cut. Recency anchors on the corpus
+# max timestamp (deterministic, no wall clock); monetary uses the
+# decimal-sum discipline; every ntile order carries the user_id tiebreak
+# so quartile boundaries are total-order deterministic on both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X14_rfm_segmentation",
+    f"""
+    WITH anchor AS (
+        SELECT MAX(ts) AS max_ts FROM events
+    ), per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts), (SELECT max_ts FROM anchor)) AS recency_days,
+               COUNT(*) AS frequency,
+               {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", "monetary")}
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+    FROM per_user
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("max_ts"), F.max("ts")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                ),
+                "monetary",
+            ),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m_quartile"),
+    )
