@@ -967,3 +967,48 @@ def rfm_segmentation(spark, sf_dir):
         .over(Window.orderBy(F.desc("monetary"), "user_id"))
         .alias("m_quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# X13: per-user EWMA — a genuinely RECURSIVE smoothing statistic
+# (EWMA_t = αx_t + (1-α)EWMA_{t-1}) computed exactly on both engines:
+# the value sequence is materialized in (ts, event_id) order and folded
+# left-to-right with the identical IEEE expression (first element seeds
+# the fold on both sides — Spark via slice+seed, DuckDB's list_reduce by
+# definition), so even an order-sensitive recurrence hash-matches.
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = "0.3"
+
+
+@query(
+    "X13_ewma_per_user",
+    f"""
+    SELECT user_id,
+           round(list_reduce(
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+               (acc, x) -> {_EWMA_ALPHA} * x + (1.0 - {_EWMA_ALPHA}) * acc
+           ), 6) AS ewma,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def ewma_per_user(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_id", "value")).alias("raw"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # sort_array orders the structs by (ts, event_id, value) — a total
+    # order since event_id is unique — making collect_list's
+    # partition-dependent order irrelevant.
+    tv = "transform(sort_array(raw), s -> cast(s.value as double))"
+    ewma = (
+        f"round(aggregate(slice({tv}, 2, size({tv}) - 1),"
+        f" element_at({tv}, 1),"
+        f" (acc, x) -> {_EWMA_ALPHA}D * x + (1.0D - {_EWMA_ALPHA}D) * acc), 6)"
+    )
+    return per_user.select(
+        "user_id", F.expr(ewma).alias("ewma"), "n_events"
+    )
