@@ -1065,3 +1065,73 @@ def map_funcs(spark, sf_dir):
     return transformed.select(
         "o_orderstatus", F.explode("m").alias("priority", "doubled_count")
     )
+
+
+# --------------------------------------------------------------------------
+# J5 full outer: presence-flag reconciliation across two fact slices —
+# which users appear in clicks, purchases, or both. The outer join's
+# NULL-key rows become explicit presence flags, the reconciliation-report
+# shape (COALESCE key, counts on both sides).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J5_full_outer_presence",
+    """
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           (c.user_id IS NOT NULL AND p.user_id IS NOT NULL) AS in_both
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def full_outer_presence(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = c.join(p, c["c_user"] == p["p_user"], "full_outer")
+    return joined.select(
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        (F.col("c_user").isNotNull() & F.col("p_user").isNotNull()).alias("in_both"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL surface: scalar subquery — each status's share of total revenue,
+# the canonical "divide by a scalar aggregate" shape. Identical SQL text
+# on both engines; decimal-exact numerator and denominator.
+# --------------------------------------------------------------------------
+
+_SCALAR_SHARE_SQL = """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           round(
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  FROM {orders}),
+               6) AS share
+    FROM {orders} GROUP BY o_orderstatus
+"""
+
+
+@query("SQL_scalar_subquery_share", _SCALAR_SHARE_SQL.format(orders="orders"))
+def scalar_subquery_share(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ss_orders")
+    return spark.sql(_SCALAR_SHARE_SQL.format(orders="_ss_orders"))
