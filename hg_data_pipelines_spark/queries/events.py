@@ -1012,3 +1012,38 @@ def ewma_per_user(spark, sf_dir):
     return per_user.select(
         "user_id", F.expr(ewma).alias("ewma"), "n_events"
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-W9: running DISTINCT count over a window. Spark has no
+# COUNT(DISTINCT) window — the idiomatic workaround is
+# size(collect_set() OVER w), which this query pins against DuckDB's
+# native windowed DISTINCT aggregate. Exact integers, total-order frame.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W9_running_distinct_types",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_types_seen
+    FROM events
+    """,
+)
+def running_distinct_types(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )
