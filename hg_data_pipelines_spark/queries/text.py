@@ -539,3 +539,45 @@ def repetition_metrics(docs, id_col: str = "doc_id", text_col: str = "text"):
         tb.alias("top_bigram_frac"),
         ((tt <= 0.30) & (tb <= 0.18)).alias("passes_repetition"),
     )
+
+
+# --------------------------------------------------------------------------
+# F-string-distance: edit-distance near-match pairs — the fuzzy-matching
+# scalar surface (levenshtein exists on both engines with identical
+# semantics). Candidate pairs are blocked by p_brand (small groups), the
+# same candidate-bounding discipline as every other pair operator here.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_edit_distance_pairs",
+    """
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(substr(a.p_name, 1, 15), substr(b.p_name, 1, 15)) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(substr(a.p_name, 1, 15), substr(b.p_name, 1, 15)) <= 4
+    """,
+)
+def edit_distance_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    part = load(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.substring("p_name", 1, 15).alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.substring("p_name", 1, 15).alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("brand", "key_a", "key_b", "dist")
+    )
