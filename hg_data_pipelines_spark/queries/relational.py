@@ -1135,3 +1135,41 @@ _SCALAR_SHARE_SQL = """
 def scalar_subquery_share(spark, sf_dir):
     load(spark, sf_dir, "orders").createOrReplaceTempView("_ss_orders")
     return spark.sql(_SCALAR_SHARE_SQL.format(orders="_ss_orders"))
+
+
+# --------------------------------------------------------------------------
+# EXT-W10: value-navigation window functions — first/last/nth value over
+# an explicit full-partition frame (the default frame stops at CURRENT
+# ROW for last_value, the classic window trap; both engines agree once the
+# frame is explicit).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W10_first_last_nth",
+    """
+    SELECT c_nationkey, c_custkey,
+           first_value(c_custkey) OVER w AS richest_key,
+           last_value(c_custkey) OVER w AS poorest_key,
+           nth_value(c_custkey, 2) OVER w AS second_key
+    FROM customer
+    WINDOW w AS (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def first_last_nth(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.last("c_custkey").over(w).alias("poorest_key"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_key"),
+    )
