@@ -1173,3 +1173,31 @@ def first_last_nth(spark, sf_dir):
         F.last("c_custkey").over(w).alias("poorest_key"),
         F.nth_value("c_custkey", 2).over(w).alias("second_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# A17: conditional-aggregation surface — ANSI FILTER clauses, count_if,
+# bool_and/bool_or, and a decimal-exact weighted average
+# (sum(w·x)/sum(w)), all deterministic regardless of ties or order.
+# Identical SQL text runs on both engines.
+# --------------------------------------------------------------------------
+
+_A17_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+           count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '5-LOW') AS any_low_priority,
+           round(
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))
+                        * CAST(o_custkey % 3 + 1 AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(o_custkey % 3 + 1 AS DECIMAL(38,6))) AS DOUBLE),
+               6) AS weighted_avg_price
+    FROM {orders} GROUP BY o_orderstatus
+"""
+
+
+@query("A17_conditional_aggs", _A17_SQL.format(orders="orders"))
+def conditional_aggs(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_a17_orders")
+    return spark.sql(_A17_SQL.format(orders="_a17_orders"))
