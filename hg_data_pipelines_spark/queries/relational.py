@@ -1201,3 +1201,23 @@ _A17_SQL = """
 def conditional_aggs(spark, sf_dir):
     load(spark, sf_dir, "orders").createOrReplaceTempView("_a17_orders")
     return spark.sql(_A17_SQL.format(orders="_a17_orders"))
+
+
+# --------------------------------------------------------------------------
+# SQL surface: GROUP BY ALL — the modern grouping sugar both engines
+# implement identically (every non-aggregate select item groups).
+# Identical text on both engines.
+# --------------------------------------------------------------------------
+
+_GBA_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM {orders} GROUP BY ALL
+"""
+
+
+@query("SQL_group_by_all", _GBA_SQL.format(orders="orders"))
+def group_by_all(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gba_orders")
+    return spark.sql(_GBA_SQL.format(orders="_gba_orders"))
