@@ -47,6 +47,9 @@ HEADLINE = [
     # round-2 (cont.): iterative graph + product analytics
     "X11_pagerank_knn",
     "X12_cohort_retention",
+    # round-3: measured 90%-skew join, plain (AQE) vs salted twin
+    "J9_skew90_join_plain",
+    "J9_skew90_join_salted",
 ]
 
 

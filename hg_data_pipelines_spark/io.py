@@ -31,27 +31,25 @@ class SchemaDriftError(RuntimeError):
 # that case and is a no-op at scale: a 100 TB table's scan has thousands
 # of splits, so the size gate never fires and no shuffle is added.
 #
-# Only compute-dense tables qualify: documents (shingling / text analysis
-# higher-order functions) and embeddings (vector kernels) spend seconds of
-# CPU per partition above the scan, so one extra tiny round-robin exchange
-# buys a 32x map side (measured: shingle pipeline 14s -> 0.7s). Relational
-# fact tables do NOT qualify — their map sides are cheap filter/project
-# and the very next operator re-shuffles by join/agg key, so a round-robin
-# exchange is pure overhead (measured: TPC-H q18 1.65s -> 2.92s when
-# lineitem/orders were repartitioned). Correctness is unaffected either
-# way: declared queries use order-independent decimal accumulation and
-# total-order window tiebreaks (queries/common.py), never input-order
-# semantics.
+# Only compute-dense CALL SITES qualify (``scan_parallel=True``): shingling
+# / text-analysis higher-order functions and vector kernels spend seconds
+# of CPU per partition above the scan, so one extra tiny round-robin
+# exchange buys a 32x map side (measured: shingle pipeline 14s -> 0.7s).
+# Cheap map sides do NOT qualify — a plain filter/project or hash-aggregate
+# re-shuffles at the very next operator, so a round-robin exchange is pure
+# overhead (measured: TPC-H q18 1.65s -> 2.92s with repartitioned inputs;
+# X1_exact_dedup_by_content 0.43s -> 0.74s when `documents` was blanket-
+# repartitioned in round 2 — hence per-call-site opt-in, not per-table).
+# Correctness is unaffected either way: declared queries use
+# order-independent decimal accumulation and total-order window tiebreaks
+# (queries/common.py), never input-order semantics.
 _SCAN_PAR_MIN_BYTES = 48 * 1024
 _SCAN_PAR_MAX_BYTES = 512 * 1024 * 1024
-_SCAN_PAR_TABLES = {"documents", "embeddings"}
 
 
 def _with_scan_parallelism(
-    spark: SparkSession, df: DataFrame, path: str, name: str
+    spark: SparkSession, df: DataFrame, path: str
 ) -> DataFrame:
-    if name not in _SCAN_PAR_TABLES:
-        return df
     try:
         size = os.path.getsize(path)
     except OSError:
@@ -76,7 +74,9 @@ def _check_schema(df: DataFrame, expected: T.StructType, source: str) -> None:
         )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, scan_parallel: bool = False
+) -> DataFrame:
     """S3: Parquet source for a TESTDATA table, schema-checked.
 
     Column pruning + predicate pushdown reach the parquet scan because this
@@ -111,7 +111,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     _check_schema(df, expected, path)
-    return _with_scan_parallelism(spark, df, path, name)
+    if scan_parallel:
+        df = _with_scan_parallelism(spark, df, path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

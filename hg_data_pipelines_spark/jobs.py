@@ -189,7 +189,7 @@ def _corpus_quality_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
 
     from .io import load_table
 
-    docs = load_table(spark, ctx.config["sf_dir"], "documents")
+    docs = load_table(spark, ctx.config["sf_dir"], "documents", scan_parallel=True)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
     n_tokens = F.size(toks)
@@ -269,7 +269,7 @@ def _corpus_semantic_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFr
     from .operators.similarity import embedding_neardup_lsh
 
     docs = ctx.tables["corpus_neardup"]
-    emb = load_table(spark, ctx.config["sf_dir"], "embeddings")
+    emb = load_table(spark, ctx.config["sf_dir"], "embeddings", scan_parallel=True)
     threshold = float(ctx.config.get("semantic_cos_threshold", 0.45))
     if ctx.config.get("semantic_method", "lsh") == "exact":
         from .operators.similarity import _cosine

@@ -493,6 +493,24 @@ def video_metadata(binary_df: DataFrame) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r["content"])
+                if not data.startswith(_VID_MAGIC):
+                    # Same container routing as decode_video: an MP4 or
+                    # Matroska blob must hit the explicit pyav seam, not
+                    # silently yield garbage header fields.
+                    if len(data) > 11 and data[4:8] == b"ftyp":
+                        raise NotImplementedError(
+                            "MP4 container detected: metadata requires"
+                            " pyav/ffmpeg (seam)"
+                        )
+                    if data.startswith(b"\x1a\x45\xdf\xa3"):
+                        raise NotImplementedError(
+                            "Matroska/WebM container detected: metadata"
+                            " requires pyav/ffmpeg (seam)"
+                        )
+                    raise ValueError(
+                        "unsupported video bytes (RAWVID, MP4, Matroska):"
+                        f" {r['path']}"
+                    )
                 f, num, den, h, w, c = struct.unpack_from(
                     "<IIIIII", data, len(_VID_MAGIC)
                 )

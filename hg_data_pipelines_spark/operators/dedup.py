@@ -148,11 +148,29 @@ def minhash_lsh_pairs(
     )
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-iteration lineage cut for fixed-point operators.
+
+    Default is ``localCheckpoint`` (eager): executor-local storage, no HDFS
+    round-trip — right for local mode and fault-tolerant-enough short runs.
+    On a real cluster executor loss destroys a local checkpoint and kills
+    the job, so callers pass ``checkpoint_dir`` to switch to reliable
+    ``checkpoint()`` (persisted to the configured fault-tolerant FS).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list → (node, component).
 
@@ -165,9 +183,17 @@ def connected_components(
     iteration, converging in O(diameter) rounds. Near-dup clusters have
     tiny diameters (docs similar to a common template are mutually
     paired), so 3-5 rounds typically suffice; ``max_iter`` bounds
-    pathological chains. Lineage is truncated per round (localCheckpoint)
-    so the plan does not grow exponentially; the convergence probe is a
-    LIMIT 1 existence check, not a full count.
+    pathological chains. Lineage is truncated per round (localCheckpoint,
+    or reliable ``checkpoint()`` when ``checkpoint_dir`` is given) so the
+    plan does not grow exponentially.
+
+    The convergence probe rides the label table itself: the update
+    aggregation keeps each node's previous label as ``old_comp`` in the
+    same checkpointed result, so detecting a change is a shuffle-free
+    LIMIT-1 scan of cached partitions — not an extra join job. (A
+    two-hop-per-checkpoint variant was measured SLOWER: without the
+    intermediate checkpoint the inner hop's subtree is referenced twice
+    by the outer hop and re-evaluates.)
 
     At much larger diameters, the alternating large-star/small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce") drops
@@ -182,30 +208,29 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("comp"))
     )
-    # One hop per round, eager checkpoint, then a convergence probe on the
-    # two checkpointed label tables. (A two-hop-per-checkpoint variant was
-    # measured SLOWER: without the intermediate checkpoint the inner hop's
-    # subtree is referenced twice by the outer hop and re-evaluates.)
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["a"] == labels["node"])
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("comp").alias("comp"))
         )
-        new_labels = (
-            labels.union(nbr_min)
+        # Min-label update and previous label in ONE aggregation: old rows
+        # carry is_old=true, so min(comp) is the new label and the
+        # conditional min recovers the old one (every node has exactly one
+        # old row — labels is keyed by node).
+        ext = (
+            labels.select("node", "comp", F.lit(True).alias("is_old"))
+            .union(nbr_min.select("node", "comp", F.lit(False).alias("is_old")))
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("is_old"), F.col("comp"))).alias("old_comp"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        ext = _truncate_lineage(ext, checkpoint_dir)
+        labels = ext.select("node", "comp")
+        # Min-label is monotone: comp < old_comp iff this node changed.
+        changed = ext.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
         if changed == 0:
             break
     return labels
@@ -225,18 +250,29 @@ def hamming_near_pairs(
     id_col: str,
     hash_col: str,
     max_hamming: int = 8,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs of 64-bit fingerprints via chunk-blocked Hamming.
 
     Pigeonhole: any pair within Hamming distance ``n_chunks - 1`` shares
-    at least one exact 64/n_chunks-bit chunk; larger ``max_hamming``
-    trades recall. Bucket-then-combine (one evaluation of the fingerprint
-    subtree, pair expansion inside each chunk bucket) keeps candidate
-    generation near-linear; the exact ``bit_count`` check filters.
-    Works for any 64-bit LSH family: SimHash text fingerprints,
-    perceptual image hashes (pHash/dHash), etc.
+    at least one exact ``64 // n_chunks``-bit chunk (uncovered top bits
+    from uneven division only weaken the adversary — a differing
+    uncovered bit can't break chunk equality — so the ≤ n_chunks-1
+    guarantee holds regardless). ``n_chunks`` therefore defaults to
+    ``max_hamming + 1``: FULL recall at the requested radius. Passing a
+    smaller ``n_chunks`` trades recall for selectivity — wider chunks
+    collide less, which matters for huge corpora where 7-bit chunks
+    (128 bucket values) would put n/128 fingerprints in one bucket; the
+    guarantee then drops to ≤ n_chunks-1 and pairs beyond it are found
+    only if their flipped bits happen to leave one chunk clean.
+    Bucket-then-combine (one evaluation of the fingerprint subtree, pair
+    expansion inside each chunk bucket) keeps candidate generation
+    near-linear; the exact ``bit_count`` check filters. Works for any
+    64-bit LSH family: SimHash text fingerprints, perceptual image
+    hashes (pHash/dHash), etc.
     """
+    if n_chunks is None:
+        n_chunks = min(max_hamming + 1, 16)
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
     base = fingerprints.select(
@@ -281,7 +317,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup pairs via 4×16-bit chunk blocking
-    (see ``hamming_near_pairs``)."""
+    """SimHash near-dup pairs via chunk blocking with full recall at
+    ``max_hamming`` (see ``hamming_near_pairs``)."""
     fp = simhash_fingerprints(docs, id_col, text_col)
     return hamming_near_pairs(fp, "doc_id", "simhash", max_hamming)

@@ -34,6 +34,7 @@ def pagerank_fixed_point(
     n_iter: int = 4,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, rank_scaled BIGINT).
 
@@ -41,7 +42,14 @@ def pagerank_fixed_point(
     set sum to just under 10^15 (integer truncation sheds < 1 per op).
     Nodes are the union of sources and destinations; every node gets the
     teleport mass even with zero in-edges.
+
+    ``checkpoint_dir`` switches the per-iteration lineage cut from
+    executor-local storage to a reliable ``checkpoint()`` in that
+    directory — required for deep runs on real clusters, where losing an
+    executor destroys a local checkpoint. Integer arithmetic makes both
+    modes bit-identical (pytest asserts it).
     """
+    from .dedup import _truncate_lineage
     # Truncate the edge lineage once: the edge subtree would otherwise be
     # embedded (and risk re-execution) in every iteration's plan — costly
     # when edges come from an expensive derivation like the k-NN kernel.
@@ -84,4 +92,6 @@ def pagerank_fixed_point(
                 ).alias("rank_scaled"),
             )
         )
+        if checkpoint_dir is not None:
+            ranks = _truncate_lineage(ranks, checkpoint_dir)
     return ranks.select("node", "rank_scaled")

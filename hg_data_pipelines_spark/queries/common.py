@@ -40,9 +40,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, *names: str):
-    """Load one or more TESTDATA tables (schema-enforced parquet scans)."""
-    dfs = tuple(load_table(spark, sf_dir, n) for n in names)
+def load(spark: SparkSession, sf_dir: str, *names: str, scan_parallel: bool = False):
+    """Load one or more TESTDATA tables (schema-enforced parquet scans).
+
+    ``scan_parallel=True`` opts this call site into the small-input scan
+    repartition (io.py) — use it only when the map side above the scan is
+    compute-dense (shingling, tokenizing, vector kernels), never for cheap
+    filter/project/hash-aggregate plans that re-shuffle immediately anyway.
+    """
+    dfs = tuple(load_table(spark, sf_dir, n, scan_parallel=scan_parallel) for n in names)
     return dfs[0] if len(dfs) == 1 else dfs
 
 

@@ -76,7 +76,7 @@ _SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
     """,
 )
 def tfidf_top_terms(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     terms = docs.select("source", F.explode(_toks()).alias("term"))
     tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.groupBy("term").agg(F.count_distinct("source").alias("df"))
@@ -127,7 +127,7 @@ def tfidf_top_terms(spark, sf_dir):
     """,
 )
 def bigram_top20(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.select(_toks().alias("toks"))
     bigrams = t.select(
         F.explode(
@@ -169,7 +169,7 @@ def bigram_top20(spark, sf_dir):
     """,
 )
 def zipf_profile(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     counts = (
         docs.select(F.explode(_toks()).alias("term"))
         .groupBy("term")
@@ -229,7 +229,7 @@ _PHONE_RE = "555-[0-9]{4}"
     """,
 )
 def pii_redaction(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     raw = F.concat(
         F.col("text"),
         F.lit(" contact: user"),
@@ -287,7 +287,7 @@ _PROBES = (
 def heavy_hitter_terms(spark, sf_dir):
     from ..operators.scale import approx_top_k
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     terms = docs.select(F.explode(_toks()).alias("term"))
     return approx_top_k(terms, "term", k=20).orderBy(F.desc("n"), F.asc("term"))
 
@@ -317,7 +317,7 @@ def heavy_hitter_terms(spark, sf_dir):
     """,
 )
 def deterministic_split(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -359,7 +359,7 @@ _STRIDE = 24
     """,
 )
 def sequence_chunks(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.filter(F.col("doc_id") < 40).select("doc_id", _toks().alias("toks"))
     starts = t.select(
         "doc_id",
@@ -388,7 +388,7 @@ def sequence_chunks(spark, sf_dir):
     """.format(values=", ".join(f"('{p}')" for p in _PROBES)),
 )
 def contamination_probe(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     probes = docs.sparkSession.createDataFrame(
         [(p,) for p in _PROBES], ["probe"]
     )
@@ -434,7 +434,7 @@ def contamination_probe(spark, sf_dir):
 def stratified_sample(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -483,7 +483,7 @@ def stratified_sample(spark, sf_dir):
     """,
 )
 def char_entropy(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     chars = docs.select(
         "source", F.explode(F.split(F.lower("text"), "")).alias("ch")
     )
@@ -548,7 +548,7 @@ _DECON_MIN_SHARED = 3
 def ngram_decontamination(spark, sf_dir):
     from ..functions.text import tokens, word_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     sh = (
         docs.select(F.col("doc_id").alias("_id"), tokens("text").alias("toks"))
         .select("_id", word_shingles("toks", _DECON_N).alias("shingles"))

@@ -107,7 +107,7 @@ _SQL_SHINGLES = """
     """,
 )
 def ngram_jaccard_query(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
 
 
@@ -156,7 +156,7 @@ _SQL_COMPONENTS = _SQL_SHINGLES.replace("WITH t AS", "WITH RECURSIVE t AS", 1) +
     """,
 )
 def dedup_components_query(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
     labels = connected_components(pairs)
     return labels.groupBy(F.col("comp").alias("component")).agg(
@@ -199,7 +199,7 @@ def dedup_components_query(spark, sf_dir):
 def component_representatives(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
     labels = connected_components(pairs)
     with_comp = docs.select("doc_id", "n_chars").join(
@@ -227,8 +227,40 @@ def component_representatives(spark, sf_dir):
 
 @query("X2_minhash_lsh_pairs")
 def minhash_lsh_query(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# X2: value-level containment oracle for the LSH path. MinHash-LSH output
+# is exact-Jaccard verified, so (id_a, id_b) pairs it emits MUST be a
+# subset of the exact inverted-index pairs — the Spark side computes
+# LSH-pairs EXCEPT ALL exact-pairs and the DuckDB oracle states the
+# invariant's consequence directly: the empty relation. Any LSH false
+# positive (verification bug, threshold drift, shingle mismatch) makes
+# the Spark side non-empty and fails the driver's row-count/hash compare,
+# upgrading the LSH family from rows-only to an oracle-checked invariant.
+# (Recall stays pytest-checked: it is probabilistic by design, so the
+# reverse containment is not an invariant.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X2_lsh_subset_check",
+    """
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+    WHERE FALSE
+    """,
+)
+def lsh_subset_check(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    lsh = minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    return lsh.exceptAll(exact)
 
 
 # --------------------------------------------------------------------------
@@ -238,7 +270,7 @@ def minhash_lsh_query(spark, sf_dir):
 
 @query("X2_simhash_fingerprints")
 def simhash_query(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return simhash_fingerprints(docs)
 
 
@@ -248,5 +280,5 @@ def simhash_pairs_query(spark, sf_dir):
     xxhash64 not in DuckDB; pytest pins determinism)."""
     from ..operators.dedup import simhash_near_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return simhash_near_pairs(docs, max_hamming=8)

@@ -860,6 +860,71 @@ def adaptive_skew_join_query(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# EXT-J9 (measured skew): a 90%-skew join scenario for the headline
+# bench. ~90% of event rows collapse onto one synthetic hot key
+# (user_id % 10 > 0 → -1), the worst case for a shuffle hash join: one
+# task owns 90% of the probe side. The twin queries run the IDENTICAL
+# semantics two ways —
+#   * `_plain`: sort-merge join forced by a merge hint (no broadcast
+#     escape hatch), leaving skew mitigation to AQE's runtime
+#     skew-partition split;
+#   * `_salted`: `adaptive_salted_join`, which discovers the hot key and
+#     salts only its rows at plan time.
+# Both carry the same plain-join oracle (salting/AQE never change the
+# result set), so the skew path is value-checked AND its runtime is a
+# recorded BENCH number instead of a claim.
+# --------------------------------------------------------------------------
+
+_SKEW90_SQL = f"""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 10 > 0 THEN -1 ELSE user_id END AS skew_key,
+               value
+        FROM events
+    ), dim AS (
+        SELECT skew_key, COUNT(*) AS key_rows FROM keyed GROUP BY skew_key
+    )
+    SELECT k.skew_key, d.key_rows, COUNT(*) AS n_joined,
+           {sql_dsum('k.value', 'sum_value')}
+    FROM keyed k JOIN dim d ON k.skew_key = d.skew_key
+    GROUP BY 1, 2
+"""
+
+
+def _skew90_inputs(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") % 10 > 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+    )
+    dim = keyed.groupBy("skew_key").agg(F.count(F.lit(1)).alias("key_rows"))
+    return keyed, dim
+
+
+@query("J9_skew90_join_plain", _SKEW90_SQL)
+def skew90_join_plain(spark, sf_dir):
+    keyed, dim = _skew90_inputs(spark, sf_dir)
+    joined = keyed.join(dim.hint("merge"), "skew_key")
+    return joined.groupBy("skew_key", "key_rows").agg(
+        F.count(F.lit(1)).alias("n_joined"), dsum("value", "sum_value")
+    )
+
+
+@query("J9_skew90_join_salted", _SKEW90_SQL)
+def skew90_join_salted(spark, sf_dir):
+    from ..operators.scale import adaptive_salted_join
+
+    keyed, dim = _skew90_inputs(spark, sf_dir)
+    joined = adaptive_salted_join(
+        keyed, dim, "skew_key", hot_k=4, hot_min_fraction=0.05
+    )
+    return joined.groupBy("skew_key", "key_rows").agg(
+        F.count(F.lit(1)).alias("n_joined"), dsum("value", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # X13: first-order Markov transition matrix over per-user event
 # sequences — the sequence-modeling summary (what follows what, with
 # probabilities). Counts are exact; the probability is one int/int double

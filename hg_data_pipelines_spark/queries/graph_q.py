@@ -67,7 +67,7 @@ def _pagerank_oracle(n_iter: int = _PR_ITER, k: int = _KNN_K) -> str:
 
 @query("X11_pagerank_knn", _pagerank_oracle())
 def pagerank_knn(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     edges = knn_graph_exact(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -137,6 +137,6 @@ def _reachability_sql(
     _reachability_sql(_SQL_COSINE, mat=" MATERIALIZED"),
 )
 def recursive_reachability(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     emb.createOrReplaceTempView("embeddings")
     return spark.sql(_reachability_sql(_SPARK_COSINE))

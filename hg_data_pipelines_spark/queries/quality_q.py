@@ -65,24 +65,24 @@ def profile_orders(spark, sf_dir):
     """
     SELECT * FROM (
         SELECT 'quantity_positive' AS constraint, COUNT(*) AS n_rows,
-               SUM(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
-                        THEN 1 ELSE 0 END) AS n_violations,
-               SUM(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
-                        THEN 1 ELSE 0 END) = 0 AS passed
+               CAST(SUM(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(SUM(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) = 0 AS passed
         FROM lineitem
         UNION ALL
         SELECT 'discount_in_unit_range', COUNT(*),
-               SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
-                             OR l_discount IS NULL THEN 1 ELSE 0 END),
-               SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
-                             OR l_discount IS NULL THEN 1 ELSE 0 END) = 0
+               CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+                             OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+                             OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
         FROM lineitem
         UNION ALL
         SELECT 'price_over_10000', COUNT(*),
-               SUM(CASE WHEN NOT (l_extendedprice > 10000)
-                             OR l_extendedprice IS NULL THEN 1 ELSE 0 END),
-               SUM(CASE WHEN NOT (l_extendedprice > 10000)
-                             OR l_extendedprice IS NULL THEN 1 ELSE 0 END) = 0
+               CAST(SUM(CASE WHEN NOT (l_extendedprice > 10000)
+                             OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (l_extendedprice > 10000)
+                             OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
         FROM lineitem
     )
     """,

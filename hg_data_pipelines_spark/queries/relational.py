@@ -969,8 +969,11 @@ def scd2_intervals(spark, sf_dir):
 # EXT-A15: ordered string aggregation + conditional/boolean aggregates.
 # listagg WITHIN GROUP (ORDER BY) needs the tiebreak-free total order of
 # its own input to be cross-engine deterministic — n_name is unique per
-# region, so the concatenation is a total order. count_if/bool_and/bool_or
-# are plain one-pass conditional aggregates (map-side combinable).
+# region, so the concatenation is a total order. The conditional and
+# boolean aggregates are expressed as SUM/MIN/MAX over CASE 0/1 flags
+# cast to BIGINT: semantically identical to count_if/bool_and/bool_or,
+# map-side combinable, and comparator-robust across engine versions
+# (no engine-specific boolean/HUGEINT output types in the result).
 # --------------------------------------------------------------------------
 
 
@@ -979,9 +982,12 @@ def scd2_intervals(spark, sf_dir):
     """
     SELECT r.r_name,
            string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
-           count_if(n.n_nationkey % 2 = 0) AS n_even,
-           bool_and(n.n_nationkey >= 0) AS all_nonneg,
-           bool_or(n.n_name LIKE 'A%') AS any_a
+           CAST(SUM(CASE WHEN n.n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_even,
+           CAST(MIN(CASE WHEN n.n_nationkey >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS all_nonneg,
+           CAST(MAX(CASE WHEN n.n_name LIKE 'A%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS any_a
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
@@ -989,13 +995,16 @@ def scd2_intervals(spark, sf_dir):
 def agg_extras(spark, sf_dir):
     nation, region = load(spark, sf_dir, "nation", "region")
     j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    even_flag = F.when(F.col("n_nationkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+    nonneg_flag = F.when(F.col("n_nationkey") >= 0, F.lit(1)).otherwise(F.lit(0))
+    a_flag = F.when(F.col("n_name").like("A%"), F.lit(1)).otherwise(F.lit(0))
     return j.groupBy("r_name").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
             "nations_csv"
         ),
-        F.count_if(F.col("n_nationkey") % 2 == 0).alias("n_even"),
-        F.bool_and(F.col("n_nationkey") >= 0).alias("all_nonneg"),
-        F.bool_or(F.col("n_name").like("A%")).alias("any_a"),
+        F.sum(even_flag).cast("bigint").alias("n_even"),
+        F.min(nonneg_flag).cast("bigint").alias("all_nonneg"),
+        F.max(a_flag).cast("bigint").alias("any_a"),
     )
 
 
@@ -1176,23 +1185,30 @@ def first_last_nth(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# A17: conditional-aggregation surface — ANSI FILTER clauses, count_if,
-# bool_and/bool_or, and a decimal-exact weighted average
-# (sum(w·x)/sum(w)), all deterministic regardless of ties or order.
-# Identical SQL text runs on both engines.
+# A17: conditional-aggregation surface — ANSI FILTER clause plus the
+# count_if/bool_and/bool_or semantics restated as SUM/MIN/MAX over CASE
+# 0/1 flags (identical one-pass conditional aggregates, map-side
+# combinable) so every output column is a comparator-robust BIGINT, and
+# a weighted average (sum(w·x)/sum(w)) emitted as floor-truncated
+# integer micro-units: the two SUMs are exact DECIMAL(38,6), their
+# ratio is one IEEE binary64 division (bit-identical on any engine),
+# and floor(ratio·1e6) avoids engine-version round() tie behavior.
 # --------------------------------------------------------------------------
 
 _A17_SQL = """
     SELECT o_orderstatus,
            COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
-           count_if(o_orderpriority = '1-URGENT') AS n_urgent,
-           bool_and(o_totalprice > 0) AS all_positive,
-           bool_or(o_orderpriority = '5-LOW') AS any_low_priority,
-           round(
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(MIN(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS all_positive,
+           CAST(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS any_low_priority,
+           CAST(FLOOR(
                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))
                         * CAST(o_custkey % 3 + 1 AS DECIMAL(38,6))) AS DOUBLE)
-               / CAST(SUM(CAST(o_custkey % 3 + 1 AS DECIMAL(38,6))) AS DOUBLE),
-               6) AS weighted_avg_price
+               / CAST(SUM(CAST(o_custkey % 3 + 1 AS DECIMAL(38,6))) AS DOUBLE)
+               * 1000000) AS BIGINT) AS weighted_avg_price_micros
     FROM {orders} GROUP BY o_orderstatus
 """
 

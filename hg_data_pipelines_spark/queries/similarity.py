@@ -39,7 +39,7 @@ _SQL_COSINE = """
     """,
 )
 def cosine_topk_bruteforce(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(queries, emb, k=_K).withColumn(
         "rank", F.col("rank").cast("int")
@@ -53,7 +53,7 @@ def cosine_topk_lsh(spark, sf_dir):
     # ~0.85 per-neighbor candidate probability. At production scale (higher
     # within-cluster cosine, vastly more vectors) more planes and fewer
     # tables shift the knee right — the knobs exist for exactly that.
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_topk(queries, emb, k=_K, n_planes=4, n_tables=16)
 
@@ -84,7 +84,7 @@ _SQL_PAIR_COSINE = """
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
     from ..operators.similarity import _cosine
@@ -103,7 +103,7 @@ def cosine_topk_ivf(spark, sf_dir):
     pytest asserts recall against the brute-force ground truth)."""
     from ..operators.similarity import ivf_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(queries, emb, k=_K)
 
@@ -115,7 +115,7 @@ def embedding_neardup_lsh_q(spark, sf_dir):
     precision and a recall floor against the exact twin)."""
     from ..operators.similarity import embedding_neardup_lsh
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     return embedding_neardup_lsh(emb, _NEARDUP_COS, n_planes=4, n_tables=16)
 
 
@@ -146,7 +146,7 @@ _KNN_K = 3
 def knn_graph_exact(spark, sf_dir):
     from ..operators.similarity import knn_graph_exact as knn_op
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     return knn_op(emb, k=_KNN_K).withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -154,7 +154,7 @@ def knn_graph_exact(spark, sf_dir):
 def knn_graph_lsh(spark, sf_dir):
     """Rows-only LSH twin of X3_knn_graph (xxhash64 planes not in DuckDB);
     pytest pins recall vs the exact graph."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     return lsh_topk(emb, emb, k=_KNN_K, n_planes=4, n_tables=16)
 
 
@@ -178,7 +178,7 @@ def image_phash_fingerprints_query(spark, sf_dir):
 
     from ..multimodal import decode_image, dhash64, encode_image, phash64
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -219,7 +219,7 @@ def cosine_topk_pq(spark, sf_dir):
     recall vs brute force."""
     from ..operators.similarity import pq_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return pq_topk(queries, emb, k=_K)
 
@@ -266,7 +266,7 @@ def semantic_dedup_representatives(spark, sf_dir):
     # components/representative stages are unchanged.
     from ..operators.dedup import connected_components
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     pairs = embedding_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
     labels = connected_components(pairs)
     return (
@@ -338,7 +338,7 @@ _SQL_DEQ_COSINE = """
 def quantized_topk(spark, sf_dir):
     from ..operators.similarity import dequantized_vector, quantize_embeddings_int8
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     q8 = quantize_embeddings_int8(emb)
     deq = q8.select(
         "vec_id", dequantized_vector("codes", "scale", "offset").alias("embedding")
@@ -367,7 +367,7 @@ def video_frame_sample_stats(spark, sf_dir):
 
     from ..multimodal import decode_video, encode_video
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     out_schema = T.StructType(
         [
             T.StructField("label", T.IntegerType()),
@@ -421,7 +421,7 @@ def audio_feature_stats(spark, sf_dir):
 
     from ..audio import audio_feature_row, encode_wav
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     out_schema = T.StructType(
         [
             T.StructField("label", T.IntegerType()),

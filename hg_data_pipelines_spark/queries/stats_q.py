@@ -124,11 +124,11 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     "A12_pivot_priority_counts",
     """
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
-           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
-           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
-           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -209,7 +209,7 @@ def unpivot_part_metrics(spark, sf_dir):
     """,
 )
 def label_centroids(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     dims = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )

@@ -48,7 +48,7 @@ _SQL_STOP = "['the', 'a', 'of', 'and', 'to', 'in']"
     """,
 )
 def text_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     return docs.select(
         "doc_id",
@@ -88,7 +88,7 @@ def text_stats(spark, sf_dir):
     """,
 )
 def lang_profile(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return (
         docs.select("lang", "n_chars", "source", F.size(_toks()).alias("n_toks"))
         .groupBy("lang")
@@ -146,7 +146,7 @@ def _spark_hits(lang: str) -> F.Column:
     """,
 )
 def langid_heuristic(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     scored = docs.select("lang", _toks().alias("toks")).select(
         "lang",
         _spark_hits("en").alias("s_en"),
@@ -196,7 +196,7 @@ def langid_heuristic(spark, sf_dir):
     """,
 )
 def array_filter_slice(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.select("doc_id", _toks().alias("toks"))
     return t.filter(F.size("toks") > 40).select(
         "doc_id",
@@ -225,7 +225,7 @@ def array_filter_slice(spark, sf_dir):
     """,
 )
 def transform_flatten(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.select("doc_id", F.slice(_toks(), 1, 5).alias("toks"))
     return t.select(
         "doc_id",
@@ -256,7 +256,7 @@ def transform_flatten(spark, sf_dir):
     """,
 )
 def arrays_zip_explode(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.filter(F.col("doc_id") < 50).select(
         "doc_id", F.slice(_toks(), 1, 10).alias("toks")
     )
@@ -289,7 +289,7 @@ def arrays_zip_explode(spark, sf_dir):
     """,
 )
 def posexplode_tokens(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.filter(F.col("doc_id") < 30).select(
         "doc_id", F.slice(_toks(), 1, 8).alias("toks")
     )
@@ -323,7 +323,7 @@ _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
     """,
 )
 def token_count_bpe(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.select(
         "lang",
         F.size(
@@ -359,7 +359,7 @@ def token_count_bpe(spark, sf_dir):
     """,
 )
 def doc_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return docs.select(
         "doc_id",
         F.expr(
@@ -407,7 +407,7 @@ def doc_fingerprint(spark, sf_dir):
     """,
 )
 def quality_score(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     feat = docs.select(
         "doc_id",
@@ -488,7 +488,7 @@ def quality_score(spark, sf_dir):
     """,
 )
 def repetition_filter(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return repetition_metrics(docs)
 
 

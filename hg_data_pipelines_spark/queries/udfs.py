@@ -173,7 +173,7 @@ def udtf_char_ngrams(spark, sf_dir):
             for i in range(max(len(head) - 3, 0)):
                 yield i, head[i : i + 4]
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.filter(F.col("doc_id") < 20).select(
         "doc_id", F.substring("text", 1, 12).alias("head")
     )

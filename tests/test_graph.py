@@ -45,3 +45,21 @@ class TestPagerankFixedPoint:
         got = _pr(spark, [(1, 2)])
         # node 1 has no in-edges: exactly the teleport base term
         assert got[1] == (15 * (SCALE // 2)) // 100
+
+    def test_reliable_checkpoint_mode_identical(self, spark, tmp_path):
+        # per-iteration reliable checkpoint must not change a single rank
+        # unit (integer arithmetic is layout- and lineage-invariant)
+        edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, i + 1) for i in range(22)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        base = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed_point(df, n_iter=4).collect()
+        }
+        ckpt = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed_point(
+                df, n_iter=4, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect()
+        }
+        assert base == ckpt
+        assert any((tmp_path / "ckpt").iterdir())

@@ -91,7 +91,8 @@ class TestPerceptualHash:
         rng = np.random.RandomState(9)
         noisy += rng.randint(-4, 5, size=a.shape)
         noisy = np.clip(noisy, 0, 255).astype(np.uint8)
-        assert bin(phash64(a) ^ phash64(noisy) & (1 << 64) - 1).count("1") <= 8
+        d = bin((phash64(a) ^ phash64(noisy)) & ((1 << 64) - 1)).count("1")
+        assert d <= 8
 
     def test_different_images_far_apart(self):
         a = self._img(3)
