@@ -81,6 +81,103 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (PPJoin-family).
+
+    Same output contract as ``ngram_jaccard_pairs`` — (id_a, id_b,
+    jaccard) with jaccard >= threshold, exactly — but candidate
+    generation indexes only each document's PREFIX: its
+    ``floor((1 - t) * n) + 1`` globally-rarest shingles under a canonical
+    (document-frequency, shingle) order. The prefix-filter lemma: two
+    sets with Jaccard >= t overlap in >= ceil(t/(1+t) * (|A|+|B|))
+    elements, so each side can drop its (t * n) most-frequent shingles
+    and a qualifying pair still collides on some indexed shingle.
+
+    Why this is the 100 TB shape: the plain inverted index posts EVERY
+    shingle occurrence, and its cost concentrates in the hottest posting
+    lists (template boilerplate, stopword shingles) whose pair expansion
+    is quadratic in list length. Prefix filtering deletes exactly those
+    lists — a hot shingle is almost never among a document's rarest — so
+    posting volume drops by ~t and the quadratic heads disappear. A
+    length filter (|smaller| >= t * |larger|) prunes candidates further
+    before verification. Costs one extra shuffle pair (global
+    document-frequency count + re-group); wins whenever posting-list
+    skew, not shuffle count, is the bottleneck — i.e. at scale.
+
+    Exactness makes it fully oracle-checkable: output must EQUAL the
+    inverted-index form's, and the declared query shares its SQL oracle.
+    """
+    base = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("toks")).select(
+        "_id", word_shingles("toks", ngram).alias("shingles")
+    )
+    # Posting/order key = xxhash64(shingle): every shuffle in candidate
+    # generation carries 8-byte longs instead of ~30-byte shingle strings.
+    # A hash collision merges two shingles into one index entry, which can
+    # only GROW hashed intersections (hashed-Jaccard >= real Jaccard), so
+    # candidates remain a superset of all qualifying pairs and the exact
+    # verification below keeps the output exact.
+    exploded = base.select(
+        "_id",
+        F.size("shingles").alias("_n"),
+        F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("h"),
+    )
+    dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    # canonical rare-first order per doc, then keep the prefix
+    ranked = (
+        exploded.join(dfreq, "h")
+        .groupBy("_id", "_n")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("ordered"))
+        .select(
+            "_id",
+            "_n",
+            F.expr(
+                f"slice(ordered, 1, cast(floor((1 - {threshold}) * _n) + 1 as int))"
+            ).alias("prefix"),
+        )
+    )
+    pre = ranked.select("_id", "_n", F.explode("prefix.h").alias("h"))
+    buckets = (
+        pre.groupBy("h")
+        .agg(F.collect_list(F.struct("_id", "_n")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " CASE WHEN x._id < y._id"
+        " THEN struct(x._id as id_a, y._id as id_b, x._n as na, y._n as nb)"
+        " ELSE struct(y._id as id_a, x._id as id_b, y._n as na, x._n as nb)"
+        " END)))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.na", "p.nb")
+        # length filter: Jaccard >= t forces |smaller| >= t * |larger|
+        .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -202,25 +299,30 @@ def connected_components(
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.localCheckpoint(eager=False)
+    # Pre-partition the (static) edge table on the join key once, so each
+    # round's join reuses this exchange and only the (changing) label side
+    # shuffles.
+    und = und.repartition(F.col("a")).localCheckpoint(eager=False)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
     )
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und["a"] == labels["node"])
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("comp").alias("comp"))
+        # Neighbor label propagation + min-label update + previous label in
+        # ONE shuffle: joined contributions (b takes a's label) union the
+        # current labels (self + is_old marker), then a single groupBy
+        # computes the new min label AND recovers the old one (every node
+        # has exactly one is_old row — labels is keyed by node). A separate
+        # per-neighbor pre-aggregation would be a second full shuffle;
+        # Spark's partial (map-side) aggregation already provides the
+        # combine step.
+        contrib = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "comp", F.lit(False).alias("is_old")
         )
-        # Min-label update and previous label in ONE aggregation: old rows
-        # carry is_old=true, so min(comp) is the new label and the
-        # conditional min recovers the old one (every node has exactly one
-        # old row — labels is keyed by node).
         ext = (
             labels.select("node", "comp", F.lit(True).alias("is_old"))
-            .union(nbr_min.select("node", "comp", F.lit(False).alias("is_old")))
+            .union(contrib)
             .groupBy("node")
             .agg(
                 F.min("comp").alias("comp"),

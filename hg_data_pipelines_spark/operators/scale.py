@@ -216,25 +216,60 @@ def adaptive_salted_join(
     hot_k: int = 8,
     hot_min_fraction: float = 0.01,
     how: str = "inner",
+    discovery: str = "sample",
+    sample_fraction: float = 0.02,
 ) -> DataFrame:
     """Skew join that salts ONLY the hot keys.
 
     Blanket salting (``salted_join``) replicates the ENTIRE right side
     ``n_salts``× — fine for a small dim, a disaster for a large one.
-    The adaptive form first discovers the left side's heavy hitters with
-    ``approx_top_k`` (candidate-then-verify; exact counts, no full-domain
-    shuffle), keeps those above ``hot_min_fraction`` of rows, and splits
-    the join: hot keys get salted left rows against a ``n_salts``×
+    The adaptive form first discovers the left side's heavy hitters,
+    keeps those above ``hot_min_fraction`` of rows, and splits the join:
+    hot keys get salted left rows against a ``n_salts``×
     replicated-hot-only right slice; everything else joins plain. The
     replication cost drops from |right| × n_salts to |right ∩ hot| ×
     n_salts — at 100 TB that is the difference between a working skew
     mitigation and a new bottleneck. The hot-key set is a bounded driver
     list (≤ hot_k values), the same permissible-collect class as IVF
-    centroids. Result ≡ plain join for any salt assignment.
+    centroids. Result ≡ plain join for any salt assignment AND any
+    discovered hot set — discovery decides plan shape only, so the cheap
+    default is a seeded ``sample_fraction`` scan (one small job: a key
+    with ≥ hot_min_fraction of rows is hit hundreds of times by a 2%
+    sample at any realistic scale, and both its count and the total are
+    estimated from the same sample so the fraction is unbiased).
+    ``discovery='exact'`` switches to the candidate-then-verify
+    ``approx_top_k`` pass (exact counts) for callers that also *report*
+    the hot keys.
     """
-    total = left.count()
-    hot_rows = approx_top_k(left, on, k=hot_k).collect()
-    hot = [r[on] for r in hot_rows if r["n"] >= max(1, int(total * hot_min_fraction))]
+    if discovery == "exact":
+        total = left.count()
+        hot_rows = approx_top_k(left, on, k=hot_k).collect()
+        hot = [
+            r[on]
+            for r in hot_rows
+            if r["n"] >= max(1, int(total * hot_min_fraction))
+        ]
+    else:
+        sampled = (
+            left.select(on)
+            .sample(fraction=sample_fraction, seed=7)
+            .groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # total and top keys from the SAME sampled aggregate (scalar rides
+        # as a broadcast row — one job, no second scan of `left`)
+        tot = sampled.agg(F.sum("_n").alias("_t"))
+        rows = (
+            sampled.crossJoin(F.broadcast(tot))
+            .orderBy(F.desc("_n"), F.asc(on))
+            .limit(hot_k)
+            .collect()
+        )
+        hot = [
+            r[on]
+            for r in rows
+            if r["_t"] and r["_n"] >= max(1.0, r["_t"] * hot_min_fraction)
+        ]
     if not hot:
         return left.join(right, on, how)
 

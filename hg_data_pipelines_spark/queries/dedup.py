@@ -112,6 +112,42 @@ def ngram_jaccard_query(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X2: prefix-filtered set-similarity join (PPJoin-family) — EXACT, so it
+# carries the same-shape oracle as the inverted-index form: same pairs,
+# same jaccard values, byte-for-byte. The scale story lives in
+# operators/dedup.py::jaccard_prefix_filter_pairs (posting volume drops
+# to (1-t) of the corpus; hot posting lists vanish entirely). Declared at
+# t=0.8 — the realistic near-dup radius, where the prefix is the rarest
+# fifth of each document and the length filter (|A| >= 0.8|B|) bites;
+# the fixture's true near-dup pairs all sit above 0.9, so the output
+# matches the 0.08-threshold exact form's pair set at this radius.
+# --------------------------------------------------------------------------
+
+_PREFIX_THRESHOLD = 0.8
+
+
+@query(
+    "X2_jaccard_prefix_pairs",
+    _SQL_SHINGLES
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+    FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {_PREFIX_THRESHOLD}
+    """,
+)
+def jaccard_prefix_query(spark, sf_dir):
+    from ..operators.dedup import jaccard_prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    return jaccard_prefix_filter_pairs(docs, threshold=_PREFIX_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
 # X2: duplicate-cluster grouping — connected components over the exact
 # near-dup pair graph. Spark runs distributed min-label propagation
 # (operators/dedup.py); the oracle computes the same components with a

@@ -1237,3 +1237,55 @@ _GBA_SQL = """
 def group_by_all(spark, sf_dir):
     load(spark, sf_dir, "orders").createOrReplaceTempView("_gba_orders")
     return spark.sql(_GBA_SQL.format(orders="_gba_orders"))
+
+
+# --------------------------------------------------------------------------
+# §2.8 higher-order (lambda) functions: exists / forall / filter /
+# aggregate (fold) / zip_with over per-order quantity arrays — all
+# JVM-side Catalyst lambda expressions, no Python. The array is the
+# sorted multiset of an order's line quantities (sorted → deterministic
+# regardless of shuffle order; never empty — every lineitem order has a
+# line). DuckDB states the identical semantics with list_filter /
+# list_reduce / a list comprehension for the positional zip; integer
+# arithmetic end-to-end keeps every output comparator-safe.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_lambda_funcs",
+    """
+    WITH arrs AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS INT))) AS arr
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(list_filter(arr, x -> x > 45)) > 0 AS has_large,
+           len(list_filter(arr, x -> NOT (x <= 30))) = 0 AS all_small,
+           CAST(list_reduce(arr, (a, b) -> a + b) AS BIGINT) AS total_qty,
+           CAST(len(list_filter(arr, x -> x > 20)) AS BIGINT) AS n_over_20,
+           CAST(list_sum([arr[i] * arr[len(arr) - i + 1]
+                          for i in range(1, len(arr) + 1)]) AS BIGINT)
+               AS dot_reversed
+    FROM arrs
+    """,
+)
+def lambda_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("arr")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.exists("arr", lambda x: x > 45).alias("has_large"),
+        F.forall("arr", lambda x: x <= 30).alias("all_small"),
+        F.aggregate(
+            "arr", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_qty"),
+        F.size(F.filter("arr", lambda x: x > 20)).cast("bigint").alias("n_over_20"),
+        F.aggregate(
+            F.zip_with("arr", F.reverse("arr"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_reversed"),
+    )

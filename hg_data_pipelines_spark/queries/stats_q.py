@@ -280,3 +280,169 @@ def hll_sketch_rollup(spark, sf_dir):
     return per_nation.groupBy(F.col("r_name").alias("region_name")).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# A18: count-min sketch with a value-level one-sided-error oracle. The
+# sketch is built distributed — each (depth, hash-bucket) counter is a
+# groupBy cell, the classic CMS layout re-expressed relationally (the
+# counter table IS the sketch; merging partitions is the shuffle's sum).
+# CMS guarantees estimate >= true count, so the declared output is the
+# set of VIOLATIONS of that bound over every event_type — the empty
+# relation, which DuckDB states directly. Estimates themselves depend on
+# engine hash functions, so they stay out of the oracle (the pytest twin
+# pins them); the bound does not.
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+@query(
+    "A18_countmin_no_underestimate",
+    """
+    SELECT CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BIGINT) AS cms_estimate
+    WHERE FALSE
+    """,
+)
+def countmin_no_underestimate(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    rows = ev.select("event_type")
+    # one row per (depth, bucket) occurrence: d independent hash rows
+    cells = rows.select(
+        "event_type",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_CMS_DEPTH - 1}),"
+                f" d -> pmod(xxhash64(event_type, d), {_CMS_WIDTH}))"
+            )
+        ).alias("depth", "bucket"),
+    )
+    counters = cells.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    exact = rows.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    keyed = exact.select(
+        "event_type",
+        "exact_n",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_CMS_DEPTH - 1}),"
+                f" d -> pmod(xxhash64(event_type, d), {_CMS_WIDTH}))"
+            )
+        ).alias("depth", "bucket"),
+    )
+    est = (
+        keyed.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.filter(F.col("cms_estimate") < F.col("exact_n"))
+
+
+# --------------------------------------------------------------------------
+# A19: Bloom-filter no-false-negative invariant + J10: the runtime-filter
+# join it powers. The filter is built distributed: k bit positions per
+# key, distinct positions = the bit set (set-union is what the shuffle's
+# distinct does — mergeable by construction). Membership = all k
+# positions present. Bloom guarantees no false negatives, so:
+#   * A19 declares the violations relation (customers WITH orders that
+#     the filter rejects) — provably empty, stated directly by DuckDB.
+#   * J10 uses the filter the way an engine's runtime filter does: the
+#     big side is pre-pruned by might-contain (cheap, conservative),
+#     then the exact join removes false positives — result EQUALS the
+#     plain join, which is its full oracle. This is semi-join reduction
+#     for 100 TB fact⋈filtered-dim plans, expressed declaratively.
+# --------------------------------------------------------------------------
+
+_BLOOM_K = 5
+_BLOOM_BITS = 1 << 16
+
+
+def _bloom_positions(col: str):
+    return F.expr(
+        f"transform(sequence(0, {_BLOOM_K - 1}),"
+        f" i -> pmod(xxhash64({col}, i), {_BLOOM_BITS}))"
+    )
+
+
+def _bloom_bits(df, col: str):
+    """Distinct bit positions set by ``df[col]`` — the Bloom filter as a
+    relation (broadcastable: at most _BLOOM_BITS rows)."""
+    return (
+        df.select(F.explode(_bloom_positions(col)).alias("bit")).distinct()
+    )
+
+
+def _might_contain(df, col: str, bits):
+    """Rows of ``df`` whose key passes the Bloom filter (all k bits set).
+
+    Membership is decided per DISTINCT key — a key with n rows probes
+    once, not n times (grouping hit counts by row would tally k·n hits
+    and never equal k) — then a semi-join keeps the qualifying rows.
+    """
+    keys = df.select(col).distinct()
+    probes = keys.withColumn("_pos", F.explode(_bloom_positions(col)))
+    ok = (
+        probes.join(F.broadcast(bits), probes["_pos"] == bits["bit"], "left")
+        .groupBy(col)
+        .agg(F.count("bit").alias("_hits"))
+        .filter(F.col("_hits") == _BLOOM_K)
+        .select(col)
+    )
+    # no broadcast hint: `ok` is bounded by the passing key set, which is
+    # small for a selective filter but not guaranteed so — AQE converts to
+    # broadcast at runtime when it is.
+    return df.join(ok, col, "left_semi")
+
+
+@query(
+    "A19_bloom_no_false_negatives",
+    """
+    SELECT CAST(NULL AS BIGINT) AS c_custkey WHERE FALSE
+    """,
+)
+def bloom_no_false_negatives(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    bits = _bloom_bits(orders, "o_custkey")
+    with_orders = cust.join(
+        orders.select("o_custkey").distinct(),
+        cust["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey")
+    passed = _might_contain(with_orders, "c_custkey", bits)
+    return with_orders.exceptAll(passed.select("c_custkey"))
+
+
+@query(
+    "J10_bloom_pruned_join",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_pruned_join(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    bits = _bloom_bits(rich, "c_custkey")
+    pruned = _might_contain(
+        orders.select("o_custkey", "o_orderpriority", "o_totalprice"),
+        "o_custkey",
+        bits,
+    )
+    joined = pruned.join(
+        rich, pruned["o_custkey"] == rich["c_custkey"], "left_semi"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

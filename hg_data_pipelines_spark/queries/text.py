@@ -581,3 +581,82 @@ def edit_distance_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 4)
         .select("brand", "key_a", "key_b", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# X16: entity resolution — the full match-cluster-canonicalize pipeline
+# composed from declared building blocks: brand-blocked edit-distance
+# match pairs (F_edit_distance_pairs' graph), distributed
+# connected-components clustering (operators/dedup.py), and a canonical
+# record per entity (cheapest member, partkey tiebreak). The oracle
+# recomputes the same components with a recursive transitive-closure CTE
+# (fixture-scale only) and the same window pick, so entity ids, canonical
+# keys, and flags all hash-match. Scale: pair generation is block-bounded
+# like every pair operator here, CC is O(diameter) shuffles, and the
+# canonical pick is one window over small clusters.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X16_entity_resolution",
+    """
+    WITH RECURSIVE prs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(substr(a.p_name, 1, 15), substr(b.p_name, 1, 15)) <= 4
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION
+        SELECT id_b, id_a FROM prs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS entity_id FROM reach GROUP BY a
+    )
+    SELECT c.node AS p_partkey, c.entity_id,
+           FIRST_VALUE(c.node) OVER w AS canonical_key,
+           c.node = FIRST_VALUE(c.node) OVER w AS is_canonical
+    FROM comp c JOIN part p ON p.p_partkey = c.node
+    WINDOW w AS (
+        PARTITION BY c.entity_id ORDER BY p.p_retailprice, c.node
+    )
+    """,
+)
+def entity_resolution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    part = load(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.substring("p_name", 1, 15).alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.substring("p_name", 1, 15).alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select("key_a", "key_b")
+    )
+    labels = connected_components(pairs, src="key_a", dst="key_b")
+    joined = labels.join(
+        part.select("p_partkey", "p_retailprice"),
+        labels["node"] == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("comp").orderBy("p_retailprice", "node")
+    first = F.first("node").over(w)
+    return joined.select(
+        F.col("node").alias("p_partkey"),
+        F.col("comp").alias("entity_id"),
+        first.alias("canonical_key"),
+        (F.col("node") == first).alias("is_canonical"),
+    )

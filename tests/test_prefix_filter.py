@@ -1,0 +1,57 @@
+"""Prefix-filtered set-similarity join (operators/dedup.py) — exactness:
+its output must equal the inverted-index form's on any input."""
+
+from __future__ import annotations
+
+from hg_data_pipelines_spark.operators.dedup import (
+    jaccard_prefix_filter_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _pairs(df, fn, t):
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in fn(df, threshold=t).collect()
+    }
+
+
+class TestPrefixFilterExactness:
+    def test_matches_inverted_index_on_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,
+            base + " extra",                      # near-dup of base
+            base.replace("quick", "slow"),        # near-dup of base
+            "completely different words here that share nothing at all with it",
+            "another unrelated document full of its own distinct vocabulary set",
+        ]
+        df = _docs(spark, texts)
+        for t in (0.5, 0.8):
+            assert _pairs(df, jaccard_prefix_filter_pairs, t) == _pairs(
+                df, ngram_jaccard_pairs, t
+            )
+
+    def test_identical_docs_jaccard_one(self, spark):
+        df = _docs(spark, ["a b c d e f g h"] * 3)
+        got = _pairs(df, jaccard_prefix_filter_pairs, 0.9)
+        assert got == {(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)}
+
+    def test_short_docs_no_shingles_no_pairs(self, spark):
+        # docs under 3 tokens shingle to empty sets -> never pair
+        df = _docs(spark, ["one two", "one two", "x y"])
+        assert _pairs(df, jaccard_prefix_filter_pairs, 0.5) == set()
+
+    def test_length_filter_respects_threshold(self, spark):
+        # a doc 2x the length of another cannot reach jaccard 0.8
+        short = "alpha beta gamma delta epsilon zeta"
+        long = short + " " + "eta theta iota kappa lambda mu nu xi omicron pi"
+        df = _docs(spark, [short, long])
+        assert _pairs(df, jaccard_prefix_filter_pairs, 0.8) == set()
+        assert _pairs(df, ngram_jaccard_pairs, 0.8) == set()

@@ -53,3 +53,71 @@ class TestHllSketchRollup:
         for region, est in got.items():
             # lgConfigK=14 → relative standard error ≈ 0.8%; allow 3σ
             assert abs(est - exact[region]) <= max(2, 0.025 * exact[region])
+
+
+class TestCountMinBloom:
+    def test_cms_estimates_bound_exact_counts(self, spark, sf_dir):
+        # rebuild the estimate side of A18 WITHOUT the violation filter:
+        # every estimate must sit in [exact, total_rows]
+        from hg_data_pipelines_spark.queries import stats_q
+        from pyspark.sql import functions as F
+
+        ev_types = stats_q.load(spark, sf_dir, "events").select("event_type")
+        total = ev_types.count()
+        cells = ev_types.select(
+            "event_type",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {stats_q._CMS_DEPTH - 1}),"
+                    f" d -> pmod(xxhash64(event_type, d), {stats_q._CMS_WIDTH}))"
+                )
+            ).alias("depth", "bucket"),
+        )
+        counters = cells.groupBy("depth", "bucket").agg(
+            F.count(F.lit(1)).alias("counter")
+        )
+        exact = ev_types.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("exact_n")
+        )
+        keyed = exact.select(
+            "event_type",
+            "exact_n",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {stats_q._CMS_DEPTH - 1}),"
+                    f" d -> pmod(xxhash64(event_type, d), {stats_q._CMS_WIDTH}))"
+                )
+            ).alias("depth", "bucket"),
+        )
+        est = (
+            keyed.join(F.broadcast(counters), ["depth", "bucket"])
+            .groupBy("event_type", "exact_n")
+            .agg(F.min("counter").alias("cms_estimate"))
+            .collect()
+        )
+        assert est, "no event types"
+        for r in est:
+            assert r["exact_n"] <= r["cms_estimate"] <= total
+
+    def test_bloom_filter_passes_all_members_and_prunes_some(self, spark, sf_dir):
+        from hg_data_pipelines_spark.queries.stats_q import (
+            _bloom_bits,
+            _might_contain,
+        )
+        from hg_data_pipelines_spark.queries.common import load
+        from pyspark.sql import functions as F
+
+        cust, orders = load(spark, sf_dir, "customer", "orders")
+        rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+        bits = _bloom_bits(rich, "c_custkey")
+        pruned = _might_contain(orders.select("o_custkey"), "o_custkey", bits)
+        # no false negatives: every order whose customer is rich survives
+        true_hits = orders.join(
+            rich, orders["o_custkey"] == rich["c_custkey"], "left_semi"
+        ).count()
+        surviving_true = pruned.join(
+            rich, pruned["o_custkey"] == rich["c_custkey"], "left_semi"
+        ).count()
+        assert surviving_true == true_hits
+        # and the filter actually prunes (not a pass-through)
+        assert pruned.count() < orders.count()
