@@ -303,12 +303,20 @@ def connected_components(
     # round's join reuses this exchange and only the (changing) label side
     # shuffles.
     und = und.repartition(F.col("a")).localCheckpoint(eager=False)
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+    # Fused round 1: with identity initial labels the first hop's join is
+    # redundant — every node's round-1 label is min(self, neighbors),
+    # computable in the SAME aggregation that would otherwise just build
+    # the distinct node list. Saves one full shuffle+checkpoint round.
+    ext = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("comp"))
+        .withColumn("old_comp", F.col("node"))
     )
-    for _ in range(max_iter):
+    ext = _truncate_lineage(ext, checkpoint_dir)
+    labels = ext.select("node", "comp")
+    if ext.filter(F.col("comp") < F.col("old_comp")).limit(1).count() == 0:
+        return labels
+    for _ in range(max_iter - 1):
         # Neighbor label propagation + min-label update + previous label in
         # ONE shuffle: joined contributions (b takes a's label) union the
         # current labels (self + is_old marker), then a single groupBy

@@ -63,10 +63,14 @@ def pagerank_fixed_point(
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_nn"))
     # Scalar node count rides as a broadcast column — no driver action.
-    nodes_nn = nodes.crossJoin(F.broadcast(n_nodes))
+    # Both static tables are lineage-cut ONCE: they appear in every
+    # iteration's plan, and without the cut Catalyst re-evaluates their
+    # whole subtree (scan + distinct / degree shuffle) per iteration —
+    # n_iter× wasted work that the checkpoint turns into a cache read.
+    nodes_nn = nodes.crossJoin(F.broadcast(n_nodes)).localCheckpoint(eager=False)
 
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    e_deg = e.join(outdeg, "_src")
+    e_deg = e.join(outdeg, "_src").localCheckpoint(eager=False)
 
     base = F.expr(
         f"(({damping_den - damping_num} * ({SCALE} DIV _nn)) DIV {damping_den})"
