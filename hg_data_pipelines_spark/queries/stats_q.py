@@ -446,3 +446,86 @@ def bloom_pruned_join(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# A16b: value-level error-bound oracle for approx_percentile. The
+# estimate itself is engine-specific (rows-only, like every sketch), but
+# its CONTRACT is not: with accuracy a, the returned value's rank must be
+# within n/a of the target rank. The declared output is the violations of
+# that bound (with n/1000 slack, >> n/10000 nominal) across every
+# l_returnflag group — provably empty, stated directly by DuckDB. The
+# same pattern as A18/A19: approximation machinery checked through its
+# guarantee, not its value.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A16_approx_percentile_bounds",
+    """
+    SELECT CAST(NULL AS VARCHAR) AS l_returnflag WHERE FALSE
+    """,
+)
+def approx_percentile_bounds(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chk = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "v", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("v"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("v"), 1).otherwise(0)
+            ).alias("n_lt"),
+        )
+    )
+    slack = F.col("n") / 1000 + 1
+    target = F.col("n") * 0.5
+    viol = chk.filter(
+        (F.col("n_le") < target - slack) | (F.col("n_lt") > target + slack)
+    )
+    return viol.select("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# A20: exact equi-depth histogram via ntile over a total order (unique
+# tiebreak keys make bucket assignment engine-independent). This is the
+# exact fixture-scale twin of approx-percentile cutpoints: a global sort,
+# the one shape we deliberately allow only in oracle/gate queries — at
+# 100 TB the cutpoints come from A16's mergeable sketch and the histogram
+# from one pass of comparisons against them (no global sort).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A20_equi_depth_histogram",
+    """
+    WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               ntile(8) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def equi_depth_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"), F.ntile(8).over(w).alias("bucket")
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )

@@ -33,3 +33,43 @@ def test_plan_has_no_scale_antipatterns(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [p for p in _FORBIDDEN if p in plan]
     assert not hits, f"{name}: forbidden plan nodes {hits}"
+
+
+class TestPlanShapes:
+    """Positive plan assertions: key queries carry the physical shape the
+    scale design calls for, not just the absence of anti-patterns."""
+
+    def _plan(self, spark, name):
+        df = QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_project_filter_pushes_to_scan(self, spark):
+        plan = self._plan(spark, "P1_P5_project_filter")
+        assert "PushedFilters: [" in plan and "IsNotNull" in plan
+        # column pruning: the scan reads only the 4 selected/filtered cols
+        assert "l_comment" not in plan
+
+    def test_dim_lookup_chain_broadcasts_both_dims(self, spark):
+        plan = self._plan(spark, "P2_J2_dim_lookup_chain")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_q1_uses_partial_aggregation(self, spark):
+        # map-side combine: a partial HashAggregate below the exchange
+        plan = self._plan(spark, "A7_q1_pricing_summary")
+        assert "partial_" in plan
+
+    def test_skew_plain_twin_honors_merge_hint(self, spark):
+        plan = self._plan(spark, "J9_skew90_join_plain")
+        assert "SortMergeJoin" in plan
+
+    def test_whole_stage_codegen_present_on_flagship(self, spark):
+        # AQE rewrites to the codegen'd final plan only on execution of
+        # THIS QueryExecution (a noop write spawns a fresh one) — collect
+        # the 6-row result to finalize it
+        df = QUERIES["A7_q1_pricing_summary"](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # "*(n)" prefixes are the WholeStageCodegen span markers
+        assert "*(" in plan
