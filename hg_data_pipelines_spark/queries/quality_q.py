@@ -100,3 +100,48 @@ def constraints_lineitem(spark, sf_dir):
             Constraint("price_over_10000", F.col("l_extendedprice") > 10000),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# DQ3: Benford first-digit profile — the classic anomaly screen for
+# invented numeric data. Digit extraction is pure string/int arithmetic
+# (identical on both engines); the observed share is one int/int double
+# division. A synthetic-uniform fixture won't FOLLOW Benford — the query
+# reports the profile, it doesn't assert the law.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ3_benford_first_digit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS first_digit
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT first_digit, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+           / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS observed_share
+    FROM digits GROUP BY first_digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "first_digit",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias(
+            "observed_share"
+        ),
+    )

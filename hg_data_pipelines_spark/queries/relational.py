@@ -1289,3 +1289,78 @@ def lambda_funcs(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("dot_reversed"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-W11: ratio-to-report — each row's share of its partition total, the
+# percent-of-total window everyone reports with. The partition total is
+# an exact decimal window sum; the share is ONE double division on exact
+# operands (bit-identical IEEE), so no rounding discipline is needed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W11_ratio_to_report",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE)
+           / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                 PARTITION BY o_custkey
+             ) AS DOUBLE) AS share_of_customer
+    FROM orders
+    """,
+)
+def ratio_to_report(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast("decimal(38,6)").cast("double")
+            / total.cast("double")
+        ).alias("share_of_customer"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-A21: median absolute deviation — the robust dispersion statistic
+# (outlier-resistant scale estimate). Two exact medians per group
+# (percentile at 0.5 == percentile_cont), both engines interpolate
+# identically; group count is 3 flags so the per-group sort is bounded.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A21_median_absolute_deviation",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS m
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ANY_VALUE(m.m) AS median_price,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(l.l_extendedprice - m.m))
+               AS mad
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def median_absolute_deviation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("m").alias("median_price"),
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("m")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )

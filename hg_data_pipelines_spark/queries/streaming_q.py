@@ -260,3 +260,59 @@ def streaming_dedup(spark, sf_dir):
     return _run_available_now(spark, dedup, "append").select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# X17: STREAMING session windows — the session_window aggregation running
+# as a Structured Streaming query (complete mode: every trigger re-emits
+# all sessions, so no watermark-driven row drops and the final table is
+# the full batch answer). Because nothing is dropped, the batch gap-
+# sessionization SQL is a full value-level oracle — rare for a streaming
+# query, and exactly why this one is declared in complete mode while
+# X7/X9 exercise the append/watermark semantics.
+# --------------------------------------------------------------------------
+
+_X8_SESSION_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@query("X17_streaming_session_window", _X8_SESSION_SQL)
+def streaming_session_window(spark, sf_dir):
+    utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="x17_events_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    schema = _raw_events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = _to_ntz(spark.readStream.schema(schema).parquet(stage))
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_available_now(spark, agg, "complete")
