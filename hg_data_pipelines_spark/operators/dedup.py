@@ -286,8 +286,13 @@ def connected_components(
 
     The convergence probe rides the label table itself: the update
     aggregation keeps each node's previous label as ``old_comp`` in the
-    same checkpointed result, so detecting a change is a shuffle-free
-    LIMIT-1 scan of cached partitions — not an extra join job. (A
+    same result, so "did anything change" is a filter-count over that
+    table — and because the count scans EVERY partition, it doubles as
+    the materializing action for a lazy localCheckpoint: one Spark job
+    per round total, not separate checkpoint + probe jobs. (A LIMIT-1
+    probe would be cheaper per se but can short-circuit partitions,
+    leaving the checkpoint incomplete; reliable ``checkpoint()`` mode is
+    eager by contract, so there the probe is a cached scan. A
     two-hop-per-checkpoint variant was measured SLOWER: without the
     intermediate checkpoint the inner hop's subtree is referenced twice
     by the outer hop and re-evaluates.)
@@ -312,9 +317,9 @@ def connected_components(
         .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("comp"))
         .withColumn("old_comp", F.col("node"))
     )
-    ext = _truncate_lineage(ext, checkpoint_dir)
+    ext, changed = _cut_and_probe(ext, checkpoint_dir)
     labels = ext.select("node", "comp")
-    if ext.filter(F.col("comp") < F.col("old_comp")).limit(1).count() == 0:
+    if changed == 0:
         return labels
     for _ in range(max_iter - 1):
         # Neighbor label propagation + min-label update + previous label in
@@ -337,13 +342,28 @@ def connected_components(
                 F.min(F.when(F.col("is_old"), F.col("comp"))).alias("old_comp"),
             )
         )
-        ext = _truncate_lineage(ext, checkpoint_dir)
+        ext, changed = _cut_and_probe(ext, checkpoint_dir)
         labels = ext.select("node", "comp")
-        # Min-label is monotone: comp < old_comp iff this node changed.
-        changed = ext.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
         if changed == 0:
             break
     return labels
+
+
+def _cut_and_probe(ext: DataFrame, checkpoint_dir: str | None):
+    """Truncate the label table's lineage AND count changed nodes in one
+    Spark job (min-label is monotone: comp < old_comp iff changed).
+
+    Local mode: lazy localCheckpoint + full-scan count — the count
+    materializes every partition, completing the checkpoint as a side
+    effect. Reliable mode: ``checkpoint()`` is eager by contract, so the
+    probe is a scan of already-checkpointed data.
+    """
+    if checkpoint_dir is None:
+        ext = ext.localCheckpoint(eager=False)
+    else:
+        ext = _truncate_lineage(ext, checkpoint_dir)
+    changed = ext.filter(F.col("comp") < F.col("old_comp")).count()
+    return ext, changed
 
 
 def simhash_fingerprints(

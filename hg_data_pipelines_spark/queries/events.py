@@ -1112,3 +1112,191 @@ def running_distinct_types(spark, sf_dir):
         "ts",
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
     )
+
+
+# --------------------------------------------------------------------------
+# X18: last-touch attribution — each purchase event credits the user's
+# most recent click within the preceding 7 days: the marketing-analytics
+# as-of join (backward, bounded lookback). Declared through the same
+# ranked-join shape as J6 (window keyed by the purchase, latest click
+# first, unique event-id tiebreaks) so both engines resolve ties
+# identically; purchases with no qualifying click keep a NULL credit
+# (left join semantics — they are still conversions).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X18_attribution_last_touch",
+    """
+    SELECT event_id, user_id, ts, click_event_id, click_ts FROM (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.event_id AS click_event_id, c.ts AS click_ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+    ) ranked WHERE rn = 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (
+            _epoch_us("ts") - _epoch_us("click_ts") <= 604800000000
+        ),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("click_ts"), F.desc("click_event_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# A22: OLS regression aggregates from EXACT integer moments. regr_slope /
+# regr_intercept exist on both engines, but their double moment
+# accumulations differ in the last ulps (observed: a 1e-14-relative
+# intercept difference flipping the 9dp hash), so the declared form
+# computes the same closed-form OLS from exact sums — quantity is an
+# integer, price in cents is exact — with ONE IEEE double division per
+# output (bit-identical on any engine). regr_count (exact by definition)
+# represents the native API family in the output.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A22_regression_aggs",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sx,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sx2,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(regr_count(l2.l_extendedprice, l2.l_quantity) AS BIGINT)
+               AS n,
+           CAST(CAST(m.n AS DECIMAL(38,0)) * m.sxy
+                - CAST(m.sx AS DECIMAL(38,0)) * m.sy AS DOUBLE)
+           / CAST(CAST(m.n AS DECIMAL(38,0)) * m.sx2
+                  - CAST(m.sx AS DECIMAL(38,0)) * m.sx AS DOUBLE)
+               AS slope_cents_per_unit,
+           CAST(CAST(m.sy AS DECIMAL(38,0)) * m.sx2
+                - CAST(m.sx AS DECIMAL(38,0)) * m.sxy AS DOUBLE)
+           / CAST(CAST(m.n AS DECIMAL(38,0)) * m.sx2
+                  - CAST(m.sx AS DECIMAL(38,0)) * m.sx AS DOUBLE)
+               AS intercept_cents
+    FROM m JOIN lineitem l2 USING (l_returnflag)
+    GROUP BY l_returnflag, m.n, m.sx, m.sx2, m.sy, m.sxy
+    """,
+)
+def regression_aggs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y_cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y_cents).alias("sy"),
+        F.sum(x * y_cents).alias("sxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    den = (dec("n") * dec("sx2") - dec("sx") * dec("sx")).cast("double")
+    slope = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double") / den
+    intercept = (
+        dec("sy") * dec("sx2") - dec("sx") * dec("sxy")
+    ).cast("double") / den
+    cnt = li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n")
+    )
+    return m.join(cnt.withColumnRenamed("n", "n_regr"), "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_regr").alias("n"),
+        slope.alias("slope_cents_per_unit"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DQ4: key-skew profile — the observability query behind every salting
+# decision: per join key (user_id), how concentrated is the table? Top
+# share and p99 share are exact int/int double divisions over exact
+# counts; ranking is total-order deterministic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ4_key_skew_profile",
+    """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk,
+               COUNT(*) OVER () AS n_keys,
+               SUM(n) OVER () AS total
+        FROM per_key
+    )
+    SELECT CAST(ANY_VALUE(n_keys) AS BIGINT) AS n_keys,
+           CAST(ANY_VALUE(total) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE)
+           / ANY_VALUE(total) AS top1_share,
+           CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS DOUBLE)
+           / ANY_VALUE(total) AS top10_share
+    FROM ranked
+    """,
+)
+def key_skew_profile(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    ranked = per_key.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_keys"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.any_value("n_keys").cast("bigint").alias("n_keys"),
+        F.any_value("total").cast("bigint").alias("n_rows"),
+        (
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("double")
+            / F.any_value("total")
+        ).alias("top1_share"),
+        (
+            F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0)).cast(
+                "double"
+            )
+            / F.any_value("total")
+        ).alias("top10_share"),
+    )
