@@ -572,3 +572,78 @@ def ngram_decontamination(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "probe_doc_id", "n_shared")
     )
+
+
+# --------------------------------------------------------------------------
+# X4: corpus composition report — the "data card" table every corpus
+# ships with: per (source, lang) document count, volume, and share of
+# corpus. Shares are exact-count double divisions; volume sums are
+# BIGINT-exact. One shuffle on a tiny composite key.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_corpus_composition",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS DOUBLE)
+           / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS doc_share,
+           CAST(SUM(n_chars) AS DOUBLE)
+           / CAST(SUM(SUM(n_chars)) OVER () AS DOUBLE) AS char_share
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_composition(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    grouped = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("doc_share"),
+        (
+            F.col("total_chars").cast("double")
+            / F.sum("total_chars").over(w).cast("double")
+        ).alias("char_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: duplication rate per source — which ingest feeds are polluting the
+# corpus with copies. Exact content identity (md5 on both engines); the
+# rate is one int/int double division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_dup_rate_by_source",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5(F.col("text").cast("binary"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )

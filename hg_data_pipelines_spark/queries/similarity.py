@@ -457,3 +457,56 @@ def audio_feature_stats(spark, sf_dir):
         )
 
     return emb.groupBy("label").applyInPandas(_per_label, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X3: value-level dominance oracle for the whole ANN family. Every
+# approximate method (LSH, IVF, PQ-with-exact-refine) returns TRUE
+# cosines of a candidate subset, so its score at rank r can never exceed
+# the brute-force score at rank r (subset top-r ≤ global top-r,
+# preserved by the shared 6dp rounding). The declared output is the
+# violations of that bound across all three methods — the empty
+# relation, stated directly by DuckDB. Complements the pytest recall
+# floors: recall is probabilistic (stays pytest), dominance is an
+# invariant (now driver-hashed).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X3_ann_dominance_check",
+    """
+    SELECT CAST(NULL AS VARCHAR) AS method,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS INTEGER) AS rank
+    WHERE FALSE
+    """,
+)
+def ann_dominance_check(spark, sf_dir):
+    from ..operators.similarity import ivf_topk, pq_topk
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = cosine_topk(queries, emb, k=_K).select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("cosine").alias("bf_cosine"),
+    )
+    methods = [
+        ("lsh", lsh_topk(queries, emb, k=_K, n_planes=4, n_tables=16), "cosine"),
+        ("ivf", ivf_topk(queries, emb, k=_K), "cosine"),
+        # pq's exact-refine emits its final exact cosine as `score`
+        ("pq", pq_topk(queries, emb, k=_K), "score"),
+    ]
+    tagged = None
+    for name, df, score_col in methods:
+        part = df.select(
+            F.lit(name).alias("method"),
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col(score_col).alias("m_cosine"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (
+        tagged.join(bf, ["query_id", "rank"])
+        .filter(F.col("m_cosine") > F.col("bf_cosine") + 1e-9)
+        .select("method", "query_id", "rank")
+    )
