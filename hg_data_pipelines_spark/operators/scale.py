@@ -281,3 +281,31 @@ def adaptive_salted_join(
     hot_joined = salted_join(l_hot, r_hot, on, n_salts=n_salts, how=how)
     cold_joined = l_cold.join(r_cold, on, how)
     return hot_joined.unionByName(cold_joined)
+
+
+def merge_algebraic_aggregates(
+    prev: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental (materialized-view) refresh for algebraic aggregates.
+
+    ``prev`` and ``delta`` are partial aggregates with identical schemas:
+    the group keys plus mergeable measures — counts and sums, which this
+    re-aggregation folds with SUM. The refresh cost is
+    O(|delta| + |changed groups|), never a rescan of history — at 100 TB
+    this is the difference between a nightly delta fold and a full
+    recompute. Non-algebraic measures (medians, distincts) need sketch
+    representations (see A9's mergeable HLL rollup) — they are NOT valid
+    inputs here.
+
+    Exactness contract: keep partial sums in DECIMAL until after the
+    merge (cast-to-double per phase would make the two-phase result
+    diverge from a direct aggregate by float association noise).
+    """
+    measures = [c for c in prev.columns if c not in keys]
+    return (
+        prev.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in measures])
+    )

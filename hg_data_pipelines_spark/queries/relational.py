@@ -1364,3 +1364,45 @@ def median_absolute_deviation(spark, sf_dir):
             ).alias("mad"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S13: incremental aggregate maintenance — the materialized-view refresh
+# pattern: history is aggregated once, each new delta is aggregated alone
+# and FOLDED into the previous state (operators/scale.py::
+# merge_algebraic_aggregates), so refresh cost tracks the delta, not the
+# table. The oracle is the direct one-shot aggregate over everything:
+# algebraic measures folded in exact DECIMAL must equal it bit-for-bit
+# (the cast to double happens once, after the merge).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "S13_incremental_agg_merge",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    from ..operators.scale import merge_algebraic_aggregates
+
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"),
+        )
+
+    prev = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_algebraic_aggregates(prev, delta, keys=["o_orderstatus"])
+    return merged.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )

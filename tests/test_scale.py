@@ -492,3 +492,36 @@ class TestCostBasedOptimizer:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestMergeAlgebraicAggregates:
+    def test_fold_equals_direct_with_new_and_changed_groups(self, spark):
+        from hg_data_pipelines_spark.operators.scale import (
+            merge_algebraic_aggregates,
+        )
+        from pyspark.sql import functions as F
+
+        hist = spark.createDataFrame(
+            [("a", 10.0), ("a", 5.0), ("b", 1.0)], ["k", "v"]
+        )
+        # delta changes group a and introduces brand-new group c
+        delta = spark.createDataFrame([("a", 2.5), ("c", 7.0)], ["k", "v"])
+
+        def partial(df):
+            return df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+            )
+
+        merged = merge_algebraic_aggregates(
+            partial(hist), partial(delta), keys=["k"]
+        )
+        direct = partial(hist.unionByName(delta))
+        got = {
+            r["k"]: (r["n"], float(r["s"])) for r in merged.collect()
+        }
+        want = {
+            r["k"]: (r["n"], float(r["s"])) for r in direct.collect()
+        }
+        assert got == want
+        assert "c" in got  # delta-only group survives the fold
