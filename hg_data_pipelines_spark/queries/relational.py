@@ -1406,3 +1406,37 @@ def incremental_agg_merge(spark, sf_dir):
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("revenue").cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL surface: optimizer hints — BROADCAST on the dim and a REPARTITION
+# (DISTRIBUTE BY) on the output. Hints change the physical plan, never
+# the result set, so the oracle is the same query without them (DuckDB
+# has no hint syntax — the point is precisely that results are
+# plan-invariant).
+# --------------------------------------------------------------------------
+
+_HINTED_SQL = """
+    SELECT /*+ BROADCAST(n), REPARTITION(8) */
+           n.n_name AS nation_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "SQL_join_hints",
+    """
+    SELECT n.n_name AS nation_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_join_hints(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_HINTED_SQL)

@@ -529,3 +529,32 @@ def equi_depth_histogram(spark, sf_dir):
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# A9c: HLL error-bound oracle — approx_count_distinct's estimate is
+# engine-specific (A9 stays rows-only) but its accuracy contract is not:
+# with rsd 0.05 the estimate lies within a few sigma of the exact count.
+# Declared output = groups violating a generous 5-sigma band (provably
+# empty; the default HLL keeps well under 2 sigma on these
+# cardinalities). Same guarantee-not-value pattern as A16/A18/A19.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A9_approx_distinct_bounds",
+    """
+    SELECT CAST(NULL AS BIGINT) AS c_nationkey WHERE FALSE
+    """,
+)
+def approx_distinct_bounds(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.approx_count_distinct("c_custkey", 0.05).alias("approx_n"),
+        F.countDistinct("c_custkey").alias("exact_n"),
+    )
+    tol = F.col("exact_n") * (5 * 0.05) + 1
+    return per_nation.filter(
+        (F.col("approx_n") < F.col("exact_n") - tol)
+        | (F.col("approx_n") > F.col("exact_n") + tol)
+    ).select("c_nationkey")

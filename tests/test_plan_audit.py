@@ -73,3 +73,34 @@ class TestPlanShapes:
         assert "isFinalPlan=true" in plan
         # "*(n)" prefixes are the WholeStageCodegen span markers
         assert "*(" in plan
+
+
+class TestObserveMetrics:
+    def test_observe_collects_pipeline_telemetry(self, spark):
+        """df.observe: named accumulator-style metrics ride the query —
+        row counts and sums arrive with the action, no second scan. The
+        cluster-friendly way to emit per-stage pipeline health metrics."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.queries.common import load
+
+        obs = Observation("orders_metrics")
+        orders = load(spark, SF, "orders").observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        n_out = orders.filter(F.col("o_totalprice") > 0).count()
+        got = obs.get
+        assert got["n_rows"] >= n_out > 0
+        assert float(got["total"]) > 0
+        assert got["max_date"] is not None
+
+    def test_hinted_query_broadcasts_and_repartitions(self, spark):
+        from hg_data_pipelines_spark.queries.common import QUERIES as Q
+
+        df = Q["SQL_join_hints"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
