@@ -1300,3 +1300,38 @@ def key_skew_profile(spark, sf_dir):
             / F.any_value("total")
         ).alias("top10_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# X19: conversion rates with Wilson 95% lower bound — the ranking
+# statistic that doesn't reward tiny-sample flukes (a 2/2 cohort must
+# not outrank 180/200). Counts are exact; the Wilson expression is one
+# fixed tree of IEEE double ops over those exact counts, so both engines
+# produce bit-identical bounds from the identical SQL text.
+# --------------------------------------------------------------------------
+
+_WILSON_SQL = """
+    WITH cohorts AS (
+        SELECT user_id % 10 AS cohort,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END) AS n_converted
+        FROM events GROUP BY 1
+    )
+    SELECT cohort, n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / n_users AS rate,
+           ((CAST(n_converted AS DOUBLE) / n_users)
+            + 1.9208 / n_users
+            - 1.96 * sqrt(
+                  (CAST(n_converted AS DOUBLE) / n_users)
+                  * (1.0 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                  + 0.9604 / (CAST(n_users AS DOUBLE) * n_users)))
+           / (1.0 + 3.8416 / n_users) AS wilson_low
+    FROM cohorts
+"""
+
+
+@query("X19_conversion_wilson_ci", _WILSON_SQL)
+def conversion_wilson_ci(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_WILSON_SQL)

@@ -140,3 +140,51 @@ def recursive_reachability(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     emb.createOrReplaceTempView("embeddings")
     return spark.sql(_reachability_sql(_SPARK_COSINE))
+
+
+# --------------------------------------------------------------------------
+# X11: triangle counting over the undirected k-NN graph — the clustering
+# -coefficient primitive. The standard scalable shape: orient every edge
+# low→high (kills the permutation triple-count AND caps the join fan-out
+# by each node's forward-degree), join oriented edges on the middle
+# vertex, then close the wedge with a semi-join back to the edge set.
+# Exact integer output; identical SQL on both engines.
+# --------------------------------------------------------------------------
+
+_TRI_SQL = f"""
+    WITH knn AS (
+        SELECT q.vec_id AS src, c.vec_id AS dst
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+        ) <= {_KNN_K}
+    ), und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM knn
+    )
+    SELECT COUNT(*) AS n_triangles FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    WHERE EXISTS (
+        SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b
+    )
+"""
+
+
+@query("X11_triangle_count", _TRI_SQL)
+def triangle_count(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    knn = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    und = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    wedges = und.join(e2, und["b"] == e2["b2a"]).select("a", "b", "c")
+    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedges.join(
+        closing,
+        (wedges["a"] == closing["ca"]) & (wedges["c"] == closing["cb"]),
+        "left_semi",
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
