@@ -234,17 +234,25 @@ def _corpus_neardup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
 
     from .operators.dedup import (
         connected_components,
+        jaccard_prefix_filter_pairs,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
 
     docs = ctx.tables["corpus_exact_dedup"]
     threshold = float(ctx.config.get("jaccard_threshold", 0.5))
-    # "exact" is the oracle-checkable fixture path; "minhash" is the same
-    # contract at 100 TB (banded LSH candidates, exact-Jaccard verified —
-    # identical precision, probabilistic recall).
-    if ctx.config.get("neardup_method", "exact") == "minhash":
+    # Three pair generators, one contract (pairs at Jaccard >= threshold):
+    # "exact" = full inverted index (oracle-checkable fixture path);
+    # "prefix" = prefix-filtered index — still EXACT output, but posting
+    # volume drops to ~(1-t) and hot posting lists vanish, the preferred
+    # 100 TB path at realistic thresholds (>= 0.5); "minhash" = banded-LSH
+    # candidates with exact-Jaccard verification — identical precision,
+    # probabilistic recall, for when even the prefix index is too big.
+    method = ctx.config.get("neardup_method", "exact")
+    if method == "minhash":
         pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    elif method == "prefix":
+        pairs = jaccard_prefix_filter_pairs(docs, threshold=threshold)
     else:
         pairs = ngram_jaccard_pairs(docs, threshold=threshold)
     labels = connected_components(pairs)

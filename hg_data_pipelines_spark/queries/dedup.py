@@ -318,3 +318,59 @@ def simhash_pairs_query(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return simhash_near_pairs(docs, max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# X1: time-bounded dedup — the streaming re-ingest guard's batch twin:
+# a row is a duplicate if it repeats its key within `gap` of the last
+# KEPT copy; after a quiet gap the next copy is legitimately new. The
+# chained "kept depends on kept" semantics is exactly gap-sessionization
+# (X8's pattern) keyed by the dedup key: keep each session's first row.
+# One window chain per key, no self-join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X1_dedup_time_bounded",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                        THEN 1
+                    ELSE 0 END AS new_burst
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type, ts AS kept_ts, event_id AS kept_event_id
+    FROM flagged WHERE new_burst = 1
+    """,
+)
+def dedup_time_bounded(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .common import utc
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = 10 * 60 * 1_000_000
+    new_burst = F.when(prev.isNull(), 1).otherwise(
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_us,
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ev.withColumn("new_burst", new_burst)
+        .filter(F.col("new_burst") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("kept_ts"),
+            F.col("event_id").alias("kept_event_id"),
+        )
+    )

@@ -66,3 +66,20 @@ class TestCorpusCurationPipeline:
         assert {s: r["rows"] for s, r in a.reports.items()} == {
             s: r["rows"] for s, r in b.reports.items()
         }
+
+    def test_prefix_method_keeps_identical_docs(self, spark, tmp_path):
+        # the prefix-filtered pair generator is EXACT, so the kept-doc set
+        # must equal the inverted-index method's at the same threshold
+        base = {"sf_dir": SF, "jaccard_threshold": 0.5}
+        a = run_pipeline(
+            spark, "llm_corpus_curation", str(tmp_path / "a"), base
+        )
+        b = run_pipeline(
+            spark,
+            "llm_corpus_curation",
+            str(tmp_path / "b"),
+            {**base, "neardup_method": "prefix"},
+        )
+        kept_a = {r["doc_id"] for r in a.tables["corpus_neardup"].select("doc_id").collect()}
+        kept_b = {r["doc_id"] for r in b.tables["corpus_neardup"].select("doc_id").collect()}
+        assert kept_a == kept_b
