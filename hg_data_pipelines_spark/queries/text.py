@@ -660,3 +660,52 @@ def entity_resolution(spark, sf_dir):
         first.alias("canonical_key"),
         (F.col("node") == first).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: boilerplate-span detection (C4-style) — token 5-grams shared by
+# many documents are template/boilerplate text, the removal list for
+# sub-document dedup. Document frequency over distinct per-doc shingles,
+# one shuffle on the shingle key; at 100 TB the same aggregation runs
+# with a min-df pre-filter on partial counts (map-side combine already
+# discards the long unique tail before the exchange).
+# --------------------------------------------------------------------------
+
+_BP_NGRAM = 5
+_BP_MIN_DF = 3
+
+
+@query(
+    "X4_boilerplate_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < {_BP_NGRAM} THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct([
+                        array_to_string(toks[i:i+{_BP_NGRAM}-1], ' ')
+                        for i in range(1, len(toks) - {_BP_NGRAM} + 2)])
+               END AS spans
+        FROM t
+    )
+    SELECT span, COUNT(*) AS df
+    FROM (SELECT doc_id, unnest(spans) AS span FROM shingled)
+    GROUP BY span HAVING COUNT(*) >= {_BP_MIN_DF}
+    """,
+)
+def boilerplate_spans(spark, sf_dir):
+    from ..functions.text import tokens, word_shingles
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    spans = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", word_shingles("toks", _BP_NGRAM).alias("spans"))
+        .select("doc_id", F.explode("spans").alias("span"))
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BP_MIN_DF)
+    )
