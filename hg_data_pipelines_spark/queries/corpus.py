@@ -647,3 +647,131 @@ def dup_rate_by_source(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: deterministic source-mixture sampling — training-data mixing: each
+# source is downsampled to a target weight with an md5-keyed acceptance
+# test, so membership is a pure function of doc_id (reproducible across
+# runs, engines, partitionings — no RNG state). The md5 fraction is the
+# first 8 hex digits scaled to [0,1); both engines compute identical
+# digests, so the kept set hash-matches exactly.
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"web": 0.5, "books": 1.0, "code": 0.75}
+_MIX_DEFAULT = 0.25
+
+
+@query(
+    "X4_source_mixture_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) / 4294967296.0 AS frac,
+               CASE source
+                   WHEN 'web' THEN {_MIX_WEIGHTS['web']}
+                   WHEN 'books' THEN {_MIX_WEIGHTS['books']}
+                   WHEN 'code' THEN {_MIX_WEIGHTS['code']}
+                   ELSE {_MIX_DEFAULT}
+               END AS w
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept
+    FROM keyed WHERE frac < w GROUP BY source
+    """,
+)
+def source_mixture_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.when(F.col("source") == "web", F.lit(_MIX_WEIGHTS["web"]))
+    w = w.when(F.col("source") == "books", F.lit(_MIX_WEIGHTS["books"]))
+    w = w.when(F.col("source") == "code", F.lit(_MIX_WEIGHTS["code"]))
+    w = w.otherwise(F.lit(_MIX_DEFAULT))
+    return (
+        docs.select("doc_id", "source", frac.alias("frac"), w.alias("w"))
+        .filter(F.col("frac") < F.col("w"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: contiguous sequence packing — fill fixed token budgets (context
+# windows) with documents in a canonical order: bin id =
+# floor(exclusive-running-token-sum / budget). Deterministic (total
+# order by doc_id), SQL-expressible, and the realistic big-data packing
+# shape: contiguous packing needs ONE window pass, whereas best-fit bin
+# packing is inherently sequential. Per-bin fill stats quantify the
+# padding waste the packer exists to remove.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "X4_sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin_id
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("double")
+            / _PACK_BUDGET
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: distributed BPE merge training — the subword-tokenizer build step,
+# restated for Spark (operators/bpe.py): corpus → distinct word-freq
+# table (all later cost ∝ |word vocab|, not corpus size), per round one
+# map-combinable pair aggregation + a single-row driver collect, merges
+# as JVM-side aggregate folds. Rows-only (iterative argmax is not
+# SQL-expressible); tests/test_bpe.py pins the merge sequence against a
+# pure-Python reference on fixture text.
+# --------------------------------------------------------------------------
+
+
+@query("X4_bpe_merges")
+def bpe_merges(spark, sf_dir):
+    from ..operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    return bpe_train(docs, n_merges=8)

@@ -1,0 +1,46 @@
+"""Distributed BPE merge training vs the pure-Python reference."""
+
+from __future__ import annotations
+
+from hg_data_pipelines_spark.operators.bpe import bpe_train, bpe_train_reference
+
+
+def _spark_merges(spark, texts, n_merges=8):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    return [
+        (r["rank"], r["left"], r["right"], r["merged"], r["n"])
+        for r in bpe_train(df, n_merges=n_merges).orderBy("rank").collect()
+    ]
+
+
+class TestBpeTrain:
+    def test_matches_reference_on_synthetic_corpus(self, spark):
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "wide wider widest wide wide wide",
+        ]
+        assert _spark_merges(spark, texts) == bpe_train_reference(texts, 8)
+
+    def test_matches_reference_on_fixture_text(self, spark):
+        from hg_data_pipelines_spark.queries.common import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents").limit(200)
+        texts = [r["text"] for r in docs.select("text").collect()]
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"], r["n"])
+            for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+        ]
+        assert got == bpe_train_reference(texts, 6)
+
+    def test_overlapping_pair_merges_leftmost_first(self, spark):
+        # 'aaaa' with top pair (a,a) must become (aa)(aa), not a cascade
+        texts = ["aaaa aaaa ab"]
+        got = _spark_merges(spark, texts, n_merges=2)
+        ref = bpe_train_reference(texts, 2)
+        assert got == ref
+        assert got[0][1:4] == ("a", "a", "aa")
+
+    def test_stops_when_no_pair_repeats(self, spark):
+        texts = ["x y z"]  # single-char words: no adjacent pairs at all
+        assert _spark_merges(spark, texts) == []
