@@ -138,3 +138,55 @@ def bpe_train_reference(texts: list[str], n_merges: int = 10, min_pair_count: in
                     out.append(s)
             vocab[w] = out
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained merges → per-document BPE token counts.
+
+    Encoding applies every merge in rank order to each word's symbol
+    array — here as ``len(merges)`` chained aggregate folds in ONE
+    projection (no shuffle at all: the whole encode is row-local, the
+    ideal Spark shape for a corpus-wide tokenize). Output:
+    (id, n_words, n_bpe_tokens).
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    enc = words.withColumn(
+        "symbols", F.expr("filter(split(word, ''), s -> s != '')")
+    )
+    for left, right in merges:
+        enc = enc.withColumn("symbols", _merge_expr(left, right))
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("symbols")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_encode_reference(
+    texts: dict[int, str], merges: list[tuple[str, str]]
+) -> dict[int, tuple[int, int]]:
+    """Pure-Python encode oracle: id → (n_words, n_bpe_tokens)."""
+    out = {}
+    for i, t in texts.items():
+        ws = [w for w in t.strip().split() if w]
+        total = 0
+        for w in ws:
+            syms = list(w)
+            for left, right in merges:
+                folded: list[str] = []
+                for s in syms:
+                    if folded and folded[-1] == left and s == right:
+                        folded[-1] = left + right
+                    else:
+                        folded.append(s)
+                syms = folded
+            total += len(syms)
+        out[i] = (len(ws), total)
+    return out

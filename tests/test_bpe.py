@@ -44,3 +44,44 @@ class TestBpeTrain:
     def test_stops_when_no_pair_repeats(self, spark):
         texts = ["x y z"]  # single-char words: no adjacent pairs at all
         assert _spark_merges(spark, texts) == []
+
+
+class TestBpeEncode:
+    def test_encode_matches_reference(self, spark):
+        from hg_data_pipelines_spark.operators.bpe import (
+            bpe_encode,
+            bpe_encode_reference,
+            bpe_train,
+        )
+
+        texts = {
+            0: "low lower lowest low low",
+            1: "new newer newest new",
+            2: "wide wider widest wide wide wide",
+        }
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_train(df, n_merges=6).orderBy("rank").collect()
+        ]
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode(df, merges).collect()
+        }
+        assert got == bpe_encode_reference(texts, merges)
+        # merging strictly compresses: fewer tokens than characters
+        chars = {i: sum(len(w) for w in t.split()) for i, t in texts.items()}
+        assert all(got[i][1] < chars[i] for i in texts)
+
+    def test_encode_no_shuffle_before_the_count(self, spark):
+        from hg_data_pipelines_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+        plan = (
+            bpe_encode(df, [("a", "b")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one exchange: the final per-doc aggregation
+        assert plan.count("Exchange hashpartitioning") == 1
