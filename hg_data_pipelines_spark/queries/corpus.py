@@ -775,3 +775,24 @@ def bpe_merges(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return bpe_train(docs, n_merges=8)
+
+
+# --------------------------------------------------------------------------
+# X4: BPE token counts — the trained merges (X4_bpe_merges) applied to
+# the corpus as chained row-local folds; the realistic "how many tokens
+# is my corpus under the actual tokenizer" number, no Python in the
+# plan. Rows-only (merge training is iterative); tests/test_bpe.py pins
+# encode against the reference implementation.
+# --------------------------------------------------------------------------
+
+
+@query("X4_bpe_token_counts")
+def bpe_token_counts(spark, sf_dir):
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    return bpe_encode(docs, merges)

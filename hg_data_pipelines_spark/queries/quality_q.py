@@ -145,3 +145,59 @@ def benford_first_digit(spark, sf_dir):
             "observed_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# DQ5: robust outlier flags — rows beyond k·MAD of their group median,
+# the screen that survives the very outliers it hunts (stddev-based
+# z-scores explode under contamination; medians don't). Two exact
+# medians per group (A21's machinery) then a row-local comparison; the
+# output lists only the flagged rows, keyed deterministically.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ5_mad_outliers",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS m
+        FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+        SELECT l.l_returnflag,
+               percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY abs(l.l_extendedprice - med.m)) AS mad
+        FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+        GROUP BY l.l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice
+    FROM lineitem l
+    JOIN med ON l.l_returnflag = med.l_returnflag
+    JOIN dev ON l.l_returnflag = dev.l_returnflag
+    WHERE abs(l.l_extendedprice - med.m) > 1.8 * dev.mad
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    )
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("m")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(dev), "l_returnflag")
+        .filter(
+            F.abs(F.col("l_extendedprice") - F.col("m"))
+            > 1.8 * F.col("mad")
+        )
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    )

@@ -139,3 +139,46 @@ def compact_snapshot(
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
     return write_table_snapshot(df.repartition(n_files), warehouse_dir, table)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change feed between two snapshot versions → keys + change_type.
+
+    The CDC read for consumers that want deltas, not full rescans: a
+    FULL OUTER join of the two pinned versions on the natural key
+    classifies every key as ``insert`` (new only), ``delete`` (old
+    only), or ``update`` (present in both with any non-key column
+    changed; unchanged rows are omitted). Change detection hashes the
+    full row JVM-side, so wide tables don't shuttle column lists
+    around. One shuffle on the key (or zero if both versions were
+    written bucketed on it).
+    """
+    from pyspark.sql import functions as F
+
+    old = read_table_snapshot(spark, warehouse_dir, table, v_old)
+    new = read_table_snapshot(spark, warehouse_dir, table, v_new)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_oh")
+    )
+    n = new.select(
+        *key_cols, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_nh")
+    )
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), F.lit("insert"))
+        .when(F.col("_nh").isNull(), F.lit("delete"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

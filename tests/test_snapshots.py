@@ -89,3 +89,41 @@ class TestCompactSnapshot:
         a = sorted(r["id"] for r in read_table_snapshot(spark, wh, "t", 1).collect())
         b = sorted(r["id"] for r in read_table_snapshot(spark, wh, "t", 2).collect())
         assert a == b
+
+
+class TestSnapshotDiff:
+    def test_insert_update_delete_classified(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path)
+        v1_df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            ["id", "name", "score"],
+        )
+        v1 = write_table_snapshot(v1_df, wh, "t")
+        v2_df = spark.createDataFrame(
+            # 1 unchanged, 2 updated, 3 deleted, 4 inserted
+            [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+            ["id", "name", "score"],
+        )
+        v2 = write_table_snapshot(v2_df, wh, "t")
+        got = {
+            r["id"]: r["change_type"]
+            for r in snapshot_diff(spark, wh, "t", v1, v2, ["id"]).collect()
+        }
+        assert got == {2: "update", 3: "delete", 4: "insert"}
+
+    def test_identical_versions_empty_feed(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path)
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        v1 = write_table_snapshot(df, wh, "t")
+        v2 = write_table_snapshot(df, wh, "t")
+        assert snapshot_diff(spark, wh, "t", v1, v2, ["id"]).count() == 0
