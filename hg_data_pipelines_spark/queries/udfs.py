@@ -183,3 +183,35 @@ def udtf_char_ngrams(spark, sf_dir):
         "SELECT doc_id, g.pos, g.ngram FROM _udtf_heads, "
         "LATERAL char_ngrams(head) AS g"
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-U11: Spark 4 Arrow-optimized scalar Python UDF (useArrow=True) —
+# the third Python execution tier next to pandas UDFs (U-scalar) and
+# Arrow UDTFs (U9): row-wise Python signature, Arrow-batched transport
+# (the plan audit forbids the pickled BatchEvalPython path this replaces).
+# The function normalizes a part's type string to a fixed-width code;
+# the oracle states the same normalization declaratively, proving the
+# Python tier computes exactly what the built-ins would.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "U11_arrow_scalar_udf",
+    """
+    SELECT p_partkey,
+           upper(substr(replace(p_type, ' ', '_'), 1, 12)) AS type_code
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def arrow_scalar_udf(spark, sf_dir):
+    from pyspark.sql.functions import udf
+
+    @udf(returnType=T.StringType(), useArrow=True)
+    def type_code(t: str) -> str:
+        return t.replace(" ", "_")[:12].upper()
+
+    part = load(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey", type_code("p_type").alias("type_code")
+    )
