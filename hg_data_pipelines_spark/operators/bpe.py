@@ -65,15 +65,24 @@ def _merge_expr(left: str, right: str):
     """Leftmost-non-overlapping merge of (left,right) via an aggregate
     fold: append each symbol, merging it into the previous one when the
     tail matches — the merged token is a new longer string, so it cannot
-    cascade within the same pass."""
-    l = left.replace("'", "\\'")
-    r = right.replace("'", "\\'")
-    return F.expr(
-        "aggregate(symbols, CAST(array() AS ARRAY<STRING>),"
-        " (acc, s) -> CASE WHEN size(acc) > 0"
-        f"   AND element_at(acc, -1) = '{l}' AND s = '{r}'"
-        f"  THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}'))"
-        "  ELSE concat(acc, array(s)) END)"
+    cascade within the same pass.
+
+    Tokens are corpus-derived, so they are passed as ``F.lit`` column
+    literals rather than spliced into a SQL string: a token containing a
+    quote, backslash, or any other metacharacter can never reach the
+    Catalyst parser as expression text.
+    """
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        F.col("symbols"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (s == lit_r),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
     )
 
 

@@ -85,3 +85,42 @@ class TestBpeEncode:
         )
         # exactly one exchange: the final per-doc aggregation
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestBpeMetacharacterTokens:
+    """Corpus-derived tokens must never reach the Catalyst parser as SQL
+    text — backslashes, quotes, and regex metacharacters in the hot pair
+    previously produced ParseException (or worse, expression injection)."""
+
+    def test_backslash_and_quote_tokens(self, spark):
+        from hg_data_pipelines_spark.operators.bpe import (
+            bpe_encode,
+            bpe_encode_reference,
+        )
+
+        # code-like corpus: hot pairs contain \ ' " $ { } ( )
+        texts = {
+            0: r"a\b a\b a\b it's it's",
+            1: r"x' x' \\n \\n \\n",
+            2: r'say("hi") say("hi") ${var} ${var}',
+        }
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        merges = bpe_train_reference(list(texts.values()), 8)
+        got_merges = _spark_merges(spark, list(texts.values()), 8)
+        assert got_merges == merges
+        pairs = [(l, r) for _, l, r, _, _ in merges]
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode(df, pairs).collect()
+        }
+        assert got == bpe_encode_reference(texts, pairs)
+
+    def test_trailing_backslash_token_cannot_inject(self, spark):
+        from hg_data_pipelines_spark.operators.bpe import bpe_encode
+
+        # token ending in backslash: with string-spliced SQL this escaped
+        # the closing quote and let the next token parse as expression text
+        df = spark.createDataFrame([(0, "x x")], ["doc_id", "text"])
+        out = bpe_encode(df, [("c\\", "', reflect('java.lang.System','exit',0), '")])
+        rows = out.collect()
+        assert rows[0]["n_bpe_tokens"] == 2  # merge never matches, JVM alive
