@@ -95,8 +95,6 @@ def approx_top_k(
     Counts in the output are EXACT; only membership of the tail near the
     k-boundary is approximate.
     """
-    from pyspark.sql import Window
-
     m = candidates_per_partition or 4 * k
 
     def _local_top(it):
@@ -116,12 +114,9 @@ def approx_top_k(
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc(col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    # k-row merge) — no single-task rank window over the candidate set
+    return exact.orderBy(F.desc("n"), F.asc(col)).limit(k)
 
 
 def write_range_clustered(
@@ -281,6 +276,155 @@ def adaptive_salted_join(
     hot_joined = salted_join(l_hot, r_hot, on, n_salts=n_salts, how=how)
     cold_joined = l_cold.join(r_cold, on, how)
     return hot_joined.unionByName(cold_joined)
+
+
+def _range_pinned(df: DataFrame, order_by: list, n_parts: int | None = None) -> DataFrame:
+    """Range-partition ``df`` on a total order and pin the layout.
+
+    Returns ``df`` with a ``_pid`` column = the range-partition index.
+    ``localCheckpoint(eager=False)`` materializes the partitioning at
+    first use, so every downstream branch (per-partition offsets AND the
+    main pass) sees the SAME pid assignment — without it a recomputation
+    could re-sample different range boundaries. Partition count defaults
+    to the cluster parallelism; result values are invariant to where the
+    boundaries fall, so the sampling inside ``repartitionByRange`` never
+    affects output.
+    """
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list,
+    val_col: str,
+    out_col: str,
+    exclusive: bool = True,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Running SUM(val_col) over a GLOBAL total order — as a distributed
+    prefix-sum, never an unpartitioned window.
+
+    ``Window.orderBy(...)`` with no partition spec funnels every row
+    through ONE task — correct at sf0.1, a single-executor bottleneck at
+    100 TB. The distributed shape: (1) range-partition on the order so
+    partitions hold contiguous key ranges; (2) per-partition subtotals —
+    one tiny row per partition; (3) cumulative offsets over that
+    partition-count-sized table (bounded window); (4) broadcast the
+    offsets back and finish with a PARTITION-LOCAL running sum. Same
+    values as the global window for any choice of range boundaries.
+
+    ``order_by`` must be a total order (include tiebreak keys);
+    ``exclusive=True`` sums strictly-preceding rows (0 for the first).
+    """
+    from pyspark.sql import Window
+
+    pinned = _range_pinned(df, order_by, n_parts)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pinned.groupBy("_pid")
+        .agg(F.sum(val_col).alias("_psum"))
+        # window over ≤ n_parts post-aggregation rows — bounded by design
+        .select("_pid", F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"))
+    )
+    upper = -1 if exclusive else 0
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        pinned.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(val_col).over(w_loc), F.lit(0)) + F.col("_off"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """ROW_NUMBER() over a GLOBAL total order, distributed.
+
+    Same prefix-sum scheme as ``global_running_sum`` with val ≡ 1: the
+    per-partition offset is the count of rows in preceding range
+    partitions, and the local pass is a partition-local ``row_number``.
+    ``order_by`` must be a total order for a deterministic result.
+    """
+    from pyspark.sql import Window
+
+    pinned = _range_pinned(df, order_by, n_parts)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pinned.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+        .select("_pid", F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_off"))
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        pinned.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.row_number().over(w_loc) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list,
+    k: int,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """NTILE(k) over a GLOBAL total order, distributed.
+
+    ntile is a pure function of (global row number, total row count):
+    with N rows, the first N % k tiles hold ceil(N/k) rows and the rest
+    floor(N/k). Both inputs come from the same prefix-sum machinery as
+    ``global_row_number`` (the total rides along on the bounded offsets
+    table), so bucket assignment is bit-identical to the single-window
+    form — including tie handling, which follows ``order_by`` exactly —
+    while no task ever sees more than one range partition.
+    """
+    from pyspark.sql import Window
+
+    pinned = _range_pinned(df, order_by, n_parts)
+    counts = pinned.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(w_all).alias("_total"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*order_by)
+    rn = F.row_number().over(w_loc) + F.col("_off")
+    q = F.floor(F.col("_total") / k).cast("bigint")  # base tile size
+    rem = (F.col("_total") % k).cast("bigint")  # first `rem` tiles get q+1
+    big = q + F.lit(1)
+    cut = big * rem  # rows 1..cut fall in the (q+1)-sized tiles
+    # ceil(a/b) as floor((a-1)/b)+1 — exact while a < 2^53 (double mantissa)
+    in_big = F.floor((rn - 1) / big) + 1
+    in_small = rem + F.floor((rn - cut - 1) / q) + 1
+    return (
+        pinned.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.when(rn <= cut, in_big).otherwise(in_small).cast("int"),
+        )
+        .drop("_pid", "_off", "_total")
+    )
 
 
 def merge_algebraic_aggregates(

@@ -175,12 +175,15 @@ def zipf_profile(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # global rank over vocabulary-sized data (thousands of rows even at
-    # 100 TB corpus scale) — the single-partition window is on the SMALL
-    # aggregated set, not the corpus.
+    # top-50 FIRST via orderBy+limit — Spark plans this as
+    # TakeOrderedAndProject, a per-partition top-k with a 50-row merge,
+    # so the web-scale vocabulary (~10^8 terms) never funnels through a
+    # global rank window. The row_number below then orders exactly the
+    # surviving 50 rows (allowlisted bounded window).
+    top50 = counts.orderBy(F.desc("freq"), F.asc("term")).limit(50)
     w = Window.orderBy(F.desc("freq"), F.asc("term"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        top50.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             "term",
@@ -188,7 +191,6 @@ def zipf_profile(spark, sf_dir):
             (F.col("rank") * F.col("freq")).cast("long").alias("rank_freq"),
         )
         .orderBy("rank")
-        .limit(50)
     )
 
 
@@ -595,26 +597,26 @@ def ngram_decontamination(spark, sf_dir):
     """,
 )
 def corpus_composition(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     grouped = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
-    w = Window.partitionBy()
-    return grouped.select(
+    # grand totals ride as a broadcast 1-row cross join instead of an
+    # empty-partition window — same values, no single-task window node.
+    totals = grouped.agg(
+        F.sum("n_docs").alias("_td"), F.sum("total_chars").alias("_tc")
+    )
+    return grouped.crossJoin(F.broadcast(totals)).select(
         "source",
         "lang",
         "n_docs",
         "total_chars",
+        (F.col("n_docs").cast("double") / F.col("_td").cast("double")).alias(
+            "doc_share"
+        ),
         (
-            F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(w).cast("double")
-        ).alias("doc_share"),
-        (
-            F.col("total_chars").cast("double")
-            / F.sum("total_chars").over(w).cast("double")
+            F.col("total_chars").cast("double") / F.col("_tc").cast("double")
         ).alias("char_share"),
     )
 
@@ -735,22 +737,21 @@ _PACK_BUDGET = 512
     """,
 )
 def sequence_packing(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.scale import global_running_sum
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    packed = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("double")
-            / _PACK_BUDGET
-        )
-        .cast("bigint")
-        .alias("bin_id"),
+    # exclusive running token sum over doc_id order as a DISTRIBUTED
+    # prefix-sum (range partitions → per-partition subtotals → broadcast
+    # offsets → partition-local window) — no task ever sees the whole
+    # corpus, unlike a global unpartitioned window.
+    packed = global_running_sum(
+        toks, [F.col("doc_id")], "n_tokens", "prefix", exclusive=True
+    ).withColumn(
+        "bin_id",
+        F.floor(F.col("prefix").cast("double") / _PACK_BUDGET).cast("bigint"),
     )
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

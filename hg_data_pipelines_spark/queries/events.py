@@ -1019,18 +1019,29 @@ def rfm_segmentation(spark, sf_dir):
             ),
         )
     )
-    return per_user.select(
+    # three DISTRIBUTED ntiles (operators/scale.py global_ntile) — the
+    # per-user table is small at sf0.1 but billions of rows at web scale;
+    # each quartile pass range-partitions on its own order instead of
+    # funnelling every user through one unpartitioned-window task.
+    from ..operators.scale import global_ntile
+
+    out = global_ntile(
+        per_user, [F.col("recency_days"), F.col("user_id")], 4, "r_quartile"
+    )
+    out = global_ntile(
+        out, [F.desc("frequency"), F.asc("user_id")], 4, "f_quartile"
+    )
+    out = global_ntile(
+        out, [F.desc("monetary"), F.asc("user_id")], 4, "m_quartile"
+    )
+    return out.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "user_id"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "user_id"))
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -1276,29 +1287,31 @@ def regression_aggs(spark, sf_dir):
 )
 def key_skew_profile(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w_all = Window.partitionBy()
-    ranked = per_key.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n_keys"),
-        F.sum("n").over(w_all).alias("total"),
+    per_key = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # two branches below share one pass
     )
-    return ranked.agg(
-        F.any_value("n_keys").cast("bigint").alias("n_keys"),
-        F.any_value("total").cast("bigint").alias("n_rows"),
-        (
-            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("double")
-            / F.any_value("total")
-        ).alias("top1_share"),
-        (
-            F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0)).cast(
-                "double"
-            )
-            / F.any_value("total")
-        ).alias("top10_share"),
+    # the ranked window only ever fed "rk = 1" and "rk <= 10" — both are
+    # plain aggregates: top1 is MAX(n); the top-10 slice comes from
+    # orderBy+limit (TakeOrderedAndProject: per-partition top-k, 10-row
+    # merge) with the same (n DESC, user_id) tiebreak as the oracle's
+    # row_number, so boundary ties resolve identically. No window at all.
+    totals = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("top1_n"),
+    )
+    top10 = (
+        per_key.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("n").alias("top10_n"))
+    )
+    return totals.crossJoin(F.broadcast(top10)).select(
+        "n_keys",
+        "n_rows",
+        (F.col("top1_n").cast("double") / F.col("n_rows")).alias("top1_share"),
+        (F.col("top10_n").cast("double") / F.col("n_rows")).alias("top10_share"),
     )
 
 

@@ -126,8 +126,6 @@ def constraints_lineitem(spark, sf_dir):
     """,
 )
 def benford_first_digit(spark, sf_dir):
-    from pyspark.sql import Window
-
     orders = load(spark, sf_dir, "orders")
     digits = orders.filter(F.col("o_totalprice") >= 1).select(
         F.substring(
@@ -137,11 +135,13 @@ def benford_first_digit(spark, sf_dir):
         .alias("first_digit")
     )
     counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
-    return counts.select(
+    # grand total as a broadcast 1-row cross join, not a window with an
+    # empty partition spec (single-task node class fenced by the audit)
+    total = counts.agg(F.sum("n").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "first_digit",
         "n",
-        (F.col("n").cast("double") / total.cast("double")).alias(
+        (F.col("n").cast("double") / F.col("_t").cast("double")).alias(
             "observed_share"
         ),
     )

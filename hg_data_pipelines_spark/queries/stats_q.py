@@ -494,11 +494,11 @@ def approx_percentile_bounds(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # A20: exact equi-depth histogram via ntile over a total order (unique
-# tiebreak keys make bucket assignment engine-independent). This is the
-# exact fixture-scale twin of approx-percentile cutpoints: a global sort,
-# the one shape we deliberately allow only in oracle/gate queries — at
-# 100 TB the cutpoints come from A16's mergeable sketch and the histogram
-# from one pass of comparisons against them (no global sort).
+# tiebreak keys make bucket assignment engine-independent). The Spark
+# side computes ntile DISTRIBUTEDLY (operators/scale.py global_ntile:
+# range partitions → bounded offsets table → partition-local row_number
+# → closed-form tile from (global rank, total)) — bit-identical buckets
+# to the single-window form, but no task ever holds the whole table.
 # --------------------------------------------------------------------------
 
 
@@ -517,13 +517,15 @@ def approx_percentile_bounds(spark, sf_dir):
     """,
 )
 def equi_depth_histogram(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.scale import global_ntile
 
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = li.select(
-        F.col("l_extendedprice").alias("v"), F.ntile(8).over(w).alias("bucket")
-    )
+    ranked = global_ntile(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        8,
+        "bucket",
+    ).select(F.col("l_extendedprice").alias("v"), "bucket")
     return ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("lo"),

@@ -26,6 +26,44 @@ _AUDITED = sorted(n for n in QUERIES if n not in _SKIP)
 
 _FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# Queries allowed to carry an unpartitioned Window node: the window input
+# must be provably bounded (post-aggregation or post-limit), never the
+# raw table. Each entry needs a justification.
+_GLOBAL_WINDOW_ALLOWED = {
+    # rank over the 50 survivors of a TakeOrderedAndProject top-k — the
+    # corpus-sized vocabulary never reaches the window
+    "X4_zipf_profile",
+}
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Window nodes with an EMPTY partition spec over unbounded input.
+
+    A partitioned Window prints three bracket groups
+    (``[funcs], [part], [order]``); an unpartitioned one only two — and
+    Spark plans it above ``Exchange SinglePartition``: every input row
+    through ONE task, the definitive 100 TB bottleneck shape. Windows
+    ordered by ``_pid`` are the bounded per-partition offsets tables of
+    the distributed prefix-sum primitives (``operators/scale.py``,
+    ≤ n_partitions post-aggregation rows) and are exempt.
+    """
+    hits = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window "):
+            continue
+        if "_pid#" in line:
+            continue  # bounded offsets table of a distributed prefix-sum
+        if line.count("], [") != 1:
+            continue  # three groups = [funcs], [part], [order]: partitioned
+        # two groups is either [funcs], [order] (GLOBAL window — flag) or
+        # [funcs], [part] (partitioned, unordered — fine); a sort spec is
+        # recognizable by its ASC/DESC direction keywords
+        tail = line.rsplit("], [", 1)[-1]
+        if " ASC " in tail or " DESC " in tail or tail.rstrip("]").endswith(("ASC", "DESC")):
+            hits.append(line.strip())
+    return hits
+
 
 @pytest.mark.parametrize("name", _AUDITED)
 def test_plan_has_no_scale_antipatterns(spark, name):
@@ -33,6 +71,72 @@ def test_plan_has_no_scale_antipatterns(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [p for p in _FORBIDDEN if p in plan]
     assert not hits, f"{name}: forbidden plan nodes {hits}"
+    if name not in _GLOBAL_WINDOW_ALLOWED:
+        gw = _unpartitioned_window_lines(plan)
+        assert not gw, f"{name}: unpartitioned global Window over unbounded input:\n" + "\n".join(gw)
+
+
+class TestGlobalWindowDetector:
+    """The fence itself must fire on the anti-pattern and stay quiet on
+    the benign shapes (partition-only windows, _pid offsets tables)."""
+
+    def _lines(self, df):
+        return _unpartitioned_window_lines(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    def test_fires_on_global_ordered_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        assert self._lines(df), "detector must flag a global ordered window"
+
+    def test_fires_on_global_desc_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).withColumn(
+            "rn", F.ntile(4).over(Window.orderBy(F.desc("id")))
+        )
+        assert self._lines(df)
+
+    def test_quiet_on_partition_only_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).withColumn("g", F.col("id") % 2)
+        df = df.withColumn("t", F.sum("id").over(Window.partitionBy("g")))
+        assert not self._lines(df)
+
+    def test_quiet_on_partitioned_ordered_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).withColumn("g", F.col("id") % 2)
+        df = df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+        )
+        assert not self._lines(df)
+
+    def test_global_primitives_pass_the_fence(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import (
+            global_ntile,
+            global_row_number,
+            global_running_sum,
+        )
+
+        df = spark.range(1000).withColumn("v", (F.col("id") * 7) % 13)
+        for out in (
+            global_running_sum(df, [F.col("id")], "v", "s"),
+            global_row_number(df, [F.desc("v"), F.asc("id")], "rn"),
+            global_ntile(df, [F.col("v"), F.col("id")], 4, "b"),
+        ):
+            assert not self._lines(out)
 
 
 class TestPlanShapes:

@@ -525,3 +525,142 @@ class TestMergeAlgebraicAggregates:
         }
         assert got == want
         assert "c" in got  # delta-only group survives the fold
+
+
+class TestGlobalOrderPrimitives:
+    """Distributed prefix-sum / rank / ntile must be BIT-identical to the
+    single-window forms they replace, for any partition count, under
+    heavy ties and mixed asc/desc orders."""
+
+    def _df(self, spark, n=997):
+        from pyspark.sql import functions as F
+
+        # skewed values with many ties; id is the unique tiebreak
+        return (
+            spark.range(n)
+            .withColumn("v", (F.col("id") * F.col("id")) % 17)
+            .withColumn("w", (F.col("id") % 29).cast("int"))
+            .repartition(13)  # scramble input layout
+        )
+
+    def test_running_sum_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_running_sum
+
+        df = self._df(spark)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", F.coalesce(F.sum("w").over(w), F.lit(0)).alias("s")
+            ).collect()
+        }
+        for n_parts in (1, 4, 32):
+            got = {
+                r["id"]: r["s"]
+                for r in global_running_sum(
+                    df, [F.col("id")], "w", "s", n_parts=n_parts
+                ).collect()
+            }
+            assert got == want
+
+    def test_inclusive_running_sum(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_running_sum
+
+        df = self._df(spark, 200)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["id"]: r["s"]
+            for r in df.select("id", F.sum("w").over(w).alias("s")).collect()
+        }
+        got = {
+            r["id"]: r["s"]
+            for r in global_running_sum(
+                df, [F.col("id")], "w", "s", exclusive=False, n_parts=7
+            ).collect()
+        }
+        assert got == want
+
+    def test_row_number_matches_global_window_desc_ties(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_row_number
+
+        df = self._df(spark)
+        order = [F.desc("v"), F.asc("id")]
+        w = Window.orderBy(*order)
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(w).alias("rn")
+            ).collect()
+        }
+        for n_parts in (1, 5, 32):
+            got = {
+                r["id"]: r["rn"]
+                for r in global_row_number(
+                    df, [F.desc("v"), F.asc("id")], "rn", n_parts=n_parts
+                ).collect()
+            }
+            assert got == want
+
+    def test_ntile_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_ntile
+
+        df = self._df(spark)  # 997 rows: k never divides N evenly
+        for k in (2, 4, 8, 100):
+            w = Window.orderBy("v", "id")
+            want = {
+                r["id"]: r["b"]
+                for r in df.select(
+                    "id", F.ntile(k).over(w).alias("b")
+                ).collect()
+            }
+            got = {
+                r["id"]: r["b"]
+                for r in global_ntile(
+                    df, [F.col("v"), F.col("id")], k, "b", n_parts=9
+                ).collect()
+            }
+            assert got == want
+
+    def test_ntile_more_tiles_than_rows(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_ntile
+
+        df = self._df(spark, 5)
+        w = Window.orderBy("id")
+        want = {
+            r["id"]: r["b"]
+            for r in df.select("id", F.ntile(8).over(w).alias("b")).collect()
+        }
+        got = {
+            r["id"]: r["b"]
+            for r in global_ntile(df, [F.col("id")], 8, "b", n_parts=3).collect()
+        }
+        assert got == want
+
+    def test_empty_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import (
+            global_ntile,
+            global_row_number,
+            global_running_sum,
+        )
+
+        df = self._df(spark).filter(F.col("id") < 0)
+        assert global_running_sum(df, [F.col("id")], "w", "s").count() == 0
+        assert global_row_number(df, [F.col("id")], "rn").count() == 0
+        assert global_ntile(df, [F.col("id")], 4, "b").count() == 0
