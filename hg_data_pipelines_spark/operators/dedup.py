@@ -389,8 +389,11 @@ def hamming_near_pairs(
     from uneven division only weaken the adversary — a differing
     uncovered bit can't break chunk equality — so the ≤ n_chunks-1
     guarantee holds regardless). ``n_chunks`` therefore defaults to
-    ``max_hamming + 1``: FULL recall at the requested radius. Passing a
-    smaller ``n_chunks`` trades recall for selectivity — wider chunks
+    ``max_hamming + 1``: FULL recall at the requested radius — but only
+    for ``max_hamming + 1 <= 16`` (64-bit fingerprints support at most
+    16 chunks); a larger default would silently degrade to a distance-15
+    guarantee, so it raises instead. Passing a
+    smaller ``n_chunks`` explicitly trades recall for selectivity — wider chunks
     collide less, which matters for huge corpora where 7-bit chunks
     (128 bucket values) would put n/128 fingerprints in one bucket; the
     guarantee then drops to ≤ n_chunks-1 and pairs beyond it are found
@@ -402,7 +405,14 @@ def hamming_near_pairs(
     hashes (pHash/dHash), etc.
     """
     if n_chunks is None:
-        n_chunks = min(max_hamming + 1, 16)
+        if max_hamming + 1 > 16:
+            raise ValueError(
+                f"hamming_near_pairs: max_hamming={max_hamming} needs "
+                f"{max_hamming + 1} chunks for full recall, but 64-bit "
+                "fingerprints support at most 16; pass n_chunks<=16 "
+                "explicitly to accept the reduced (n_chunks-1) guarantee"
+            )
+        n_chunks = max_hamming + 1
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
     base = fingerprints.select(

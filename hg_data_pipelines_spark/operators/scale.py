@@ -39,7 +39,28 @@ def salted_join(
     key). Right rows are replicated across all salts via a literal
     explode. Result == plain join (verified by the declared test); max
     task size for the hot key drops by ~n_salts.
+
+    Only left-preserving joins are sound under this scheme: every right
+    row exists once PER SALT, so a right/full outer join would emit each
+    unmatched right row ``n_salts`` times. Those ``how`` values raise —
+    salt the other side (swap the inputs) instead.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {
+        "inner",
+        "left",
+        "leftouter",
+        "leftsemi",
+        "semi",
+        "leftanti",
+        "anti",
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is unsound — unmatched right rows are "
+            f"replicated once per salt (right side is exploded across all "
+            f"{n_salts} salts). Use inner/left/semi/anti, or swap the inputs "
+            "so the skewed, preserved side is on the left."
+        )
     salt = (F.xxhash64(*[F.col(c) for c in left.columns]) % n_salts + n_salts) % n_salts
     l_salted = left.withColumn("_salt", salt.cast("int"))
     r_salted = right.withColumn(

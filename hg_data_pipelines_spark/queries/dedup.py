@@ -322,11 +322,13 @@ def simhash_pairs_query(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # X1: time-bounded dedup — the streaming re-ingest guard's batch twin:
-# a row is a duplicate if it repeats its key within `gap` of the last
-# KEPT copy; after a quiet gap the next copy is legitimately new. The
-# chained "kept depends on kept" semantics is exactly gap-sessionization
-# (X8's pattern) keyed by the dedup key: keep each session's first row.
-# One window chain per key, no self-join.
+# gap-sessionization keyed by the dedup key (X8's pattern). A row is a
+# duplicate if it arrives within `gap` of the PREVIOUS row of the same
+# key — a chain of sub-gap arrivals extends the burst, so a suppressed
+# row can be arbitrarily far from the burst's first (kept) row; only
+# after a quiet gap does the next copy start a new burst and get kept.
+# (Distance-from-last-KEPT-copy is a different contract — it would need
+# a sequential scan per key.) One window chain per key, no self-join.
 # --------------------------------------------------------------------------
 
 

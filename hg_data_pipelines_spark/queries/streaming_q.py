@@ -275,8 +275,13 @@ def streaming_dedup(spark, sf_dir):
 _X8_SESSION_SQL = """
     WITH flagged AS (
         SELECT user_id, ts, event_id,
+               -- >= : Spark's session_window starts a NEW session when
+               -- the gap EQUALS the timeout (sessions merge only while
+               -- next start < current end = prev + gap); the oracle must
+               -- use the same exclusive-merge convention or a row landing
+               -- exactly 30 minutes after its predecessor flips the hash
                CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
                     ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

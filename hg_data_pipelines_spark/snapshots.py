@@ -159,18 +159,25 @@ def snapshot_diff(
     full row JVM-side, so wide tables don't shuttle column lists
     around. One shuffle on the key (or zero if both versions were
     written bucketed on it).
+
+    The hash input must discriminate NULLs: Spark's hash functions SKIP
+    null arguments (the seed passes through unchanged), so hashing bare
+    columns would miss an update that moves a value between two
+    same-typed columns, e.g. (name=NULL, alias='x') → (name='x',
+    alias=NULL). Hashing ``to_json(struct(...))`` keeps every column
+    position and null marker in the encoding.
     """
     from pyspark.sql import functions as F
 
     old = read_table_snapshot(spark, warehouse_dir, table, v_old)
     new = read_table_snapshot(spark, warehouse_dir, table, v_new)
     val_cols = [c for c in new.columns if c not in key_cols]
-    o = old.select(
-        *key_cols, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_oh")
-    )
-    n = new.select(
-        *key_cols, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_nh")
-    )
+
+    def _row_hash(cols):
+        return F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+    o = old.select(*key_cols, _row_hash(val_cols).alias("_oh"))
+    n = new.select(*key_cols, _row_hash(val_cols).alias("_nh"))
     j = o.join(n, key_cols, "full_outer")
     change = (
         F.when(F.col("_oh").isNull(), F.lit("insert"))

@@ -55,3 +55,18 @@ class TestPrefixFilterExactness:
         df = _docs(spark, [short, long])
         assert _pairs(df, jaccard_prefix_filter_pairs, 0.8) == set()
         assert _pairs(df, ngram_jaccard_pairs, 0.8) == set()
+
+
+def test_hamming_default_chunks_raises_beyond_16(spark):
+    """max_hamming >= 16 cannot get full recall from 64-bit chunking —
+    the default n_chunks derivation must refuse rather than silently cap
+    at a distance-15 pigeonhole guarantee."""
+    import pytest
+
+    from hg_data_pipelines_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame([(1, 0), (2, -1)], "id long, h long")
+    with pytest.raises(ValueError, match="at most 16"):
+        hamming_near_pairs(df, "id", "h", max_hamming=16)
+    # explicit n_chunks opts into the reduced guarantee
+    assert hamming_near_pairs(df, "id", "h", max_hamming=16, n_chunks=16).count() == 0

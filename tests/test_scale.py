@@ -664,3 +664,50 @@ class TestGlobalOrderPrimitives:
         assert global_running_sum(df, [F.col("id")], "w", "s").count() == 0
         assert global_row_number(df, [F.col("id")], "rn").count() == 0
         assert global_ntile(df, [F.col("id")], 4, "b").count() == 0
+
+
+class TestSaltedJoinHowGuard:
+    """Per-`how` soundness: every supported join type must equal the
+    plain join; right/full raise (unmatched right rows would appear once
+    per salt)."""
+
+    def _sides(self, spark):
+        rows = [(1, i) for i in range(50)] + [(k, 0) for k in range(2, 12)]
+        left = spark.createDataFrame(rows, "k long, v long")
+        right = spark.createDataFrame(
+            [(1, "hot"), (2, "cold"), (99, "rightonly")], "k long, tag string"
+        )
+        return left, right
+
+    @pytest.mark.parametrize(
+        "how", ["inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"]
+    )
+    def test_supported_how_equals_plain_join(self, spark, how):
+        left, right = self._sides(spark)
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+        salted = sorted(
+            map(tuple, salted_join(left, right, "k", n_salts=4, how=how).collect())
+        )
+        assert salted == plain
+
+    @pytest.mark.parametrize("how", ["right", "right_outer", "full", "full_outer", "outer", "cross"])
+    def test_unsound_how_raises(self, spark, how):
+        left, right = self._sides(spark)
+        with pytest.raises(ValueError, match="per salt"):
+            salted_join(left, right, "k", how=how)
+
+    def test_adaptive_salted_join_left_how(self, spark):
+        from hg_data_pipelines_spark.operators.scale import adaptive_salted_join
+
+        left, right = self._sides(spark)
+        plain = sorted(map(tuple, left.join(right, "k", "left").collect()))
+        got = sorted(
+            map(
+                tuple,
+                adaptive_salted_join(
+                    left, right, "k", n_salts=4, how="left",
+                    discovery="exact", hot_min_fraction=0.2,
+                ).collect(),
+            )
+        )
+        assert got == plain

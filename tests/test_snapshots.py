@@ -127,3 +127,50 @@ class TestSnapshotDiff:
         v1 = write_table_snapshot(df, wh, "t")
         v2 = write_table_snapshot(df, wh, "t")
         assert snapshot_diff(spark, wh, "t", v1, v2, ["id"]).count() == 0
+
+    def test_null_swap_between_columns_is_an_update(self, spark, tmp_path):
+        """Spark hash functions skip NULL inputs, so a bare-column
+        xxhash64 would hash (name=NULL, alias='x') and (name='x',
+        alias=NULL) identically and silently drop the update from the
+        change feed. The null-discriminating JSON encoding must not."""
+        from hg_data_pipelines_spark.snapshots import (
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path)
+        v1_df = spark.createDataFrame(
+            [(1, None, "x"), (2, "keep", None)],
+            "id long, name string, alias string",
+        )
+        v1 = write_table_snapshot(v1_df, wh, "t")
+        v2_df = spark.createDataFrame(
+            # row 1: value moves name<->alias; row 2: unchanged
+            [(1, "x", None), (2, "keep", None)],
+            "id long, name string, alias string",
+        )
+        v2 = write_table_snapshot(v2_df, wh, "t")
+        got = {
+            r["id"]: r["change_type"]
+            for r in snapshot_diff(spark, wh, "t", v1, v2, ["id"]).collect()
+        }
+        assert got == {1: "update"}
+
+    def test_null_vs_empty_string_is_an_update(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path)
+        v1 = write_table_snapshot(
+            spark.createDataFrame([(1, None)], "id long, s string"), wh, "t"
+        )
+        v2 = write_table_snapshot(
+            spark.createDataFrame([(1, "")], "id long, s string"), wh, "t"
+        )
+        got = {
+            r["id"]: r["change_type"]
+            for r in snapshot_diff(spark, wh, "t", v1, v2, ["id"]).collect()
+        }
+        assert got == {1: "update"}
