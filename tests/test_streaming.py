@@ -9,6 +9,7 @@ import uuid
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from hg_data_pipelines_spark.streaming import (
     sessionize_with_state,
@@ -377,3 +378,158 @@ class TestStreamRestartRecovery:
         # idle restart with nothing new is a no-op
         run_once()
         assert spark.read.parquet(os.path.join(wh, "t", "*")).count() == 3
+
+
+class TestCrashRecoveryExactlyOnce:
+    """Kill a stateful query MID-STREAM (not a clean drain), restart from
+    the same checkpoint, and assert exactly-once semantics: aggregation
+    state neither loses nor double-counts rows, and dedup key state
+    survives the restart."""
+
+    def _stage(self, spark, src, idx, rows):
+        import os
+        import time
+
+        out = src / f"wave_{idx}"
+        spark.createDataFrame(rows, "id long, k string, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(out))
+        t = time.time() - 1000 + idx * 60
+        for f in out.iterdir():
+            os.utime(f, (t, t))
+
+    def test_agg_state_survives_midstream_kill(self, spark, tmp_path):
+        import time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        all_rows = []
+        for i in range(4):
+            rows = [(i * 10 + j, ["a", "b"][j % 2], float(j)) for j in range(6)]
+            self._stage(spark, src, i, rows)
+            all_rows += rows
+
+        def agg_of(stream_df):
+            return stream_df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+            )
+
+        def reader():
+            return (
+                spark.readStream.schema("id long, k string, v double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/wave_*")
+            )
+
+        # run 1: kill after the first committed micro-batch, while later
+        # files are still unprocessed (an in-flight batch may be aborted —
+        # its offsets must be reprocessed on restart, not lost)
+        q1 = (
+            agg_of(reader())
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("xrec_agg")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+
+        # new data lands AFTER the crash — guarantees the restart has a
+        # batch to run even if run 1 got further than one file
+        late = [(100 + j, "a", 10.0) for j in range(3)]
+        self._stage(spark, src, 9, late)
+        all_rows += late
+
+        q2 = (
+            agg_of(reader())
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("xrec_agg")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        got = {
+            r["k"]: (r["n"], r["s"])
+            for r in spark.sql("SELECT * FROM xrec_agg").collect()
+        }
+        want_df = (
+            spark.createDataFrame(all_rows, "id long, k string, v double")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        want = {r["k"]: (r["n"], r["s"]) for r in want_df.collect()}
+        assert got == want  # fails on any lost OR double-counted row
+
+    def test_dedup_state_survives_restart(self, spark, tmp_path, utc):
+        """dropDuplicatesWithinWatermark key state must persist through a
+        stop/restart: duplicates of already-seen event_ids arriving after
+        the restart are still dropped."""
+        import os
+        import time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+        def stage(idx, rows):
+            out = src / f"wave_{idx}"
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(out))
+            t = time.time() - 1000 + idx * 60
+            for f in out.iterdir():
+                os.utime(f, (t, t))
+
+        def run(trigger_now=True):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/wave_*")
+            )
+            deduped = stream_dedup_within_watermark(
+                stream, keys=["event_id"], watermark="1 hour"
+            )
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        t0 = TS("2024-01-01 10:00:00")
+        stage(0, [(1, t0, 7, "view", 1.0), (2, t0, 7, "view", 1.0)])
+        run()
+
+        # restart: duplicates of 1 and 2 (same watermark horizon) + new 3
+        stage(
+            1,
+            [
+                (1, t0 + pd.Timedelta(minutes=5), 7, "view", 1.0),
+                (2, t0 + pd.Timedelta(minutes=6), 7, "view", 1.0),
+                (3, t0 + pd.Timedelta(minutes=7), 7, "view", 1.0),
+            ],
+        )
+        run()
+
+        ids = sorted(
+            r["event_id"] for r in spark.read.parquet(sink).collect()
+        )
+        assert ids == [1, 2, 3]  # state survived: no re-emitted 1/2
