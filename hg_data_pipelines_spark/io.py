@@ -291,6 +291,13 @@ def merge_warehouse_table(
       write, severing the scan lineage so Spark can overwrite the very
       files it read (checkpoint size = delta partitions only).
 
+    Schema evolution: an incoming batch may ADD columns — history rows
+    surface NULL for them (the rewritten delta partitions materialize the
+    NULLs; untouched partitions evolve lazily through the mergeSchema
+    read). Incoming batches may also OMIT columns (backfilled as NULL on
+    the incoming side). A column changing TYPE is not evolution, it's
+    corruption — that still fails loudly in the union.
+
     Transactional formats (Delta/Iceberg MERGE INTO) are the production
     path for concurrent writers; this is the format-free equivalent with
     the same cost model.
@@ -302,14 +309,16 @@ def merge_warehouse_table(
     if not os.path.isdir(path):
         return write_warehouse_table(df, warehouse_dir, table, partition_by)
 
-    existing = spark.read.parquet(path)
+    existing = spark.read.option("mergeSchema", "true").parquet(path)
     incoming = df.withColumn("_src", F.lit(1))
     if partition_by:
         touched = df.select(*partition_by).distinct()
         base = existing.join(F.broadcast(touched), partition_by, "left_semi")
     else:
         base = existing
-    unioned = base.withColumn("_src", F.lit(0)).unionByName(incoming)
+    unioned = base.withColumn("_src", F.lit(0)).unionByName(
+        incoming, allowMissingColumns=True
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.desc("_src"), *[F.desc(c) for c in order]
     )

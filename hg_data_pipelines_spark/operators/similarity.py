@@ -339,31 +339,33 @@ def knn_graph_exact(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+def _cent_df(spark, cmap):
+    return F.broadcast(
+        spark.createDataFrame(
+            sorted((c, v) for c, v in cmap.items()),
+            "cid long, cvec array<double>",
+        )
+    )
+
+
+def ivf_train(
     corpus: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 16,
-    n_probe: int = 4,
-    round_dp: int = 6,
     n_iter: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
-    into ``n_lists`` cells, probe each query's ``n_probe`` nearest cells,
-    exact cosine only within probed cells.
+) -> dict[int, list[float]]:
+    """Train IVF coarse centroids → {cell_id: centroid}.
 
-    Centroids: the lowest-id corpus vectors seed deterministically, then
-    ``n_iter`` Lloyd iterations refine them — assignment is a broadcast-
-    centroid cell scoring over the corpus, the per-cell mean comes from a
+    The lowest-id corpus vectors seed deterministically, then ``n_iter``
+    Lloyd iterations refine them — assignment is a broadcast-centroid
+    cell scoring over the corpus, the per-cell mean comes from a
     map-side-combinable (cid, dim) sum whose shuffled output is only
-    n_lists × dim rows, and the new centroids (bounded: n_lists × dim) are
-    the one permissible driver collect, rounded to 9 dp so results don't
-    depend on partition-order float summation. The serving plan shape
-    (broadcast centroids → cell-key equi-join) is what matters at 100 TB:
-    each query joins |corpus|/n_lists × n_probe rows instead of scanning
-    the corpus.
+    n_lists × dim rows, and the new centroids (bounded: n_lists × dim)
+    are the one permissible driver collect, rounded to 9 dp so results
+    don't depend on partition-order float summation. Persist with
+    ``save_ivf_model`` — a real deployment trains ONCE and serves many
+    queries from the stored model.
     """
     spark = corpus.sparkSession
     cvecs = corpus.select(
@@ -379,15 +381,7 @@ def ivf_topk(
     # re-key cells 0..n_lists-1 so cell ids are independent of seed doc ids
     centroids = {i: v for i, (_, v) in enumerate(sorted(centroids.items()))}
 
-    def to_cent_df(cmap):
-        return F.broadcast(
-            spark.createDataFrame(
-                sorted((c, v) for c, v in cmap.items()),
-                "cid long, cvec array<double>",
-            )
-        )
-
-    cent_df = to_cent_df(centroids)
+    cent_df = _cent_df(spark, centroids)
     for _ in range(max(0, n_iter)):
         w_assign = Window.partitionBy("_id").orderBy(F.desc("_sim"), "cid")
         assigned = (
@@ -417,7 +411,57 @@ def ivf_topk(
                 round(dims[d], 9) for d in range(len(dims))
             ]
         centroids = new_centroids
-        cent_df = to_cent_df(centroids)
+        cent_df = _cent_df(spark, centroids)
+    return centroids
+
+
+def save_ivf_model(
+    spark, centroids: dict[int, list[float]], warehouse_dir: str, table: str
+) -> str:
+    """Persist trained IVF centroids as a warehouse table (cid, cvec)."""
+    from ..io import write_warehouse_table
+
+    df = spark.createDataFrame(
+        sorted(centroids.items()), "cid long, cvec array<double>"
+    )
+    return write_warehouse_table(df, warehouse_dir, table)
+
+
+def load_ivf_model(spark, warehouse_dir: str, table: str) -> dict[int, list[float]]:
+    from ..io import read_warehouse_table
+
+    rows = read_warehouse_table(spark, warehouse_dir, table).collect()
+    return {int(r["cid"]): [float(x) for x in r["cvec"]] for r in rows}
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    round_dp: int = 6,
+    n_iter: int = 2,
+    model: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_lists`` cells, probe each query's ``n_probe`` nearest cells,
+    exact cosine only within probed cells.
+
+    ``model``: pre-trained centroids (``ivf_train`` / ``load_ivf_model``)
+    — the warm path skips training entirely; without it the model is
+    trained inline (see ``ivf_train`` for the training scale shape). The
+    serving plan shape (broadcast centroids → cell-key equi-join) is
+    what matters at 100 TB: each query joins |corpus|/n_lists × n_probe
+    rows instead of scanning the corpus.
+    """
+    spark = corpus.sparkSession
+    centroids = model if model is not None else ivf_train(
+        corpus, id_col, vec_col, n_lists=n_lists, n_iter=n_iter
+    )
+    cent_df = _cent_df(spark, centroids)
 
     def nearest_cells(df: DataFrame, prefix: str, n: int) -> DataFrame:
         scored = df.select(
@@ -456,58 +500,41 @@ def ivf_topk(
     )
 
 
-def pq_topk(
-    queries: DataFrame,
+def _normalized_vecs(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    norm = _DOT.format(a="_v0", b="_v0")
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("_v0")
+    ).select(
+        out_id,
+        F.expr(
+            f"transform(_v0, x -> cast(x as double) / sqrt({norm}))"
+        ).alias("_v"),
+    )
+
+
+def pq_train(
     corpus: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m_subvectors: int = 8,
     n_codes: int = 16,
     n_iter: int = 2,
-    round_dp: int = 6,
-    refine_factor: int = 4,
-) -> DataFrame:
-    """Product-quantization approximate top-k (asymmetric distance).
+):
+    """Train PQ codebooks → ndarray of shape (m_subvectors, n_codes, sub_dim).
 
-    The 100 TB memory-side ANN lever: each corpus vector compresses to
-    ``m_subvectors`` one-byte codes (64 floats → 8 bytes here), so the
-    scan side touches codes, not vectors. Scoring is asymmetric: the
-    query stays exact, and per query a (m × n_codes) inner-product
-    lookup table against the codebooks turns each candidate score into m
-    table lookups — no per-pair float vector work at all.
-
-    Training mirrors ``ivf_topk``'s discipline: deterministic lowest-id
-    seeding per subspace, Lloyd refinement where the shuffled output is
-    only (m × n_codes × sub_dim) sums, the bounded codebook is the one
-    permissible driver collect, and means are rounded to 9 dp so no
-    result depends on partition-order float summation. Vectors are
-    L2-normalized first, making inner product ≡ cosine for ranking.
-    Rows-only by design (k-means codebooks are not SQL-expressible);
-    pytest pins recall against the exact brute force.
+    Deterministic lowest-id seeding per subspace, Lloyd refinement where
+    the shuffled output is only (m × n_codes × sub_dim) sums, the bounded
+    codebook is the one permissible driver collect, and means are rounded
+    to 9 dp so no result depends on partition-order float summation.
+    Vectors are L2-normalized first, making inner product ≡ cosine for
+    ranking. Persist with ``save_pq_model`` — train once, serve many.
     """
     import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
 
     spark = corpus.sparkSession
     sub = m_subvectors
+    cvecs = _normalized_vecs(corpus, id_col, vec_col, "_id")
 
-    def normalized(df, out_id):
-        norm = _DOT.format(a="_v0", b="_v0")
-        return df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias("_v0")
-        ).select(
-            out_id,
-            F.expr(
-                f"transform(_v0, x -> cast(x as double) / sqrt({norm}))"
-            ).alias("_v"),
-        )
-
-    cvecs = normalized(corpus, "_id")
-
-    # --- train: deterministic seed + Lloyd, all subspaces in one frame ---
     seed_rows = (
         corpus.orderBy(id_col)
         .limit(n_codes)
@@ -569,6 +596,86 @@ def pq_topk(
                 r["s"] / r["n"], 9
             )
         codebook = new_cb
+    return codebook
+
+
+def save_pq_model(spark, codebook, warehouse_dir: str, table: str) -> str:
+    """Persist trained PQ codebooks as a warehouse table (m, c, cv)."""
+    from ..io import write_warehouse_table
+
+    sub, n_codes, _sd = codebook.shape
+    df = spark.createDataFrame(
+        [
+            (m, c, [float(x) for x in codebook[m, c]])
+            for m in range(sub)
+            for c in range(n_codes)
+        ],
+        "m int, c int, cv array<double>",
+    )
+    return write_warehouse_table(df, warehouse_dir, table)
+
+
+def load_pq_model(spark, warehouse_dir: str, table: str):
+    import numpy as np
+
+    from ..io import read_warehouse_table
+
+    rows = read_warehouse_table(spark, warehouse_dir, table).collect()
+    sub = max(int(r["m"]) for r in rows) + 1
+    n_codes = max(int(r["c"]) for r in rows) + 1
+    sd = len(rows[0]["cv"])
+    codebook = np.empty((sub, n_codes, sd), dtype=np.float64)
+    for r in rows:
+        codebook[int(r["m"]), int(r["c"])] = np.asarray(r["cv"], dtype=np.float64)
+    return codebook
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    round_dp: int = 6,
+    refine_factor: int = 4,
+    model=None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (asymmetric distance).
+
+    The 100 TB memory-side ANN lever: each corpus vector compresses to
+    ``m_subvectors`` one-byte codes (64 floats → 8 bytes here), so the
+    scan side touches codes, not vectors. Scoring is asymmetric: the
+    query stays exact, and per query a (m × n_codes) inner-product
+    lookup table against the codebooks turns each candidate score into m
+    table lookups — no per-pair float vector work at all.
+
+    ``model``: pre-trained codebooks (``pq_train`` / ``load_pq_model``)
+    — the warm path skips training; its shape overrides
+    ``m_subvectors``/``n_codes``. Rows-only by design (k-means codebooks
+    are not SQL-expressible); pytest pins recall against the exact brute
+    force and warm ≡ cold results.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    if model is not None:
+        codebook = np.asarray(model, dtype=np.float64)
+    else:
+        codebook = pq_train(
+            corpus, id_col, vec_col,
+            m_subvectors=m_subvectors, n_codes=n_codes, n_iter=n_iter,
+        )
+    sub, n_codes, sd = codebook.shape
+    cvecs = _normalized_vecs(corpus, id_col, vec_col, "_id")
+
+    def normalized(df, out_id):
+        return _normalized_vecs(df, id_col, vec_col, out_id)
 
     bc_codebook = spark.sparkContext.broadcast(codebook)
 

@@ -99,3 +99,66 @@ class TestSchemaEvolution:
         # rows written before the column existed read as NULL
         assert got.filter(F.col("quality").isNull()).count() == 3
         assert got.filter(F.col("quality") == 2.5).count() == 3
+
+    def test_merge_with_added_column_evolves_schema(self, spark, tmp_path):
+        """An upsert batch carrying a NEW column must merge: history rows
+        surface NULL for it, touched rows carry the value, untouched
+        partitions stay readable through the mergeSchema read."""
+        from hg_data_pipelines_spark.io import read_warehouse_table
+
+        wh = str(tmp_path / "wh_evo")
+        seed = spark.createDataFrame(
+            [(1, 10.0, "d1"), (2, 20.0, "d1"), (3, 30.0, "d2")],
+            "id long, v double, day string",
+        )
+        write_warehouse_table(seed, wh, "t", partition_by=["day"])
+        delta = spark.createDataFrame(
+            [(1, 11.0, "d1", "fresh"), (4, 40.0, "d1", "fresh")],
+            "id long, v double, day string, tag string",
+        )
+        merge_warehouse_table(
+            spark, delta, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
+        )
+        got = {
+            (r["id"], r["v"], r["day"], r["tag"])
+            for r in read_warehouse_table(spark, wh, "t").collect()
+        }
+        assert got == {
+            (1, 11.0, "d1", "fresh"),  # updated, new column populated
+            (2, 20.0, "d1", None),  # rewritten history: NULL backfill
+            (3, 30.0, "d2", None),  # untouched partition, lazy evolution
+            (4, 40.0, "d1", "fresh"),  # insert
+        }
+        # a later merge with the OLD schema (column omitted) still works
+        delta2 = spark.createDataFrame(
+            [(2, 21.0, "d1")], "id long, v double, day string"
+        )
+        merge_warehouse_table(
+            spark, delta2, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
+        )
+        got2 = {
+            (r["id"], r["tag"])
+            for r in read_warehouse_table(spark, wh, "t").collect()
+        }
+        assert (2, None) in got2 and (1, "fresh") in got2
+
+    def test_merge_added_column_unpartitioned(self, spark, tmp_path):
+        from hg_data_pipelines_spark.io import read_warehouse_table
+
+        wh = str(tmp_path / "wh_evo2")
+        write_warehouse_table(
+            spark.createDataFrame([(1, 1.0)], "id long, v double"), wh, "t"
+        )
+        merge_warehouse_table(
+            spark,
+            spark.createDataFrame([(2, 2.0, 9)], "id long, v double, extra long"),
+            wh,
+            "t",
+            keys=["id"],
+            order=["v"],
+        )
+        got = {
+            (r["id"], r["v"], r["extra"])
+            for r in read_warehouse_table(spark, wh, "t").collect()
+        }
+        assert got == {(1, 1.0, None), (2, 2.0, 9)}

@@ -230,3 +230,73 @@ class TestInt8Quantization:
         got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
         recall = len(got & truth) / len(truth)
         assert recall >= 0.8, f"int8 recall {recall:.2f}"
+
+
+class TestAnnModelPersistence:
+    """Train once, serve many: warehouse round-trip of IVF centroids and
+    PQ codebooks, and warm-path (model=) results ≡ cold-path results."""
+
+    def _data(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.orderBy("vec_id").limit(5)
+        return q, emb
+
+    def test_ivf_model_roundtrip_and_warm_equals_cold(self, spark, tmp_path):
+        from hg_data_pipelines_spark.operators.similarity import (
+            ivf_train,
+            load_ivf_model,
+            save_ivf_model,
+        )
+
+        q, emb = self._data(spark)
+        model = ivf_train(emb, n_lists=8, n_iter=1)
+        save_ivf_model(spark, model, str(tmp_path), "ivf_model")
+        loaded = load_ivf_model(spark, str(tmp_path), "ivf_model")
+        assert loaded == model  # exact float round-trip through parquet
+
+        cold = sorted(
+            map(tuple, ivf_topk(q, emb, k=3, n_lists=8, n_iter=1).collect())
+        )
+        warm = sorted(map(tuple, ivf_topk(q, emb, k=3, model=loaded).collect()))
+        assert warm == cold
+
+    def test_pq_model_roundtrip_and_warm_equals_cold(self, spark, tmp_path):
+        import numpy as np
+
+        from hg_data_pipelines_spark.operators.similarity import (
+            load_pq_model,
+            pq_train,
+            save_pq_model,
+        )
+
+        q, emb = self._data(spark)
+        model = pq_train(emb, m_subvectors=4, n_codes=8, n_iter=1)
+        save_pq_model(spark, model, str(tmp_path), "pq_model")
+        loaded = load_pq_model(spark, str(tmp_path), "pq_model")
+        assert loaded.shape == model.shape
+        assert np.array_equal(loaded, model)
+
+        cold = sorted(
+            map(
+                tuple,
+                pq_topk(q, emb, k=3, m_subvectors=4, n_codes=8, n_iter=1).collect(),
+            )
+        )
+        warm = sorted(map(tuple, pq_topk(q, emb, k=3, model=loaded).collect()))
+        assert warm == cold
+
+    def test_warm_path_skips_training_jobs(self, spark, tmp_path):
+        """The warm path must not touch the training code at all — serving
+        with a stored model runs no Lloyd iteration (no assignment
+        window over (id, m) in the plan-building phase). Cheap proxy:
+        ivf_topk with model= never calls ivf_train."""
+        from unittest import mock
+
+        from hg_data_pipelines_spark.operators import similarity as S
+
+        q, emb = self._data(spark)
+        model = S.ivf_train(emb, n_lists=8, n_iter=0)
+        with mock.patch.object(
+            S, "ivf_train", side_effect=AssertionError("trained on warm path")
+        ):
+            S.ivf_topk(q, emb, k=3, model=model).collect()
