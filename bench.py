@@ -50,6 +50,10 @@ HEADLINE = [
     # round-3: measured 90%-skew join, plain (AQE) vs salted twin
     "J9_skew90_join_plain",
     "J9_skew90_join_salted",
+    # round-4: distributed prefix-sum / ntile primitives (the rewritten
+    # global-window queries — now range-partitioned, no single-task node)
+    "X4_sequence_packing",
+    "A20_equi_depth_histogram",
 ]
 
 

@@ -312,8 +312,13 @@ def _range_pinned(df: DataFrame, order_by: list, n_parts: int | None = None) -> 
     affects output.
     """
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # pin the INPUT first: repartitionByRange's boundary-sampling pass and
+    # the real shuffle would otherwise each recompute the upstream plan
+    # (e.g. a tokenize projection) from scratch — the input here is always
+    # a slim projection, so caching it costs little and halves the work
+    pinned_in = df.localCheckpoint(eager=False)
     return (
-        df.repartitionByRange(n, *order_by)
+        pinned_in.repartitionByRange(n, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)

@@ -510,3 +510,58 @@ def ann_dominance_check(spark, sf_dir):
         .filter(F.col("m_cosine") > F.col("bf_cosine") + 1e-9)
         .select("method", "query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X3: ANN model persistence check — train-once/serve-many is the real
+# 100 TB deployment shape (retraining IVF per query is a fixture-scale
+# shortcut). This query runs the FULL persistence cycle: train centroids,
+# save to a warehouse table, load them back, serve the warm path — and
+# emits every (query_id, neighbor_id, rank) where warm-served results
+# differ from cold (train-inline) results. The contract is exact
+# equality (models round-trip losslessly through parquet doubles), so
+# the declared output is the empty relation — the same
+# guarantee-not-value pattern as X3_ann_dominance_check.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X3_ivf_model_warm_check",
+    """
+    SELECT CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS INTEGER) AS rank
+    WHERE FALSE
+    """,
+)
+def ivf_model_warm_check(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_topk,
+        ivf_train,
+        load_ivf_model,
+        save_ivf_model,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    model = ivf_train(emb, n_lists=16, n_iter=1)
+    wh = tempfile.mkdtemp(prefix="ivf_model_wh_")
+    save_ivf_model(spark, model, wh, "ivf_centroids")
+    warm = ivf_topk(queries, emb, k=_K, model=load_ivf_model(spark, wh, "ivf_centroids"))
+    cold = ivf_topk(queries, emb, k=_K, n_iter=1)
+    w = warm.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.col("cosine").alias("w_cos"),
+    )
+    c = cold.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.col("cosine").alias("c_cos"),
+    )
+    joined = w.join(c, ["query_id", "neighbor_id", "rank"], "full_outer")
+    return joined.filter(
+        F.col("w_cos").isNull()
+        | F.col("c_cos").isNull()
+        | (F.col("w_cos") != F.col("c_cos"))
+    ).select("query_id", "neighbor_id", "rank")
