@@ -461,3 +461,197 @@ def simhash_near_pairs(
     ``max_hamming`` (see ``hamming_near_pairs``)."""
     fp = simhash_fingerprints(docs, id_col, text_col)
     return hamming_near_pairs(fp, "doc_id", "simhash", max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a historical fingerprint store
+# ---------------------------------------------------------------------------
+
+
+def document_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document dedup fingerprints: (doc_id, content_hash, n_shingles,
+    sig). ``content_hash`` is xxhash64 over the whitespace-normalized
+    token stream (exact-dup key); ``sig`` is the MinHash signature
+    (near-dup key). This row is ~0.5 KB regardless of document size —
+    the compression that makes a 100 TB corpus's dedup state a mere
+    multi-GB table."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).select("doc_id", "toks", word_shingles("toks", ngram).alias("shingles"))
+    return base.select(
+        "doc_id",
+        F.xxhash64(F.array_join("toks", " ")).alias("content_hash"),
+        F.size("shingles").alias("n_shingles"),
+        minhash_signature("shingles", num_hashes).alias("sig"),
+    )
+
+
+def build_fingerprint_store(
+    docs: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> str:
+    """Materialize the corpus's dedup state as two warehouse tables:
+
+    - ``<table>``: one fingerprint row per document;
+    - ``<table>_bands``: the LSH posting table (band, key, doc_id),
+      pre-exploded at BUILD time so per-batch queries never re-derive or
+      re-explode the historical side.
+
+    This is the store every incremental ingest batch dedups against —
+    the alternative (rescanning the whole corpus per crawl batch) is the
+    canonical 100 TB anti-pattern.
+    """
+    from ..io import write_warehouse_table
+
+    fp = document_fingerprints(docs, id_col, text_col, ngram, num_hashes)
+    write_warehouse_table(fp, warehouse_dir, table)
+    posts = fp.select(
+        "doc_id", F.posexplode(lsh_band_keys("sig", bands)).alias("band", "key")
+    )
+    write_warehouse_table(posts, warehouse_dir, f"{table}_bands")
+    return table
+
+
+def dedup_against_store(
+    spark,
+    new_docs: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify an ingest batch against the historical fingerprint store
+    → (doc_id, status ∈ {exact_dup, near_dup, new}, match_id,
+    est_jaccard).
+
+    Scale shape — the batch is SMALL relative to the store (the
+    incremental-ingest contract; batch ≈ corpus means run the full
+    corpus dedup instead), so the batch side is broadcast into both
+    probes and the store is only ever SCANNED, never shuffled:
+
+    - exact: store content hashes ⋈ broadcast batch hashes;
+    - near: pre-built posting table ⋈ broadcast batch band keys, then
+      signature agreement (matching MinHash positions / num_hashes, an
+      unbiased Jaccard estimate) against the candidate's stored
+      signature; best match per doc by (est DESC, match_id).
+
+    exact_dup takes precedence over near_dup; docs matching nothing are
+    ``new``. Determinism: ties broken on match_id everywhere.
+    """
+    from ..io import read_warehouse_table
+
+    store = read_warehouse_table(spark, warehouse_dir, table)
+    posts = read_warehouse_table(spark, warehouse_dir, f"{table}_bands")
+    fp = document_fingerprints(
+        new_docs, id_col, text_col, ngram, num_hashes
+    ).localCheckpoint(eager=False)  # probed three times below
+
+    exact = (
+        store.select("content_hash", F.col("doc_id").alias("match_id"))
+        .join(F.broadcast(fp.select("doc_id", "content_hash")), "content_hash")
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .withColumn("status", F.lit("exact_dup"))
+        .withColumn("est_jaccard", F.lit(1.0))
+    )
+
+    new_bands = fp.select(
+        "doc_id",
+        "sig",
+        F.posexplode(lsh_band_keys("sig", bands)).alias("band", "key"),
+    )
+    cand = (
+        posts.withColumnRenamed("doc_id", "match_id")
+        .join(F.broadcast(new_bands), ["band", "key"])
+        .select("doc_id", "match_id", "sig")
+        .dropDuplicates(["doc_id", "match_id"])
+    )
+    agree = (
+        "aggregate(zip_with(sig, m_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    scored = (
+        # candidate set is delta-scale (≤ |batch| × matched postings) —
+        # broadcast it so the store-side signature fetch is again a scan,
+        # not a store shuffle on match_id
+        store.select(
+            F.col("doc_id").alias("match_id"), F.col("sig").alias("m_sig")
+        )
+        .join(F.broadcast(cand), "match_id")
+        .withColumn(
+            "est_jaccard", F.expr(agree).cast("double") / num_hashes
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    near = dedup_exact(
+        scored, ["doc_id"], [F.desc("est_jaccard"), F.asc("match_id")]
+    ).select("doc_id", "match_id", "est_jaccard").withColumn(
+        "status", F.lit("near_dup")
+    )
+
+    classified = exact.unionByName(
+        near.join(exact.select("doc_id"), "doc_id", "left_anti"),
+        allowMissingColumns=False,
+    )
+    return (
+        fp.select("doc_id")
+        .join(classified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("status", F.lit("new")).alias("status"),
+            "match_id",
+            "est_jaccard",
+        )
+    )
+
+
+def update_fingerprint_store(
+    spark,
+    docs: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> str:
+    """Fold a batch's fingerprints into the store (upsert by doc_id on
+    the doc table; (doc_id, band) on the posting table). Cost ∝ |batch|
+    + touched rows — the MERGE machinery's delta contract, never a store
+    rewrite. Typical flow: ``dedup_against_store`` → keep status='new'
+    rows → update the store with exactly those."""
+    from ..io import merge_warehouse_table
+
+    fp = document_fingerprints(docs, id_col, text_col, ngram, num_hashes)
+    merge_warehouse_table(
+        spark, fp, warehouse_dir, table, keys=["doc_id"], order=["content_hash"]
+    )
+    posts = fp.select(
+        "doc_id", F.posexplode(lsh_band_keys("sig", bands)).alias("band", "key")
+    )
+    merge_warehouse_table(
+        spark,
+        posts,
+        warehouse_dir,
+        f"{table}_bands",
+        keys=["doc_id", "band"],
+        order=["key"],
+    )
+    return table

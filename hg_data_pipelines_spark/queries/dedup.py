@@ -376,3 +376,35 @@ def dedup_time_bounded(spark, sf_dir):
             F.col("event_id").alias("kept_event_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X1: incremental dedup against a historical fingerprint store — the
+# crawl-ingest shape: the corpus's dedup state lives as a compact
+# warehouse table (content hash + MinHash signature + pre-exploded LSH
+# postings, ~0.5 KB/doc), and each new batch is classified against it
+# with the store only ever SCANNED (batch side broadcast), never
+# shuffled or re-fingerprinted. History = docs with doc_id % 10 < 8,
+# batch = the rest; deterministic split, deterministic classification.
+# Rows-only (MinHash needs xxhash64, not in DuckDB); pytest covers
+# exact/near/new classification, store-update round-trips, and the
+# no-store-shuffle plan contract.
+# --------------------------------------------------------------------------
+
+
+@query("X1_incremental_dedup_store")
+def incremental_dedup_store(spark, sf_dir):
+    import tempfile
+
+    from ..operators.dedup import build_fingerprint_store, dedup_against_store
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    wh = tempfile.mkdtemp(prefix="fps_wh_")
+    build_fingerprint_store(history, wh, "fps")
+    out = dedup_against_store(spark, batch, wh, "fps", threshold=0.5)
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("est_jaccard"), 6).alias("avg_est_jaccard"),
+    )

@@ -50,3 +50,100 @@ class TestConnectedComponents:
         assert local == reliable
         # the reliable checkpoint actually wrote to the requested dir
         assert any((tmp_path / "ckpt").iterdir())
+
+
+class TestIncrementalFingerprintStore:
+    """Dedup an ingest batch against a historical fingerprint store —
+    exact (content hash), near (LSH + signature agreement), new — then
+    fold the new docs in and verify the next batch sees them."""
+
+    BASE = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs for the long trip home"),
+        (3, "sphinx of black quartz judge my vow said the old museum curator"),
+    ]
+
+    def _store(self, spark, tmp_path):
+        from hg_data_pipelines_spark.operators.dedup import build_fingerprint_store
+
+        wh = str(tmp_path / "wh")
+        hist = spark.createDataFrame(self.BASE, "doc_id long, text string")
+        build_fingerprint_store(hist, wh, "fps")
+        return wh
+
+    def test_classifies_exact_near_new(self, spark, tmp_path):
+        from hg_data_pipelines_spark.operators.dedup import dedup_against_store
+
+        wh = self._store(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [
+                # exact copy of doc 1 (whitespace-normalized)
+                (101, "  the quick  brown fox jumps over the lazy dog again and again "),
+                # near-dup of doc 2: one word changed
+                (102, "pack my box with nine dozen liquor jugs for the long trip home"),
+                # genuinely new
+                (103, "completely unrelated sentence about distributed query engines"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in dedup_against_store(spark, batch, wh, "fps", threshold=0.3).collect()
+        }
+        assert got[101] == ("exact_dup", 1)
+        assert got[102] == ("near_dup", 2)
+        assert got[103] == ("new", None)
+
+    def test_exact_precedes_near_and_est_bounds(self, spark, tmp_path):
+        from hg_data_pipelines_spark.operators.dedup import dedup_against_store
+
+        wh = self._store(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(201, self.BASE[2][1])], "doc_id long, text string"
+        )
+        rows = dedup_against_store(spark, batch, wh, "fps", threshold=0.3).collect()
+        assert rows[0]["status"] == "exact_dup"  # identical text never 'near'
+        assert rows[0]["est_jaccard"] == 1.0
+
+    def test_store_update_catches_next_batch(self, spark, tmp_path):
+        from hg_data_pipelines_spark.operators.dedup import (
+            dedup_against_store,
+            update_fingerprint_store,
+        )
+
+        wh = self._store(spark, tmp_path)
+        wave1 = spark.createDataFrame(
+            [(301, "brand new document about spark native analytics engines at scale")],
+            "doc_id long, text string",
+        )
+        first = dedup_against_store(spark, wave1, wh, "fps").collect()
+        assert first[0]["status"] == "new"
+        update_fingerprint_store(spark, wave1, wh, "fps")
+
+        # the SAME content re-ingested next batch is now an exact dup of 301
+        wave2 = spark.createDataFrame(
+            [(302, "brand new document about spark native analytics engines at scale")],
+            "doc_id long, text string",
+        )
+        second = dedup_against_store(spark, wave2, wh, "fps").collect()
+        assert second[0]["status"] == "exact_dup"
+        assert second[0]["match_id"] == 301
+
+    def test_store_is_never_shuffled(self, spark, tmp_path):
+        """The incremental contract: the historical side is scanned and
+        broadcast-joined, never exchanged — no hashpartitioning on the
+        store's scan subtree (batch-side exchanges are fine)."""
+        from hg_data_pipelines_spark.operators.dedup import dedup_against_store
+
+        wh = self._store(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(401, "probe text for the plan shape check only")],
+            "doc_id long, text string",
+        )
+        df = dedup_against_store(spark, batch, wh, "fps")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # store parquet scans must feed broadcast/plain joins without an
+        # exchange keyed on store columns (content_hash or (band, key))
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "content_hash" not in line or "doc_id" in line
