@@ -797,3 +797,54 @@ def bpe_token_counts(spark, sf_dir):
         for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
     ]
     return bpe_encode(docs, merges)
+
+
+# --------------------------------------------------------------------------
+# X4: weighted sample without replacement — Efraimidis–Spirakis priority
+# sampling (operators/sampling.py): inclusion probability proportional
+# to document length, the token-budget-proportional subsampling step of
+# corpus curation. Priorities derive from md5(doc_id) (the
+# deterministic-split trick), so the sample is identical across runs,
+# partitionings, and engines — fully oracle-checkable. Keys are
+# compared at 9 dp with a doc_id tiebreak so last-ulp ln() differences
+# between engines cannot flip a rank.
+# --------------------------------------------------------------------------
+
+_WS_K = 5
+
+
+@query(
+    "X4_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS UBIGINT) + 1.0) / 4294967297.0)
+                     / n_chars, 9) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id
+           ) AS INTEGER) AS sample_rank
+    FROM keyed
+    QUALIFY sample_rank <= {_WS_K}
+    """,
+)
+def weighted_sample_query(spark, sf_dir):
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs.select("source", "doc_id", "n_chars"),
+        weight_col="n_chars",
+        k=_WS_K,
+        id_col="doc_id",
+        strata=["source"],
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )

@@ -711,3 +711,66 @@ class TestSaltedJoinHowGuard:
             )
         )
         assert got == plain
+
+
+class TestWeightedSample:
+    def test_heavier_items_oversampled(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.sampling import weighted_sample
+
+        # 500 light (w=1) + 500 heavy (w=50) items: a 100-item weighted
+        # sample must be dominated by heavy items (E[heavy] ≈ 98)
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") < 500, 1.0).otherwise(50.0).alias("w"),
+        )
+        got = weighted_sample(df, "w", 100, "id").collect()
+        heavy = sum(1 for r in got if r["w"] == 50.0)
+        assert len(got) == 100
+        assert heavy > 80
+
+    def test_deterministic_across_layouts(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.sampling import weighted_sample
+
+        df = spark.range(300).select("id", (F.col("id") % 7 + 1.0).alias("w"))
+        a = {r["id"] for r in weighted_sample(df, "w", 50, "id").collect()}
+        b = {
+            r["id"]
+            for r in weighted_sample(df.repartition(17), "w", 50, "id").collect()
+        }
+        assert a == b
+
+    def test_k_at_least_population_returns_all(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.sampling import weighted_sample
+
+        df = spark.range(20).select("id", F.lit(2.0).alias("w"))
+        assert weighted_sample(df, "w", 100, "id").count() == 20
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.sampling import weighted_sample
+
+        df = spark.range(10).select(
+            "id", (F.col("id").cast("double") - 5.0).alias("w")
+        )
+        ids = {r["id"] for r in weighted_sample(df, "w", 100, "id").collect()}
+        assert ids == {6, 7, 8, 9}
+
+    def test_stratified_k_per_stratum(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.sampling import weighted_sample
+
+        df = spark.range(200).select(
+            "id", (F.col("id") % 4).alias("g"), F.lit(1.0).alias("w")
+        )
+        out = weighted_sample(df, "w", 10, "id", strata=["g"])
+        per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per == {0: 10, 1: 10, 2: 10, 3: 10}
+        assert out.filter(F.col("sample_rank") > 10).count() == 0
