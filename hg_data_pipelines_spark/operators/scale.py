@@ -404,6 +404,57 @@ def global_row_number(
     )
 
 
+def stratified_row_number(
+    df: DataFrame,
+    strata: list[str],
+    order_by: list,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """ROW_NUMBER() PARTITION BY strata ORDER BY order_by — WITHOUT one
+    task per stratum.
+
+    A plain per-stratum window puts each stratum's entire sort in a
+    single task: fine for high-cardinality keys, a bottleneck when
+    strata are few and fat (languages, sources — one language can be
+    60% of a web corpus). Here the data range-partitions on
+    (strata, order) so a fat stratum SPANS many partitions; per-
+    (partition, stratum) counts give each partition its per-stratum
+    offset (bounded: n_parts × n_strata rows), and a partition-local
+    window finishes. Bit-identical to the single-window form.
+
+    (For a CONSTANT rank limit k, prefer the plain window: Spark's
+    WindowGroupLimit pushes the top-k below the exchange and the skew
+    disappears. This primitive is for unbounded ranks or data-dependent
+    limits — exact fractions, ntile-style cuts — which cannot push.)
+    """
+    from pyspark.sql import Window
+
+    strata_cols = [F.col(c) for c in strata]
+    pinned = _range_pinned(df, [*strata_cols, *order_by], n_parts)
+    w_off = (
+        Window.partitionBy(*strata)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        pinned.groupBy("_pid", *strata)
+        .agg(F.count(F.lit(1)).alias("_pn"))
+        # window over ≤ n_parts × n_strata post-aggregation rows
+        .select(
+            "_pid",
+            *strata,
+            F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    w_loc = Window.partitionBy("_pid", *strata).orderBy(*order_by)
+    return (
+        pinned.join(F.broadcast(offsets), ["_pid", *strata])
+        .withColumn(out_col, F.row_number().over(w_loc) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_by: list,

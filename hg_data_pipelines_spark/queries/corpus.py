@@ -411,10 +411,13 @@ def contamination_probe(spark, sf_dir):
 # buckets, approximate fractions): this is the form for "exactly 20% of
 # every language", e.g. eval carve-outs from skewed corpora.
 #
-# Scale shape: one window per stratum (count + row_number share the same
-# shuffle); strata are languages, so partitions are few and fat — the
-# window sort is the cost, O(n log n) per stratum, same as any exact
-# sample. The hash order means no pre-sorted input is assumed.
+# Scale shape: strata are languages — few and fat, so a plain
+# per-stratum window would sort one language (possibly 60% of a web
+# corpus) in ONE task, and the data-dependent limit ceil(f·n) blocks
+# Spark's WindowGroupLimit pushdown. The rank therefore comes from
+# operators/scale.py::stratified_row_number (range partitions spanning
+# fat strata + per-(partition, stratum) offsets); per-stratum counts
+# ride a broadcast join. Bit-identical output to the window form.
 # --------------------------------------------------------------------------
 
 
@@ -434,20 +437,18 @@ def contamination_probe(spark, sf_dir):
     """,
 )
 def stratified_sample(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.scale import stratified_row_number
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    keyed = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_h")
     )
-    wn = Window.partitionBy("lang")
+    ranked = stratified_row_number(
+        keyed, ["lang"], [F.col("_h"), F.col("doc_id")], "rn"
+    )
+    counts = keyed.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     return (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
+        ranked.join(F.broadcast(counts), "lang")
         .filter(F.col("rn") <= F.ceil(0.2 * F.col("n")))
         .select("doc_id", "lang")
     )

@@ -208,3 +208,21 @@ class TestObserveMetrics:
         df = Q["SQL_join_hints"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestWindowGroupLimitPushdown:
+    """Constant-k rank filters must push below the exchange
+    (WindowGroupLimit partial+final): per-group top-k windows stay
+    scale-safe even with few, fat groups because each map task prunes to
+    k rows per group before the shuffle. This is why plain windows are
+    the right plan for constant limits, while data-dependent limits use
+    stratified_row_number (see operators/scale.py)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["X4_tfidf_top_terms", "X4_weighted_sample", "W1_best_order_per_customer"],
+    )
+    def test_topk_windows_carry_window_group_limit(self, spark, name):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("WindowGroupLimit") >= 2  # partial + final

@@ -774,3 +774,49 @@ class TestWeightedSample:
         per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert per == {0: 10, 1: 10, 2: 10, 3: 10}
         assert out.filter(F.col("sample_rank") > 10).count() == 0
+
+
+class TestStratifiedRowNumber:
+    def test_matches_per_stratum_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import stratified_row_number
+
+        # skewed strata: one group holds ~70% of rows
+        df = (
+            spark.range(800)
+            .withColumn("g", F.when(F.col("id") % 10 < 7, "big").otherwise(
+                (F.col("id") % 3).cast("string")))
+            .withColumn("v", (F.col("id") * 13) % 41)
+            .repartition(11)
+        )
+        w = Window.partitionBy("g").orderBy("v", "id")
+        want = {
+            (r["g"], r["id"]): r["rn"]
+            for r in df.select("g", "id", F.row_number().over(w).alias("rn")).collect()
+        }
+        for n_parts in (1, 6, 32):
+            got = {
+                (r["g"], r["id"]): r["rn"]
+                for r in stratified_row_number(
+                    df, ["g"], [F.col("v"), F.col("id")], "rn", n_parts=n_parts
+                ).collect()
+            }
+            assert got == want
+
+    def test_no_unpartitioned_window_and_desc_order(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import stratified_row_number
+
+        df = spark.range(100).withColumn("g", (F.col("id") % 2).cast("string"))
+        out = stratified_row_number(df, ["g"], [F.desc("id")], "rn")
+        w = Window.partitionBy("g").orderBy(F.desc("id"))
+        want = {
+            (r["g"], r["id"]): r["rn"]
+            for r in df.select("g", "id", F.row_number().over(w).alias("rn")).collect()
+        }
+        got = {(r["g"], r["id"]): r["rn"] for r in out.collect()}
+        assert got == want
