@@ -849,3 +849,91 @@ def weighted_sample_query(spark, sf_dir):
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: temperature-scaled mixture sampling — the multilingual-corpus
+# rebalancing rule (XLM-R-style): sample sources with probability
+# ∝ share^α (α=0.5 here), which up-weights tail sources and damps the
+# head; per-source targets k_i = ceil(total · w_i / Σw), selection =
+# md5-priority rank within source. Cross-engine float discipline:
+# α=0.5 means sqrt (IEEE-correctly-rounded on both engines, unlike
+# pow); each w_i is quantized to 12 dp and Σw accumulated in exact
+# DECIMAL (order-independent); the final ratio is one double multiply +
+# divide + 9 dp round before CEIL. Ranking uses the distributed
+# stratified_row_number (data-dependent per-stratum limit — the case
+# WindowGroupLimit cannot push).
+# --------------------------------------------------------------------------
+
+_TEMP_SAMPLE_TOTAL = 100
+
+
+@query(
+    "X4_temperature_mixture_sample",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts
+    ), wts AS (
+        SELECT source, n,
+               CAST(round(sqrt(CAST(n AS DOUBLE) / t), 12) AS DECIMAL(20, 12)) AS w
+        FROM counts CROSS JOIN tot
+    ), wtot AS (
+        SELECT SUM(w) AS wt FROM wts
+    ), targets AS (
+        SELECT source, n,
+               CAST(CEIL(round(CAST(w AS DOUBLE) * {_TEMP_SAMPLE_TOTAL}
+                               / CAST(wt AS DOUBLE), 9)) AS BIGINT) AS k
+        FROM wts CROSS JOIN wtot
+    ), ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.source, r.doc_id
+    FROM ranked r JOIN targets USING (source)
+    WHERE rn <= LEAST(k, n)
+    """,
+)
+def temperature_mixture_sample(spark, sf_dir):
+    from ..operators.scale import stratified_row_number
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    wts = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w",
+        F.round(F.sqrt(F.col("n").cast("double") / F.col("t")), 12).cast(
+            "decimal(20,12)"
+        ),
+    )
+    wtot = wts.agg(F.sum("w").alias("wt"))
+    targets = wts.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        "n",
+        F.ceil(
+            F.round(
+                F.col("w").cast("double")
+                * _TEMP_SAMPLE_TOTAL
+                / F.col("wt").cast("double"),
+                9,
+            )
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    ranked = stratified_row_number(
+        keyed, ["source"], [F.col("_h"), F.col("doc_id")], "rn"
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rn") <= F.least(F.col("k"), F.col("n")))
+        .select("source", "doc_id")
+    )
