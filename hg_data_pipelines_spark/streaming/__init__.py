@@ -9,6 +9,7 @@ with deterministic file-source micro-batches and expected-state goldens
 """
 
 from .jobs import (  # noqa: F401
+    sessionize_transform_with_state,
     sessionize_with_state,
     stream_dedup_within_watermark,
     stream_merge_to_warehouse,

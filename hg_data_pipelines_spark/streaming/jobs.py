@@ -289,3 +289,114 @@ def stream_merge_to_warehouse(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Same sessionizer on Spark 4's transformWithState API (StatefulProcessor):
+# typed state handles (ValueState) + explicit timers instead of the single
+# packed GroupState tuple. Requires the RocksDB state store provider.
+# ---------------------------------------------------------------------------
+
+
+def _session_processor_cls():
+    """Deferred class build: StatefulProcessor subclasses pickle to
+    executors, so keep the import local and the class free of module
+    state."""
+    import pandas as pd  # noqa: PLC0415 (re-import inside executor)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_ms = _GAP_MS
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open_session", _SESSION_STATE)
+
+        def _emit(self, user_id, start_ms, end_ms, n, sv):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            user_id = key[0]
+            pdf = pd.concat(list(rows)).sort_values("ts")
+            if self._open.exists():
+                start_ms, end_ms, n, sv = self._open.get()
+            else:
+                start_ms, end_ms, n, sv = None, None, 0, 0.0
+            for _, r in pdf.iterrows():
+                t_ms = int(r["ts"].value // 1_000_000)
+                if start_ms is None:
+                    start_ms, end_ms, n, sv = t_ms, t_ms, 1, float(r["value"])
+                elif t_ms - end_ms > gap_ms:
+                    yield self._emit(user_id, start_ms, end_ms, n, sv)
+                    start_ms, end_ms, n, sv = t_ms, t_ms, 1, float(r["value"])
+                else:
+                    end_ms = max(end_ms, t_ms)
+                    n += 1
+                    sv += float(r["value"])
+            # replace any stale timer with the open session's close time
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._open.update((start_ms, end_ms, n, sv))
+            self._handle.registerTimer(end_ms + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo: ExpiredTimerInfo):
+            user_id = key[0]
+            if self._open.exists():
+                start_ms, end_ms, n, sv = self._open.get()
+                # only the CURRENT close timer may close the session —
+                # stale timers (already deleted above, belt+braces) no-op
+                if expiredTimerInfo.getExpiryTimeInMs() >= end_ms + gap_ms:
+                    self._open.clear()
+                    yield self._emit(user_id, start_ms, end_ms, n, sv)
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor
+
+
+def sessionize_transform_with_state(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Sessionization via ``transformWithStateInPandas`` — the Spark 4
+    arbitrary-stateful API: named typed state (ValueState) + explicit
+    event-time timers, the successor to ``applyInPandasWithState``'s
+    packed GroupState. Same contract as ``sessionize_with_state`` (the
+    golden test asserts identical output); needs
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider, and the ``protobuf`` package (the TWS
+    state-server protocol is protobuf-encoded — an explicit dependency
+    seam: environments without it keep the GroupState sessionizer).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state-server protocol is protobuf-encoded); use "
+            "sessionize_with_state (applyInPandasWithState) instead"
+        ) from e
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_session_processor_cls()(),
+            outputStructType=_SESSION_OUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

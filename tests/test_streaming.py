@@ -533,3 +533,77 @@ class TestCrashRecoveryExactlyOnce:
             r["event_id"] for r in spark.read.parquet(sink).collect()
         )
         assert ids == [1, 2, 3]  # state survived: no re-emitted 1/2
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithStateSessionization:
+    def test_raises_clear_error_without_protobuf(self, spark, tmp_path):
+        """The TWS state-server protocol needs protobuf; the operator
+        must fail at call time with an actionable message, not crash the
+        streaming driver worker mid-query."""
+        if _has_protobuf():
+            pytest.skip("protobuf present - covered by the golden test")
+        from hg_data_pipelines_spark.streaming import (
+            sessionize_transform_with_state,
+        )
+
+        src = tmp_path / "tws_src"
+        src.mkdir()
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(str(src))
+        with pytest.raises(ImportError, match="protobuf"):
+            sessionize_transform_with_state(stream)
+
+    @pytest.mark.skipif(not _has_protobuf(), reason="protobuf not installed")
+    def test_same_sessions_as_apply_in_pandas_with_state(self, spark, tmp_path, utc):
+        """The Spark 4 StatefulProcessor twin (typed ValueState + explicit
+        timers, RocksDB state store) must produce the exact session set
+        the GroupState sessionizer produces on the same micro-batches."""
+        from hg_data_pipelines_spark.streaming import (
+            sessionize_transform_with_state,
+        )
+
+        b0 = [
+            (1, TS("2026-01-01 10:00:00"), 1, "click", 1.0),
+            (2, TS("2026-01-01 10:05:00"), 1, "click", 2.0),
+        ]
+        b1 = [(3, TS("2026-01-01 12:00:00"), 1, "click", 4.0)]
+        b2 = [(4, TS("2026-01-02 00:00:00"), 2, "click", 8.0)]
+        paths = _write_batches(spark, tmp_path, [b0, b1, b2])
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            rows = _run_stream(
+                spark,
+                paths,
+                lambda s: sessionize_transform_with_state(s, watermark="0 seconds"),
+                "append",
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        sessions = {
+            (r["user_id"], r["session_start"].isoformat(), r["n_events"], r["sum_value"])
+            for r in rows
+        }
+        assert (1, "2026-01-01T10:00:00", 2, 3.0) in sessions
+        assert (1, "2026-01-01T12:00:00", 1, 4.0) in sessions
