@@ -937,3 +937,42 @@ def temperature_mixture_sample(spark, sf_dir):
         .filter(F.col("rn") <= F.least(F.col("k"), F.col("n")))
         .select("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X4: tokenizer-aware sequence packing — the real packing pipeline packs
+# by TOKENIZER token counts, not whitespace counts: train BPE merges on
+# the corpus (operators/bpe.py), encode every document with them (row-
+# local JVM folds), then pack the encoded lengths into fixed context-
+# window budgets with the same distributed prefix-sum as
+# X4_sequence_packing. Rows-only (BPE training is iterative argmax);
+# tests pin the whole chain against the pure-Python reference trainer +
+# encoder + packer.
+# --------------------------------------------------------------------------
+
+
+@query("X4_bpe_sequence_packing")
+def bpe_sequence_packing(spark, sf_dir):
+    from ..operators.bpe import bpe_encode, bpe_train
+    from ..operators.scale import global_running_sum
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    encoded = bpe_encode(docs, merges)  # (doc_id, n_words, n_bpe_tokens)
+    packed = global_running_sum(
+        encoded.select("doc_id", "n_bpe_tokens"),
+        [F.col("doc_id")],
+        "n_bpe_tokens",
+        "prefix",
+        exclusive=True,
+    ).withColumn(
+        "bin_id",
+        F.floor(F.col("prefix").cast("double") / _PACK_BUDGET).cast("bigint"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("bin_tokens"),
+    )

@@ -124,3 +124,38 @@ class TestBpeMetacharacterTokens:
         out = bpe_encode(df, [("c\\", "', reflect('java.lang.System','exit',0), '")])
         rows = out.collect()
         assert rows[0]["n_bpe_tokens"] == 2  # merge never matches, JVM alive
+
+
+class TestBpePacking:
+    def test_bpe_sequence_packing_matches_reference_chain(self, spark):
+        """Full tokenizer-aware packing chain vs pure Python: train →
+        encode → exclusive prefix-sum → fixed-budget bins."""
+        from hg_data_pipelines_spark.queries.common import QUERIES, load
+
+        sf = "/root/testdata/sf0.001"
+        docs = load(spark, sf, "documents")
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs.select("doc_id", "text").collect()
+        }
+        merges = [
+            (l, r) for _, l, r, _, _ in bpe_train_reference(list(texts.values()), 8)
+        ]
+        from hg_data_pipelines_spark.operators.bpe import bpe_encode_reference
+
+        enc = bpe_encode_reference(texts, merges)
+        budget = 512
+        bins: dict[int, list[int]] = {}
+        prefix = 0
+        for doc_id in sorted(enc):
+            n_tok = enc[doc_id][1]
+            bins.setdefault(prefix // budget, []).append(n_tok)
+            prefix += n_tok
+        want = {
+            b: (len(v), sum(v)) for b, v in bins.items()
+        }
+        got = {
+            r["bin_id"]: (r["n_docs"], r["bin_tokens"])
+            for r in QUERIES["X4_bpe_sequence_packing"](spark, sf).collect()
+        }
+        assert got == want
