@@ -137,3 +137,51 @@ def observed_filter(df, cond, name: str = "gate"):
         F.sum(cond.cast("long")).alias("n_pass"),
     )
     return observed.filter(cond), obs
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """A named FK relation: every non-null ``fk`` value in ``fact`` must
+    exist as ``pk`` in ``dim``. NULL FKs are optional references, not
+    orphans (matching ANSI FK semantics)."""
+
+    name: str
+    fact: DataFrame
+    fk: str
+    dim: DataFrame
+    pk: str
+
+
+def referential_integrity(relations: list[ForeignKey]) -> DataFrame:
+    """Orphan audit over FK relations → (relation, n_checked, n_orphans,
+    passed), one row per relation.
+
+    Scale shape: each relation is a LEFT ANTI join on the key — for small
+    dims Spark broadcasts the key set (no fact shuffle at all); for
+    fact→fact relations (lineitem→orders) both sides shuffle on the key
+    once, the same cost as any key-partitioned join at 100 TB. Only
+    COUNTs cross the boundary afterwards; the fact rows themselves are
+    never collected.
+    """
+    parts = []
+    for rel in relations:
+        present = rel.fact.filter(F.col(rel.fk).isNotNull()).select(
+            F.col(rel.fk).alias("_k")
+        )
+        orphans = present.join(
+            rel.dim.select(F.col(rel.pk).alias("_k")), "_k", "left_anti"
+        )
+        checked = present.agg(F.count(F.lit(1)).alias("n_checked"))
+        bad = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        parts.append(
+            checked.crossJoin(bad).select(
+                F.lit(rel.name).alias("relation"),
+                "n_checked",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("passed"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

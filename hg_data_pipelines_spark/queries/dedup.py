@@ -408,3 +408,88 @@ def incremental_dedup_store(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("est_jaccard"), 6).alias("avg_est_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# X1: sub-document (chunk-level) exact dedup with reassembly — the
+# C4/RefinedWeb "remove repeated spans across the corpus, keep-first"
+# primitive. Chunking is row-local (transform over a sequence — no
+# explode shuffle to build chunks); the ONLY shuffle is the keep-first
+# window hashed on the chunk text, exactly X1's exact-dedup shape; the
+# reassembly groupBy re-shuffles on doc_id. Keeper order is the total
+# (doc_id, chunk_idx) order, so a chunk survives only at its first
+# corpus position and each document is rebuilt from its surviving chunks
+# in original order. At 100 TB chunk strings would be md5-compressed in
+# the window key; here the raw chunk keeps the SQL oracle exact.
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 10
+
+
+@query(
+    "X1_chunk_dedup_reassemble",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               [array_to_string(toks[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})], ' ')
+                for i in range(0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS BIGINT))]
+                   AS chunks
+        FROM t
+    ), e AS (
+        SELECT doc_id, len(chunks) AS n_chunks,
+               unnest(chunks) AS chunk,
+               unnest(range(0, len(chunks))) AS chunk_idx
+        FROM c
+    ), kept AS (
+        SELECT doc_id, n_chunks, chunk, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM e
+        QUALIFY rn = 1
+    )
+    SELECT doc_id, MIN(n_chunks) AS n_chunks,
+           COUNT(*) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup_reassemble(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    n = _CHUNK_TOKENS
+    chunks = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(toks) / {n}.0) AS INT) - 1),"
+            f" i -> array_join(slice(toks, i * {n} + 1, {n}), ' '))"
+        ).alias("chunks"),
+    )
+    exploded = chunks.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.posexplode("chunks").alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.min("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

@@ -201,3 +201,73 @@ def mad_outliers(spark, sf_dir):
         )
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     )
+
+
+# --------------------------------------------------------------------------
+# DQ6: referential-integrity audit — per-FK orphan counts via LEFT ANTI
+# joins (broadcast for dim keys, one key shuffle for fact→fact). The last
+# relation (customer→events "every customer has activity") deliberately
+# fails so the audit is non-vacuous in both directions, same convention as
+# DQ2's failing rule.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ6_referential_integrity",
+    """
+    SELECT relation, n_checked, n_orphans, n_orphans = 0 AS passed
+    FROM (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL)
+                   AS n_checked,
+               (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+               (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part.p_partkey',
+               (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+               (SELECT COUNT(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'events.user_id->customer.c_custkey',
+               (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+               (SELECT COUNT(*) FROM events e WHERE user_id IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = e.user_id))
+        UNION ALL
+        SELECT 'customer.c_custkey->events.user_id',
+               (SELECT COUNT(*) FROM customer WHERE c_custkey IS NOT NULL),
+               (SELECT COUNT(*) FROM customer c WHERE c_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM events e
+                                  WHERE e.user_id = c.c_custkey))
+    ) rels
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    from ..operators.quality import ForeignKey, referential_integrity
+
+    orders, customer, lineitem, part, events = load(
+        spark, sf_dir, "orders", "customer", "lineitem", "part", "events"
+    )
+    return referential_integrity(
+        [
+            ForeignKey("orders.o_custkey->customer.c_custkey",
+                       orders, "o_custkey", customer, "c_custkey"),
+            ForeignKey("lineitem.l_orderkey->orders.o_orderkey",
+                       lineitem, "l_orderkey", orders, "o_orderkey"),
+            ForeignKey("lineitem.l_partkey->part.p_partkey",
+                       lineitem, "l_partkey", part, "p_partkey"),
+            ForeignKey("events.user_id->customer.c_custkey",
+                       events, "user_id", customer, "c_custkey"),
+            ForeignKey("customer.c_custkey->events.user_id",
+                       customer, "c_custkey", events, "user_id"),
+        ]
+    )

@@ -709,3 +709,230 @@ def boilerplate_spans(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= _BP_MIN_DF)
     )
+
+
+# --------------------------------------------------------------------------
+# X3: BM25 lexical retrieval (Okapi k1=1.2, b=0.75) for a fixed 3-term
+# query — the standard sparse-retrieval twin to the X3 dense cosine
+# searches. No explode and no per-term shuffle: per-doc term frequencies
+# are row-local `filter()` counts over the token array, the corpus stats
+# (N, Σdl, per-term df — all exact integers) are ONE global aggregate
+# broadcast back via a 1-row cross join, and the score is a fixed-order
+# double expression, so the only data movement at 100 TB is that 1-row
+# stats exchange plus the final top-k (TakeOrderedAndProject, no global
+# sort). Scores rounded to 6 dp before ranking so the cross-engine order
+# is ulp-robust; doc_id tiebreak makes top-20 a total order.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_scored_cte() -> str:
+    """DuckDB CTE chain ending in ``scored(doc_id, dl, bm25)`` — docs with
+    at least one query-term hit, score rounded to 6 dp."""
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_aggs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * (d.tf{i} * ({_BM25_K1} + 1))"
+        f" / (d.tf{i} + {_BM25_K1} * (1 - {_BM25_B}"
+        f" + {_BM25_B} * d.dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"d.tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), d AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tf_cols}
+        FROM t
+    ), s AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sum_dl, {df_aggs} FROM d
+    ), scored AS (
+        SELECT d.doc_id, d.dl, round({score}, 6) AS bm25
+        FROM d, s
+        WHERE {any_tf} > 0
+    )"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+    WITH {_bm25_scored_cte()}
+    SELECT doc_id, dl AS n_tokens, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+def _tf(term: str):
+    """Row-local term frequency: count of exact-match tokens (single-arg
+    lambda — a two-arg lambda would make filter() bind the element index)."""
+    return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+
+def _bm25_scored(spark, sf_dir):
+    """Spark twin of the ``scored`` CTE: (doc_id, dl, bm25) for docs with
+    ≥1 query-term hit, score rounded to 6 dp."""
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    d = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1)
+        term = idf * (tf * (_BM25_K1 + 1)) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = term if score is None else score + term
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    return scored.filter(any_tf > 0).select(
+        "doc_id", "dl", F.round(score, 6).alias("bm25")
+    )
+
+
+@query("X3_bm25_topk", _bm25_sql())
+def bm25_topk(spark, sf_dir):
+    return (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.col("dl").alias("n_tokens"), "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
+# shortlist with a dense cosine shortlist against a fixed query vector
+# (vec_id 0; the fixture aligns vec_id ↔ doc_id). Each arm is a top-50
+# shortlist ranked by its 6dp-rounded score with id tiebreaks (total
+# order on both engines), fused as Σ 1/(60 + rank) — the standard RRF
+# constant. Scale shape: both shortlists are tiny after their own top-k
+# (TakeOrderedAndProject for BM25, one broadcast dot-product pass +
+# top-k for the dense arm), so the fusion join is a 50×50 broadcast
+# full-outer — nothing global ever sorts.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SHORTLIST = 50
+_RRF_QUERY_VEC = 0
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+    WITH {_bm25_scored_cte()},
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM scored
+        QUALIFY r_lex <= {_RRF_SHORTLIST}
+    ),
+    qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+        WHERE vec_id = {_RRF_QUERY_VEC}
+    ),
+    dense AS (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY round(
+                   list_dot_product(CAST(c.embedding AS DOUBLE[]), qv.q)
+                   / sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[]))
+                        * list_dot_product(qv.q, qv.q)), 6) DESC,
+                   c.vec_id) AS r_dense
+        FROM embeddings c, qv
+        WHERE c.vec_id != {_RRF_QUERY_VEC}
+        QUALIFY r_dense <= {_RRF_SHORTLIST}
+    )
+    SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           round(COALESCE(1.0 / ({_RRF_K} + r_lex), 0)
+               + COALESCE(1.0 / ({_RRF_K} + r_dense), 0), 6) AS rrf
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("X3_hybrid_rrf_fusion", _hybrid_rrf_sql())
+def hybrid_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_SHORTLIST)
+        .withColumn(
+            "r_lex",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "r_lex")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").cast("array<double>").alias("q")
+    )
+    cand = emb.filter(F.col("vec_id") != _RRF_QUERY_VEC).crossJoin(
+        F.broadcast(qv)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), F.col("q"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cosine = F.round(
+        dot / F.sqrt(
+            norm2(F.col("embedding").cast("array<double>")) * norm2(F.col("q"))
+        ),
+        6,
+    )
+    dense = (
+        cand.select(F.col("vec_id").alias("doc_id"), cosine.alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_SHORTLIST)
+        .withColumn(
+            "r_dense",
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), "doc_id")),
+        )
+        .select("doc_id", "r_dense")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

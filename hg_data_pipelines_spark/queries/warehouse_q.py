@@ -17,7 +17,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from .common import dsum, query, sql_dsum, utc
+from .common import dsum, load, query, sql_dsum, utc
 
 _SLICE_LO, _SLICE_HI = "2024-01-10", "2024-01-12"
 
@@ -54,3 +54,55 @@ def partitioned_events_pruned(spark, sf_dir):
     return pruned.groupBy(
         F.col("event_date").cast("date").alias("event_date"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+
+
+# S14: dynamic partition pruning. The partition predicate is NOT a literal —
+# the date dim is a filtered scan (weekend days), so static pruning can't
+# fire. Catalyst's DPP injects the broadcast dim's date set into the fact
+# scan as a ``dynamicpruningexpression`` PartitionFilter: at 100 TB the
+# fact reads 8 of N date directories even though nobody wrote a literal
+# date filter. (DPP requires a selective predicate on the dim side — a
+# bare aggregate+limit dim does NOT qualify for ``pruningHasBenefit``.)
+# The plan shape is asserted in tests/test_scale.py
+# (test_dynamic_partition_pruning_in_plan).
+@query(
+    "S14_dpp_weekend_dates",
+    f"""
+    WITH wk AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d
+        FROM events
+        WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)  -- Sun, Sat
+    )
+    SELECT CAST(e.ts AS DATE) AS event_date, e.event_type,
+           COUNT(*) AS n, {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN wk ON CAST(e.ts AS DATE) = wk.d
+    GROUP BY 1, 2
+    """,
+)
+def dpp_weekend_dates(spark, sf_dir):
+    df = dpp_weekend_dates_plan(spark, sf_dir)
+    return df.select(
+        F.col("event_date").cast("date").alias("event_date"),
+        "event_type", "n", "sum_value",
+    )
+
+
+def dpp_weekend_dates_plan(spark, sf_dir):
+    """The join plan pre-cast, for the DPP plan assertion in tests."""
+    from ..jobs import run_pipeline
+
+    utc(spark)
+    wh = _warehouse_dir(sf_dir)
+    ctx = run_pipeline(spark, "events_warehouse", wh, {"sf_dir": sf_dir})
+    fact = spark.read.parquet(ctx.reports["events_fact"]["path"])
+    raw = load(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sun..7=Sat; DuckDB dayofweek: 0=Sun..6=Sat.
+    wk = (
+        raw.select(F.col("ts").cast("date").alias("d"))
+        .filter(F.dayofweek("d").isin(1, 7))
+        .distinct()
+    )
+    joined = fact.join(F.broadcast(wk), fact["event_date"] == wk["d"])
+    return joined.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )

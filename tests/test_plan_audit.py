@@ -33,6 +33,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # rank over the 50 survivors of a TakeOrderedAndProject top-k — the
     # corpus-sized vocabulary never reaches the window
     "X4_zipf_profile",
+    # both RRF arms rank the ≤50-row survivors of their own
+    # TakeOrderedAndProject shortlist — corpus never reaches a window
+    "X3_hybrid_rrf_fusion",
 }
 
 

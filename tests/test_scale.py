@@ -164,6 +164,24 @@ class TestPartitionedWarehouse:
         # pruned scan reads 3 of the 30 day-partitions
         assert pruned.select("event_date").distinct().count() == 3
 
+    def test_dynamic_partition_pruning_in_plan(self, spark):
+        """S14: when the partition predicate is data-dependent (join against
+        a filtered date dim), static pruning can't fire — Catalyst's DPP
+        must inject the broadcast dim into the fact scan as a
+        dynamicpruningexpression PartitionFilter."""
+        from hg_data_pipelines_spark.queries.warehouse_q import (
+            dpp_weekend_dates_plan,
+        )
+
+        df = dpp_weekend_dates_plan(spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue().lower()
+        assert "dynamicpruning" in plan
+        # and the pruned aggregate covers exactly Jan-2024's 8 weekend days
+        assert df.select("event_date").distinct().count() == 8
+
 
 class TestTpchPlanShapes:
     """Physical-plan properties of the extended TPC-H queries: Catalyst must
