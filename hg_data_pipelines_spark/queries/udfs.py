@@ -13,6 +13,8 @@ from __future__ import annotations
 from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -214,4 +216,104 @@ def arrow_scalar_udf(spark, sf_dir):
     part = load(spark, sf_dir, "part")
     return part.filter(F.col("p_partkey") <= 500).select(
         "p_partkey", type_code("p_type").alias("type_code")
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-U12: cogrouped-map applyInPandas — the two-input grouped-map tier
+# (§2.9): each customer's orders AND events arrive as two aligned pandas
+# frames in one Arrow batch. Scale shape: both sides shuffle once on the
+# group key (exactly a key-partitioned join's cost); the Python kernel
+# sees one bounded customer at a time, never the corpus. Sums use the
+# exact-Decimal contract so the hash matches the DECIMAL(38,6) oracle.
+# --------------------------------------------------------------------------
+
+
+def _reconcile(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "custkey": [key[0]],
+            "n_orders": [len(orders_pdf)],
+            "order_total": [_dec_sum(orders_pdf["o_totalprice"])],
+            "n_events": [len(events_pdf)],
+            "event_value": [_dec_sum(events_pdf["value"])],
+        }
+    )
+
+
+@query(
+    "U12_cogrouped_reconciliation",
+    f"""
+    SELECT COALESCE(o.k, e.k) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_total, 0.0) AS order_total,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.event_value, 0.0) AS event_value
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+                 {sql_dsum('o_totalprice', 'order_total')}
+          FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT user_id AS k, COUNT(*) AS n_events,
+                 {sql_dsum('value', 'event_value')}
+          FROM events GROUP BY 1) e
+    ON o.k = e.k
+    """,
+)
+def cogrouped_reconciliation(spark, sf_dir):
+    utc(spark)
+    orders, events = load(spark, sf_dir, "orders", "events")
+    out_schema = T.StructType(
+        [
+            T.StructField("custkey", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("order_total", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("event_value", T.DoubleType()),
+        ]
+    )
+    return (
+        orders.select(F.col("o_custkey").alias("k"), "o_totalprice")
+        .groupBy("k")
+        .cogroup(
+            events.select(F.col("user_id").alias("k"), "value").groupBy("k")
+        )
+        .applyInPandas(_reconcile, out_schema)
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-U13: native Arrow UDF (@arrow_udf, Spark 4) — the pyarrow-array
+# execution tier: the kernel receives pa.Array columns and runs
+# pyarrow.compute vector ops, no pandas conversion at all (one less copy
+# than a pandas UDF on the same batch). The oracle states the identical
+# IEEE double expression declaratively.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "U13_arrow_native_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def arrow_native_udf(spark, sf_dir):
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(T.DoubleType())
+    def charge(
+        price: pa.Array, discount: pa.Array, tax: pa.Array
+    ) -> pa.Array:
+        one = pa.scalar(1.0)
+        return pc.multiply(
+            pc.multiply(price, pc.subtract(one, discount)),
+            pc.add(one, tax),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
     )
