@@ -99,3 +99,52 @@ def pagerank_fixed_point(
         if checkpoint_dir is not None:
             ranks = _truncate_lineage(ranks, checkpoint_dir)
     return ranks.select("node", "rank_scaled")
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-hop single-source shortest paths → (node, dist_scaled).
+
+    Bellman–Ford relaxation: after round r, ``dist_scaled`` is the exact
+    minimum weight over all paths from ``source`` using ≤ r edges.
+    Weights are integer-scaled BIGINTs (same fixed-point discipline as
+    ``pagerank_fixed_point``): path sums are exact integer arithmetic,
+    so the result is bit-identical on any engine/partitioning — the
+    DuckDB oracle can enumerate walks recursively and MIN them, while
+    Spark relaxes frontiers, and the hashes still match. (IEEE addition
+    is monotone, and min(a,b)+w == min(a+w, b+w) holds exactly for
+    integers — the two strategies are provably equal.)
+
+    Scale shape: one key shuffle per round (the min-fold groupBy) plus
+    the frontier⋈edges join; the edge list is lineage-cut once up front,
+    the distance table per round — O(rounds) constant-size plans, same
+    contract as ``connected_components``.
+    """
+    from .dedup import _truncate_lineage
+
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+        F.col(weight).alias("_w"),
+    ).localCheckpoint(eager=False)
+    dist = e.sparkSession.createDataFrame(
+        [(int(source), 0)], "node long, dist_scaled long"
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["_src"]).select(
+            F.col("_dst").alias("node"),
+            (F.col("dist_scaled") + F.col("_w")).alias("dist_scaled"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist_scaled").alias("dist_scaled"))
+        )
+        dist = _truncate_lineage(dist, checkpoint_dir)
+    return dist

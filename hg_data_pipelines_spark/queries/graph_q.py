@@ -188,3 +188,60 @@ def triangle_count(spark, sf_dir):
         "left_semi",
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# X11: bounded-hop weighted single-source shortest paths over the k-NN
+# graph, edge weight = cosine distance in scaled-BIGINT fixed point
+# (round((1 - cosine) · 10^6)) — exact integer path sums, so the
+# Bellman–Ford Spark run (operators/graph.py::shortest_paths_bounded)
+# hash-matches a DuckDB recursive walk enumeration bit-for-bit. The walk
+# oracle is exponential in depth (k^D paths — fine for k=3, D=4); the
+# Spark side is the linear-per-round relaxation you would actually run
+# at 100 TB.
+# --------------------------------------------------------------------------
+
+_SSSP_DEPTH = 4
+_W_SCALE = 10**6
+
+
+def _sssp_sql(k: int = _KNN_K, depth: int = _SSSP_DEPTH) -> str:
+    return f"""
+    WITH RECURSIVE edges AS MATERIALIZED (
+        SELECT src, dst,
+               CAST(round((1 - cos) * {_W_SCALE}) AS BIGINT) AS w
+        FROM (
+            SELECT q.vec_id AS src, c.vec_id AS dst, {_SQL_COSINE} AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+                   ) AS rnk
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        ) ranked WHERE rnk <= {k}
+    ), seed AS (
+        SELECT MIN(vec_id) AS node FROM embeddings
+    ), walk(node, dist, depth) AS (
+        SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+        UNION ALL
+        SELECT e.dst, w.dist + e.w, w.depth + 1
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.depth < {depth}
+    )
+    SELECT node, MIN(dist) AS dist_scaled
+    FROM walk GROUP BY node
+    """
+
+
+@query("X11_sssp_knn", _sssp_sql())
+def sssp_knn(spark, sf_dir):
+    from ..operators.graph import shortest_paths_bounded
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    edges = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.round((1 - F.col("cosine")) * _W_SCALE)
+        .cast("bigint")
+        .alias("w"),
+    )
+    source = emb.agg(F.min("vec_id")).first()[0]  # bounded 1-scalar collect
+    return shortest_paths_bounded(edges, source, rounds=_SSSP_DEPTH)
