@@ -63,3 +63,53 @@ class TestPagerankFixedPoint:
         }
         assert base == ckpt
         assert any((tmp_path / "ckpt").iterdir())
+
+
+class TestShortestPathsBounded:
+    def _sp(self, spark, edges, source, rounds):
+        from hg_data_pipelines_spark.operators.graph import shortest_paths_bounded
+
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        return {
+            r["node"]: r["dist_scaled"]
+            for r in shortest_paths_bounded(df, source, rounds=rounds).collect()
+        }
+
+    def test_relaxation_finds_cheaper_longer_path(self, spark):
+        # direct 1->3 costs 10; the 2-hop detour costs 3 — BF must relax it
+        edges = [(1, 2, 1), (2, 3, 2), (1, 3, 10)]
+        got = self._sp(spark, edges, source=1, rounds=3)
+        assert got == {1: 0, 2: 1, 3: 3}
+
+    def test_hop_bound_limits_reach(self, spark):
+        edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+        got = self._sp(spark, edges, source=1, rounds=2)
+        assert got == {1: 0, 2: 1, 3: 2}  # node 4 needs 3 hops
+
+    def test_bounded_vs_walk_semantics(self, spark):
+        # with rounds >= longest useful path, distances are final
+        edges = [(1, 2, 5), (1, 3, 2), (3, 2, 2), (2, 4, 1)]
+        got = self._sp(spark, edges, source=1, rounds=4)
+        assert got[2] == 4 and got[4] == 5
+
+    def test_partitioning_invariant(self, spark):
+        from hg_data_pipelines_spark.operators.graph import shortest_paths_bounded
+
+        edges = [(i, i + 1, i % 3 + 1) for i in range(1, 30)] + [
+            (1, 15, 7), (15, 29, 4)
+        ]
+        a = {
+            r["node"]: r["dist_scaled"]
+            for r in shortest_paths_bounded(
+                spark.createDataFrame(edges, ["src", "dst", "w"]), 1, rounds=6
+            ).collect()
+        }
+        b = {
+            r["node"]: r["dist_scaled"]
+            for r in shortest_paths_bounded(
+                spark.createDataFrame(edges, ["src", "dst", "w"]).repartition(7),
+                1,
+                rounds=6,
+            ).collect()
+        }
+        assert a == b

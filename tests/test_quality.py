@@ -80,3 +80,38 @@ class TestObservedFilter:
         kept, obs = observed_filter(df, F.col("v") < 3, name="small_v")
         assert kept.count() == 30  # the action; also populates obs
         assert obs.get == {"n_input": 100, "n_pass": 30}
+
+
+class TestReferentialIntegrity:
+    def test_orphans_and_null_fks(self, spark):
+        from hg_data_pipelines_spark.operators.quality import (
+            ForeignKey,
+            referential_integrity,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+        )
+        dim = spark.createDataFrame([(10,), (20,)], "pk long")
+        out = referential_integrity(
+            [ForeignKey("fact.fk->dim.pk", fact, "fk", dim, "pk")]
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # NULL fk is an optional reference, not checked and not an orphan
+        assert r["n_checked"] == 3
+        assert r["n_orphans"] == 1
+        assert r["passed"] is False
+
+    def test_clean_relation_passes(self, spark):
+        from hg_data_pipelines_spark.operators.quality import (
+            ForeignKey,
+            referential_integrity,
+        )
+
+        fact = spark.createDataFrame([(1, 10)], "id long, fk long")
+        dim = spark.createDataFrame([(10,), (20,)], "pk long")
+        r = referential_integrity(
+            [ForeignKey("ok", fact, "fk", dim, "pk")]
+        ).collect()[0]
+        assert r["n_orphans"] == 0 and r["passed"] is True
