@@ -103,3 +103,24 @@ class TestEmptyInputsRound2:
 
         df = spark.createDataFrame([], "path string, content binary")
         assert video_metadata(df).count() == 0
+
+    def test_referential_integrity_empty_fact(self, spark):
+        from hg_data_pipelines_spark.operators.quality import (
+            ForeignKey,
+            referential_integrity,
+        )
+
+        fact = spark.createDataFrame([], "id long, fk long")
+        dim = spark.createDataFrame([(1,)], "pk long")
+        r = referential_integrity(
+            [ForeignKey("empty", fact, "fk", dim, "pk")]
+        ).collect()[0]
+        assert r["n_checked"] == 0 and r["n_orphans"] == 0 and r["passed"]
+
+    def test_shortest_paths_empty_edges(self, spark):
+        from hg_data_pipelines_spark.operators.graph import shortest_paths_bounded
+
+        edges = spark.createDataFrame([], "src long, dst long, w long")
+        got = shortest_paths_bounded(edges, source=7, rounds=2).collect()
+        # only the source itself, at distance 0
+        assert [(r["node"], r["dist_scaled"]) for r in got] == [(7, 0)]
