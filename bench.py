@@ -54,6 +54,9 @@ HEADLINE = [
     # global-window queries — now range-partitioned, no single-task node)
     "X4_sequence_packing",
     "A20_equi_depth_histogram",
+    # round-4 (cont.): sparse retrieval + sub-document dedup flagships
+    "X3_bm25_topk",
+    "X1_chunk_dedup_reassemble",
 ]
 
 

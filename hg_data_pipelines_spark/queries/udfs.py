@@ -226,6 +226,12 @@ def arrow_scalar_udf(spark, sf_dir):
 # group key (exactly a key-partitioned join's cost); the Python kernel
 # sees one bounded customer at a time, never the corpus. Sums use the
 # exact-Decimal contract so the hash matches the DECIMAL(38,6) oracle.
+# Cost model (measured): grouped-map Python pays ~1 ms of dispatch PER
+# GROUP — fine when per-group logic is genuinely imperative, wasteful
+# for aggregations a join expresses (the oracle's join form IS the plan
+# you'd run; this query exists to prove the cogroup tier computes the
+# same thing). Groups stay bounded (one customer) so executor memory is
+# safe at any corpus size.
 # --------------------------------------------------------------------------
 
 
