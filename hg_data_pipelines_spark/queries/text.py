@@ -736,7 +736,7 @@ def _bm25_scored_cte() -> str:
         for i, t in enumerate(_BM25_TERMS)
     )
     df_aggs = ", ".join(
-        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
         for i in range(len(_BM25_TERMS))
     )
     score = " + ".join(
