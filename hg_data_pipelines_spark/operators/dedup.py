@@ -366,6 +366,47 @@ def _cut_and_probe(ext: DataFrame, checkpoint_dir: str | None):
     return ext, changed
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fold a NEW edge batch into an existing (node, comp) labeling →
+    updated (node, comp), identical to re-running ``connected_components``
+    on the full historical-plus-new edge set.
+
+    The historical pair graph is never rescanned: each old component is
+    collapsed to its spanning STAR (node → comp edges — stars preserve
+    exactly the connectivity CC needs), and min-label propagation runs on
+    star ∪ new edges. Cost ∝ |labeled nodes| + |new edges|, with round
+    count bounded by the contracted graph's diameter (stars have diameter
+    2; a new batch chaining k old components needs ~k hops, not the
+    original graph's) — at 100 TB this is the difference between a
+    daily-batch fold and re-clustering the entire corpus. Output keeps
+    the min-node-id component key, so labels stay stable across folds
+    unless a merge genuinely relabels them.
+    """
+    stars = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(src), F.col("comp").alias(dst)
+    )
+    # Isolated labeled nodes (comp == node, no star edge) re-enter via
+    # new_edges if the batch touches them; if not, they stay their own
+    # component — re-appended after propagation.
+    combined = stars.unionByName(new_edges.select(src, dst))
+    updated = connected_components(
+        combined, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    singletons = labels.filter(F.col("node") == F.col("comp")).join(
+        updated.select(F.col("node").alias("_n")),
+        F.col("node") == F.col("_n"),
+        "left_anti",
+    )
+    return updated.unionByName(singletons.select("node", "comp"))
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

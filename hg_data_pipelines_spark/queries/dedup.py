@@ -493,3 +493,39 @@ def chunk_dedup_reassemble(spark, sf_dir):
             " ",
         ).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# X2: INCREMENTAL duplicate clustering — the daily-batch fold. History
+# (doc_id % 10 < 8) is clustered once; the new batch's near-dup edges
+# (any pair touching a batch doc) fold into that labeling via
+# ``connected_components_incremental`` (star-contraction — the historical
+# pair graph is never rescanned). The oracle is the FULL-graph recursive
+# closure, so the hash match proves fold ≡ complete re-cluster.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X2_dedup_components_incremental",
+    _SQL_COMPONENTS
+    + """
+    SELECT component, COUNT(*) AS n_members,
+           MAX(node) AS max_member
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_components_incremental(spark, sf_dir):
+    from ..operators.dedup import connected_components_incremental
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    hist_pairs = ngram_jaccard_pairs(history, threshold=_JACCARD_THRESHOLD)
+    hist_labels = connected_components(hist_pairs)
+    batch_touching = ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD
+    ).filter((F.col("id_a") % 10 >= 8) | (F.col("id_b") % 10 >= 8))
+    labels = connected_components_incremental(hist_labels, batch_touching)
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )

@@ -147,3 +147,45 @@ class TestIncrementalFingerprintStore:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "content_hash" not in line or "doc_id" in line
+
+
+class TestIncrementalComponents:
+    def _labels(self, rows):
+        return {(r["node"], r["comp"]) for r in rows}
+
+    def test_fold_equals_full_recompute(self, spark):
+        from hg_data_pipelines_spark.operators.dedup import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+        )
+        new = spark.createDataFrame(
+            # merges {1,2,3} with {10,11}; brings in fresh node 30
+            [(3, 10), (30, 20)], "id_a long, id_b long"
+        )
+        labels = connected_components(hist)
+        folded = connected_components_incremental(labels, new)
+        full = connected_components(hist.unionByName(new))
+        assert self._labels(folded.collect()) == self._labels(full.collect())
+
+    def test_untouched_components_keep_labels(self, spark):
+        from hg_data_pipelines_spark.operators.dedup import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, 2), (10, 11)], "id_a long, id_b long"
+        )
+        new = spark.createDataFrame([(50, 51)], "id_a long, id_b long")
+        labels = connected_components(hist)
+        folded = {
+            r["node"]: r["comp"]
+            for r in connected_components_incremental(labels, new).collect()
+        }
+        assert folded[1] == 1 and folded[2] == 1
+        assert folded[10] == 10 and folded[11] == 10
+        assert folded[50] == 50 and folded[51] == 50
