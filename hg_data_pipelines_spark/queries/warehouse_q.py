@@ -106,3 +106,40 @@ def dpp_weekend_dates_plan(spark, sf_dir):
     return joined.groupBy("event_date", "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+# S11: ORC round-trip — lineitem's pricing columns land in ORC
+# (partitioned by return flag), read back through the ORC reader with a
+# pushed-down predicate, and aggregate. The oracle computes the same
+# slice straight from the parquet fixture, so the hash match proves the
+# ORC sink+source is lossless for doubles/strings/dates and that the
+# filter semantics survive the format hop.
+@query(
+    "S11_orc_roundtrip_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_extendedprice', 'sum_price')},
+           {sql_dsum('l_discount', 'sum_disc')}
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def orc_roundtrip_pricing(spark, sf_dir):
+    from ..io import read_orc, write_orc
+
+    utc(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    path = os.path.join(_warehouse_dir(sf_dir), "lineitem_orc")
+    write_orc(li, path, partition_by=["l_returnflag"])
+    back = read_orc(spark, path).filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
