@@ -1348,3 +1348,42 @@ _WILSON_SQL = """
 def conversion_wilson_ci(spark, sf_dir):
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_WILSON_SQL)
+
+
+# --------------------------------------------------------------------------
+# X6: OHLC downsampling — the time-series resample-to-bars primitive
+# (open/high/low/close + count + exact volume per hour per event type).
+# open/close are min_by/max_by on the event timestamp: ONE hash-aggregate
+# pass, no window, no sort — the 100 TB shape for downsampling. The
+# fixture generates globally unique `ts` values (pinned by
+# tests/test_events.py::test_events_ts_unique), so the min_by/arg_min
+# order key is a total order and both engines pick identical rows.
+# --------------------------------------------------------------------------
+
+_OHLC_SQL = f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'volume')}
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@query("X6_ohlc_downsample", _OHLC_SQL)
+def ohlc_downsample(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "volume"),
+    )

@@ -1440,3 +1440,53 @@ def sql_join_hints(spark, sf_dir):
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_HINTED_SQL)
+
+
+# --------------------------------------------------------------------------
+# EXT-O5 (cont.): MULTISET set operations — INTERSECT ALL keeps
+# min(n_left, n_right) copies per value, EXCEPT ALL subtracts
+# occurrence counts. Spark plans both as aggregate-count + generate
+# (one shuffle on the value), the same shape as the distinct forms.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "O5_intersect_all_repeat_buyers",
+    """
+    (SELECT o_custkey AS custkey FROM orders
+     WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    INTERSECT ALL
+    (SELECT o_custkey AS custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+)
+def intersect_all_repeat_buyers(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.intersectAll(late)
+
+
+@query(
+    "O5_except_all_surplus_orders",
+    """
+    (SELECT o_custkey AS custkey FROM orders
+     WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    EXCEPT ALL
+    (SELECT o_custkey AS custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+)
+def except_all_surplus_orders(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.exceptAll(late)

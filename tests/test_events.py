@@ -67,3 +67,14 @@ class TestSessionGapBoundary:
         # strict > agrees with session_window: exact-gap stays, 30:01 splits
         assert counts[1] == 2
         assert counts[2] == 1
+
+
+def test_events_ts_unique(spark):
+    """Pins the fixture contract X6_ohlc_downsample's min_by/arg_min order
+    key relies on: event timestamps are globally unique, so (ts) is a
+    total order and open/close picks are deterministic on both engines."""
+    from hg_data_pipelines_spark.io import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load_table(spark, sf, "events")
+        assert ev.count() == ev.select("ts").distinct().count()
