@@ -143,3 +143,47 @@ def orc_roundtrip_pricing(spark, sf_dir):
         dsum("l_extendedprice", "sum_price"),
         dsum("l_discount", "sum_disc"),
     )
+
+
+# S12: XML round-trip (Spark 4 native XML source) — the nation dim lands
+# as XML and is read back with an EXPLICIT schema (inference could
+# re-type/reorder fields; a production reader always declares). The
+# oracle reads the parquet fixture directly, so the match proves XML
+# write+read is lossless for the dim's ints and strings.
+@query(
+    "S12_xml_roundtrip_nation",
+    """
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           r.r_name AS region, length(n.n_name) AS name_len
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def xml_roundtrip_nation(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    nation, region = load(spark, sf_dir, "nation", "region")
+    path = os.path.join(_warehouse_dir(sf_dir), "nation_xml")
+    nation.write.mode("overwrite").format("xml").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(path)
+    )
+    return back.join(
+        F.broadcast(region), back["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.length("n_name").alias("name_len"),
+    )
