@@ -187,3 +187,77 @@ def xml_roundtrip_nation(spark, sf_dir):
         F.col("r_name").alias("region"),
         F.length("n_name").alias("name_len"),
     )
+
+
+# S7: CSV round-trip — customer (strings with commas in c_comment-like
+# fields, doubles, ints) lands as quoted CSV and is read back with an
+# explicit schema. Spark writes doubles with round-trippable precision
+# (shortest-repr), so the decimal-exact aggregate matches the parquet
+# oracle bit-for-bit.
+@query(
+    "S7_csv_roundtrip_customer",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           {sql_dsum('c_acctbal', 'sum_bal')},
+           CAST(SUM(length(c_name)) AS BIGINT) AS name_chars
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def csv_roundtrip_customer(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    path = os.path.join(_warehouse_dir(sf_dir), "customer_csv")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.option("header", "true").schema(schema).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal", "sum_bal"),
+        F.sum(F.length("c_name")).cast("bigint").alias("name_chars"),
+    )
+
+
+# S8: JSON-lines round-trip — same contract through the JSON sink/source
+# (numbers serialize at full precision; field order is irrelevant on
+# read-back with an explicit schema).
+@query(
+    "S8_json_roundtrip_supplier",
+    f"""
+    SELECT n_name AS nation, COUNT(*) AS n,
+           {sql_dsum('s_acctbal', 'sum_bal')}
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def json_roundtrip_supplier(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    supp, nation = load(spark, sf_dir, "supplier", "nation")
+    path = os.path.join(_warehouse_dir(sf_dir), "supplier_json")
+    supp.select("s_suppkey", "s_nationkey", "s_acctbal").write.mode(
+        "overwrite"
+    ).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.join(
+        F.broadcast(nation), back["s_nationkey"] == nation["n_nationkey"]
+    ).groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("s_acctbal", "sum_bal")
+    )
