@@ -42,7 +42,11 @@ from .common import davg, dsum, load, query, sql_davg, sql_dsum
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    # scan_parallel: q1's map side is compute-dense (8 DECIMAL(38,6)
+    # accumulations per row) — the one extra round-robin exchange buys a
+    # 32x map side on the single-row-group fixture scan (measured 2.36s
+    # -> 1.39s at sf0.1); size-gated no-op on real multi-split tables.
+    li = load(spark, sf_dir, "lineitem", scan_parallel=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
