@@ -301,11 +301,58 @@ def _corpus_semantic_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFr
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def _corpus_span_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
+    """Cross-corpus SPAN-level dedup (the C4 "remove repeated spans"
+    step): fixed-token chunks dedup globally keep-first, each surviving
+    document's text is rebuilt from its kept chunks in order
+    (X1_chunk_dedup_reassemble's operator shape). Docs whose every chunk
+    was already seen elsewhere drop out entirely. ``span_tokens=0``
+    disables the stage (pass-through)."""
+    from pyspark.sql import Window, functions as F
+
+    docs = ctx.tables["corpus_semantic_dedup"]
+    n = int(ctx.config.get("span_tokens", 10))
+    if n <= 0:
+        return docs
+    chunks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(toks) / {n}.0) AS INT) - 1),"
+            f" i -> array_join(slice(toks, i * {n} + 1, {n}), ' '))"
+        ).alias("chunks"),
+    )
+    exploded = chunks.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("_dedup_text")
+    )
+    return (
+        docs.join(rebuilt, "doc_id")
+        .withColumn("text", F.col("_dedup_text"))
+        .drop("_dedup_text")
+    )
+
+
 def _corpus_split_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     """Deterministic md5-bucket train/val/test assignment."""
     from pyspark.sql import functions as F
 
-    docs = ctx.tables["corpus_semantic_dedup"]
+    docs = ctx.tables["corpus_span_dedup"]
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -350,6 +397,7 @@ register_pipeline(
             Stage("corpus_exact_dedup", _corpus_exact_dedup_stage),
             Stage("corpus_neardup", _corpus_neardup_stage),
             Stage("corpus_semantic_dedup", _corpus_semantic_dedup_stage),
+            Stage("corpus_span_dedup", _corpus_span_dedup_stage),
             Stage("corpus_split", _corpus_split_stage),
             Stage("corpus_chunks", _corpus_chunks_stage, partition_by=["split"]),
         ],

@@ -30,6 +30,10 @@ class TestCorpusCurationPipeline:
         assert r["corpus_neardup"]["rows"] > 0
         assert r["corpus_neardup"]["rows"] >= r["corpus_semantic_dedup"]["rows"]
         assert r["corpus_semantic_dedup"]["rows"] > 0
+        # span dedup may drop docs whose every chunk repeats elsewhere,
+        # never add any
+        assert r["corpus_semantic_dedup"]["rows"] >= r["corpus_span_dedup"]["rows"]
+        assert r["corpus_span_dedup"]["rows"] > 0
 
         # split covers all rows and is train-heavy
         split_counts = {
@@ -40,12 +44,12 @@ class TestCorpusCurationPipeline:
             .withColumnRenamed("count", "cnt")
             .collect()
         }
-        assert sum(split_counts.values()) == r["corpus_semantic_dedup"]["rows"]
+        assert sum(split_counts.values()) == r["corpus_span_dedup"]["rows"]
         assert split_counts.get("train", 0) > split_counts.get("test", 0)
 
         # chunks: every doc produced at least one, chunk sizes bounded
         chunks = ctx.tables["corpus_chunks"]
-        assert chunks.count() >= r["corpus_semantic_dedup"]["rows"]
+        assert chunks.count() >= r["corpus_span_dedup"]["rows"]
         assert chunks.filter("n_tokens < 1 OR n_tokens > 64").count() == 0
 
         # the chunk table landed split-partitioned and DuckDB can read it
