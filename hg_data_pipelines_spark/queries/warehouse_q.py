@@ -261,3 +261,51 @@ def json_roundtrip_supplier(spark, sf_dir):
     ).groupBy(F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).alias("n"), dsum("s_acctbal", "sum_bal")
     )
+
+
+# S15: CDC round-trip — two snapshot versions of a per-customer order
+# aggregate (v1 = pre-1997 orders, v2 = all orders), a value-carrying
+# change feed between them (snapshot_diff include_values), and the feed
+# APPLIED back onto v1 (apply_change_feed: one anti-join + union). The
+# oracle computes v2's content directly from orders, so the hash match
+# proves diff → apply reproduces the new version exactly — the
+# incremental-consumer contract (cost ∝ |feed|, no version rescan).
+@query(
+    "S15_cdc_apply_roundtrip",
+    f"""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_spend')}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def cdc_apply_roundtrip(spark, sf_dir):
+    from ..snapshots import (
+        apply_change_feed,
+        read_table_snapshot,
+        snapshot_diff,
+        write_table_snapshot,
+    )
+
+    utc(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+
+    wh = os.path.join(_warehouse_dir(sf_dir), "cdc_wh")
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)  # snapshot versions are append-only
+    v1 = agg(orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    v2 = agg(orders)
+    write_table_snapshot(v1, wh, "cust_orders")
+    write_table_snapshot(v2, wh, "cust_orders")
+    feed = snapshot_diff(
+        spark, wh, "cust_orders", 1, 2, ["custkey"], include_values=True
+    )
+    base = read_table_snapshot(spark, wh, "cust_orders", 1)
+    return apply_change_feed(base, feed, ["custkey"])

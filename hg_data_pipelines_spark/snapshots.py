@@ -148,6 +148,7 @@ def snapshot_diff(
     v_old: int,
     v_new: int,
     key_cols: list[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Change feed between two snapshot versions → keys + change_type.
 
@@ -177,15 +178,47 @@ def snapshot_diff(
         return F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
     o = old.select(*key_cols, _row_hash(val_cols).alias("_oh"))
-    n = new.select(*key_cols, _row_hash(val_cols).alias("_nh"))
+    n = new.select(
+        *key_cols,
+        _row_hash(val_cols).alias("_nh"),
+        *([F.struct(*val_cols).alias("_nv")] if include_values else []),
+    )
     j = o.join(n, key_cols, "full_outer")
     change = (
         F.when(F.col("_oh").isNull(), F.lit("insert"))
         .when(F.col("_nh").isNull(), F.lit("delete"))
         .when(F.col("_oh") != F.col("_nh"), F.lit("update"))
     )
-    return (
-        j.withColumn("change_type", change)
-        .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type")
+    out = j.withColumn("change_type", change).filter(
+        F.col("change_type").isNotNull()
     )
+    if include_values:
+        # new-side values ride along (NULL struct for deletes) so the feed
+        # is APPLYABLE, not just a key list
+        return out.select(
+            *key_cols,
+            "change_type",
+            *[F.col("_nv")[c].alias(c) for c in val_cols],
+        )
+    return out.select(*key_cols, "change_type")
+
+
+def apply_change_feed(
+    base: DataFrame, feed: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Apply a value-carrying change feed (``snapshot_diff`` with
+    ``include_values=True``) onto a base version → the new version's
+    content. Deletes and updates remove the key from the base (one
+    LEFT ANTI shuffle on the key), inserts and updates append their new
+    rows — cost ∝ |base| + |feed|, one key-partitioned join, never a
+    rescan of other versions. Round-trip contract (pytest + the
+    S15_cdc_apply_roundtrip oracle): apply(v_old, diff(v_old, v_new))
+    equals v_new exactly.
+    """
+    from pyspark.sql import functions as F
+
+    upserts = feed.filter(F.col("change_type") != "delete").drop("change_type")
+    survivors = base.join(
+        feed.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return survivors.unionByName(upserts)

@@ -174,3 +174,59 @@ class TestSnapshotDiff:
             for r in snapshot_diff(spark, wh, "t", v1, v2, ["id"]).collect()
         }
         assert got == {1: "update"}
+
+
+class TestApplyChangeFeed:
+    def test_diff_apply_roundtrip(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            apply_change_feed,
+            read_table_snapshot,
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path / "wh")
+        v0 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, v double",
+        )
+        # v1: id 1 updated, id 2 deleted, id 4 inserted, id 3 unchanged
+        v1 = spark.createDataFrame(
+            [(1, "a2", 11.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "id long, name string, v double",
+        )
+        write_table_snapshot(v0, wh, "t")
+        write_table_snapshot(v1, wh, "t")
+        feed = snapshot_diff(spark, wh, "t", 1, 2, ["id"], include_values=True)
+        types = {r["id"]: r["change_type"] for r in feed.collect()}
+        assert types == {1: "update", 2: "delete", 4: "insert"}
+
+        base = read_table_snapshot(spark, wh, "t", 1)
+        applied = apply_change_feed(base, feed, ["id"])
+        got = {tuple(r) for r in applied.collect()}
+        want = {tuple(r) for r in v1.collect()}
+        assert got == want
+
+    def test_null_swap_update_detected_and_applied(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            apply_change_feed,
+            read_table_snapshot,
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path / "wh2")
+        v0 = spark.createDataFrame(
+            [(1, None, "x")], "id long, name string, alias string"
+        )
+        v1 = spark.createDataFrame(
+            [(1, "x", None)], "id long, name string, alias string"
+        )
+        write_table_snapshot(v0, wh, "t")
+        write_table_snapshot(v1, wh, "t")
+        feed = snapshot_diff(spark, wh, "t", 1, 2, ["id"], include_values=True)
+        assert [r["change_type"] for r in feed.collect()] == ["update"]
+        applied = apply_change_feed(
+            read_table_snapshot(spark, wh, "t", 1), feed, ["id"]
+        )
+        assert {tuple(r) for r in applied.collect()} == {(1, "x", None)}
