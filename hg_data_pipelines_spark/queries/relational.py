@@ -1494,3 +1494,49 @@ def except_all_surplus_orders(spark, sf_dir):
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
     ).select(F.col("o_custkey").alias("custkey"))
     return early.exceptAll(late)
+
+
+# --------------------------------------------------------------------------
+# W6 (cont.): INCREMENTAL SCD2 maintenance — the same interval table W6
+# rebuilds with one window pass, produced instead by folding three
+# time-ordered batches through ``operators/scd.py::scd2_apply`` (close
+# touched current rows, chain the in-batch window, append). The oracle
+# is W6's rebuild SQL verbatim, so the hash match proves
+# fold(b1..b3) ≡ rebuild(b1 ∪ b2 ∪ b3) — the cost-∝-delta maintenance
+# contract a 100 TB dimension table needs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W6_scd2_incremental_fold",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_incremental_fold(spark, sf_dir):
+    from ..operators.scd import scd2_apply, scd2_init
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cuts = ["1997-01-01", "1999-01-01"]
+    b1 = orders.filter(F.col("o_orderdate") < F.lit(cuts[0]).cast("timestamp"))
+    b2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit(cuts[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(cuts[1]).cast("timestamp"))
+    )
+    b3 = orders.filter(F.col("o_orderdate") >= F.lit(cuts[1]).cast("timestamp"))
+    dim = scd2_init(b1, ["o_custkey"], "o_orderdate", ["o_orderkey"])
+    for batch in (b2, b3):
+        dim = scd2_apply(
+            dim, batch, ["o_custkey"], "o_orderdate", ["o_orderkey"]
+        )
+    return dim.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"), "valid_to", "is_current",
+    )
