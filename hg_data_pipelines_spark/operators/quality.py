@@ -156,32 +156,64 @@ def referential_integrity(relations: list[ForeignKey]) -> DataFrame:
     """Orphan audit over FK relations → (relation, n_checked, n_orphans,
     passed), one row per relation.
 
-    Scale shape: each relation is a LEFT ANTI join on the key — for small
-    dims Spark broadcasts the key set (no fact shuffle at all); for
-    fact→fact relations (lineitem→orders) both sides shuffle on the key
-    once, the same cost as any key-partitioned join at 100 TB. Only
-    COUNTs cross the boundary afterwards; the fact rows themselves are
-    never collected.
+    Scale shape: relations sharing a fact DataFrame share ONE scan — the
+    distinct dim-key sets left-join onto the fact (broadcast for small
+    dims; one key shuffle each for fact→fact), presence flags accumulate,
+    and a single aggregation emits every relation's counts. A fact with k
+    FK columns costs one scan + k key joins, not 2k scans. Only COUNTs
+    cross to the driver; fact rows are never collected.
     """
-    parts = []
-    for rel in relations:
-        present = rel.fact.filter(F.col(rel.fk).isNotNull()).select(
-            F.col(rel.fk).alias("_k")
-        )
-        orphans = present.join(
-            rel.dim.select(F.col(rel.pk).alias("_k")), "_k", "left_anti"
-        )
-        checked = present.agg(F.count(F.lit(1)).alias("n_checked"))
-        bad = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-        parts.append(
-            checked.crossJoin(bad).select(
+    by_fact: dict[int, list[tuple[int, ForeignKey]]] = {}
+    for idx, rel in enumerate(relations):
+        by_fact.setdefault(id(rel.fact), []).append((idx, rel))
+
+    parts: list[tuple[int, DataFrame]] = []
+    for group in by_fact.values():
+        fact = group[0][1].fact
+        enriched = fact
+        for idx, rel in group:
+            dim_keys = rel.dim.select(
+                F.col(rel.pk).alias(f"_pk{idx}")
+            ).distinct()
+            enriched = enriched.join(
+                dim_keys,
+                F.col(rel.fk) == F.col(f"_pk{idx}"),
+                "left",
+            )
+        aggs = []
+        for idx, rel in group:
+            fk_present = F.col(rel.fk).isNotNull()
+            aggs.append(
+                F.coalesce(F.sum(fk_present.cast("long")), F.lit(0)).alias(
+                    f"_c{idx}"
+                )
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        (fk_present & F.col(f"_pk{idx}").isNull()).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias(f"_o{idx}")
+            )
+        wide = enriched.agg(*aggs)
+        rows = [
+            F.struct(
                 F.lit(rel.name).alias("relation"),
-                "n_checked",
-                "n_orphans",
-                (F.col("n_orphans") == 0).alias("passed"),
+                F.col(f"_c{idx}").alias("n_checked"),
+                F.col(f"_o{idx}").alias("n_orphans"),
+                (F.col(f"_o{idx}") == 0).alias("passed"),
+            )
+            for idx, rel in group
+        ]
+        parts.append(
+            (
+                group[0][0],
+                wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
+    parts.sort(key=lambda t: t[0])
+    out = parts[0][1]
+    for _, p in parts[1:]:
         out = out.unionByName(p)
     return out
