@@ -56,6 +56,12 @@ def scd2_apply(
     first new ``valid_from``, in-batch versions chain by the window, the
     batch's last version becomes current. Keys absent from the batch are
     untouched; closed history rows pass through untouched.
+
+    Long fold chains: each apply nests the previous result's plan — in a
+    real nightly job ``current`` is a warehouse table read back per run
+    (a natural lineage cut), so plans stay constant-size; when chaining
+    many folds in one session, localCheckpoint the result between folds
+    (the ``connected_components`` contract).
     """
     order = [ts_col, *(tiebreak_cols or [])]
     batch = scd2_init(updates, key_cols, ts_col, tiebreak_cols)

@@ -786,13 +786,16 @@ def _bm25_scored(spark, sf_dir):
     from ..functions.text import tokens
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    # pin the tf table: it feeds BOTH the stats aggregate and the scoring
+    # pass — without the cut the tokenize+filter projection (the dominant
+    # cost) re-evaluates once per consumer
     d = docs.select(
         "doc_id", tokens("text").alias("toks")
     ).select(
         "doc_id",
         F.size("toks").alias("dl"),
         *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
-    )
+    ).localCheckpoint(eager=False)
     stats = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),
