@@ -1387,3 +1387,70 @@ def ohlc_downsample(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("value", "volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# A23: correlation / covariance from EXACT moments — corr()/covar_pop()
+# exist natively on both engines but their double accumulations differ in
+# the last ulps (the A22 lesson), so the declared form computes the
+# closed forms from exact integer/decimal moments with a fixed, tiny
+# tail of IEEE ops (two double mults, one sqrt, one divide — identical
+# on any engine). The y² sum accumulates in DECIMAL(38,0): at 100 TB a
+# BIGINT sum of squared cent-prices overflows, and this query must not.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A23_correlation_exact",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sx,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sx2,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS DECIMAL(38,0))) AS sy2,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+           / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sx2
+                       - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                * CAST(CAST(n AS DECIMAL(38,0)) * CAST(sy2 AS DECIMAL(38,0))
+                       - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+               AS corr_qty_price,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+           / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop_cents
+    FROM m
+    """,
+)
+def correlation_exact(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("sy2"),
+        F.sum(x * y).alias("sxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    varx = (dec("n") * dec("sx2") - dec("sx") * dec("sx")).cast("double")
+    vary = (dec("n") * dec("sy2") - dec("sy") * dec("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / F.sqrt(varx * vary)).alias("corr_qty_price"),
+        (num / nd / nd).alias("covar_pop_cents"),
+    )

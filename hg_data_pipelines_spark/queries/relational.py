@@ -1540,3 +1540,42 @@ def scd2_incremental_fold(spark, sf_dir):
         "o_custkey", "o_orderkey", "o_totalprice",
         F.col("o_orderdate").alias("valid_from"), "valid_to", "is_current",
     )
+
+
+# --------------------------------------------------------------------------
+# §2.8 widening: error-safe `try_*` scalar surface — the ANSI-mode
+# escape hatches a production pipeline uses instead of letting one
+# malformed row kill a 100 TB job. Each try_* returns NULL where the
+# strict form would raise; the oracle states the same null-on-error
+# semantics with guards DuckDB evaluates identically.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_try_funcs",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size = 0 THEN NULL
+                ELSE CAST(p_retailprice AS DOUBLE) / p_size END AS price_per_size,
+           TRY_CAST(p_brand AS BIGINT) AS brand_as_int,
+           TRY_CAST(substr(p_name, 1, 3) AS BIGINT) AS name_prefix_int,
+           CASE WHEN length(string_split(p_name, ' ')) >= 9
+                THEN string_split(p_name, ' ')[9] END AS ninth_token
+    FROM part WHERE p_partkey <= 1000
+    """,
+)
+def try_funcs(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return part.filter(F.col("p_partkey") <= 1000).select(
+        "p_partkey",
+        F.try_divide(
+            F.col("p_retailprice").cast("double"), F.col("p_size")
+        ).alias("price_per_size"),
+        F.try_to_number(F.col("p_brand"), F.lit("999999")).cast("bigint")
+        .alias("brand_as_int"),
+        F.try_to_number(F.substring("p_name", 1, 3), F.lit("999"))
+        .cast("bigint")
+        .alias("name_prefix_int"),
+        F.try_element_at(toks, F.lit(9)).alias("ninth_token"),
+    )
