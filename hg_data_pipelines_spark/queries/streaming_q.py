@@ -321,3 +321,65 @@ def streaming_session_window(spark, sf_dir):
         )
     )
     return _run_available_now(spark, agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# X6 (cont.): streaming OHLC — the batch X6_ohlc_downsample bars computed
+# BY A STREAM (hourly tumbling window, min_by/max_by opens/closes inside
+# the streaming aggregation, complete mode, availableNow). Final state ≡
+# the batch aggregation, which is the DuckDB oracle — streaming parity
+# for the time-series resample op. The min_by order key is the fixture's
+# globally-unique ts (same contract X6_ohlc_downsample pins).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X6_streaming_ohlc",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'volume')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_ohlc(spark, sf_dir):
+    utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="x6_ohlc_events_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    schema = _raw_events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = _to_ntz(spark.readStream.schema(schema).parquet(stage))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "open", "high", "low", "close", "n", "volume",
+        )
+    )
+    sink = f"x6_streaming_ohlc_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink)
+    return out.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
