@@ -565,3 +565,145 @@ def ivf_model_warm_check(spark, sf_dir):
         | F.col("c_cos").isNull()
         | (F.col("w_cos") != F.col("c_cos"))
     ).select("query_id", "neighbor_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# X5: ORACLE-CHECKED image codec round-trip — the first multimodal query
+# whose values DuckDB can verify. Each doc gets a deterministic 16×16
+# gray image (pixel(r,c) = (doc_id·31 + r·7 + c·13) mod 256), runs
+# through the REAL PNG encoder (zlib scanlines) and decoder, and reports
+# per-image pixel stats; the oracle computes the same stats in closed
+# form over a generate_series grid. A codec bug (filter un-apply, stride,
+# channel order) lands as a value-hash mismatch, not just a pytest fail.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X5_png_codec_stats",
+    """
+    SELECT d.doc_id,
+           CAST(SUM((d.doc_id * 31 + g_r.r * 7 + g_c.c * 13) % 256) AS DOUBLE)
+               / 256 AS mean_px,
+           CAST(MIN((d.doc_id * 31 + g_r.r * 7 + g_c.c * 13) % 256) AS BIGINT)
+               AS min_px,
+           CAST(MAX((d.doc_id * 31 + g_r.r * 7 + g_c.c * 13) % 256) AS BIGINT)
+               AS max_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+         range(16) g_r(r), range(16) g_c(c)
+    GROUP BY d.doc_id
+    """,
+)
+def png_codec_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_image, encode_png
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
+        F.col("doc_id") < 200
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        r = np.arange(16)[:, None]
+        c = np.arange(16)[None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 31 + r * 7 + c * 13) % 256).astype(
+                    np.uint8
+                )
+                arr = decode_image(encode_png(img))[:, :, 0]
+                px = arr.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "mean_px": float(px.sum()) / 256,
+                        "min_px": int(px.min()),
+                        "max_px": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_px", "min_px", "max_px"]
+            )
+
+    return docs.select("doc_id").mapInPandas(_stats, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X5 (cont.): WAV codec round-trip, same oracle-checked contract as
+# X5_png_codec_stats — deterministic int16 samples through the real
+# RIFF/PCM16 encoder+decoder; the decoder's [-1,1] float scaling is
+# inverted exactly (int16 values are exactly representable in float64),
+# so the integer sample stats hash-match a closed-form SQL oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X5_wav_codec_stats",
+    """
+    SELECT d.doc_id,
+           CAST(SUM((d.doc_id * 7 + s.i * 3) % 65536 - 32768) AS BIGINT)
+               AS sum_sample,
+           CAST(MIN((d.doc_id * 7 + s.i * 3) % 65536 - 32768) AS BIGINT)
+               AS min_sample,
+           CAST(MAX((d.doc_id * 7 + s.i * 3) % 65536 - 32768) AS BIGINT)
+               AS max_sample
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+         range(256) s(i)
+    GROUP BY d.doc_id
+    """,
+)
+def wav_codec_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..audio import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
+        F.col("doc_id") < 200
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sum_sample", T.LongType()),
+            T.StructField("min_sample", T.LongType()),
+            T.StructField("max_sample", T.LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        i = np.arange(256)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                samples = (
+                    (int(doc_id) * 7 + i * 3) % 65536 - 32768
+                ).astype(np.int16)
+                decoded, _sr = decode_wav(encode_wav(samples, 16000))
+                ints = np.rint(decoded[:, 0] * 32768.0).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sum_sample": int(ints.sum()),
+                        "min_sample": int(ints.min()),
+                        "max_sample": int(ints.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sum_sample", "min_sample", "max_sample"],
+            )
+
+    return docs.select("doc_id").mapInPandas(_stats, out_schema)
