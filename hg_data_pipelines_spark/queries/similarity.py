@@ -707,3 +707,73 @@ def wav_codec_stats(spark, sf_dir):
             )
 
     return docs.select("doc_id").mapInPandas(_stats, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X5 (cont.): video codec round-trip — 4 deterministic 8×8 gray frames
+# per doc through the RAWVID container encode/decode; per-doc stats over
+# the (frame, row, col) grid hash-match the closed-form oracle. Same
+# contract as the PNG/WAV twins, completing value-level checks across
+# all three multimodal codecs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X5_video_codec_stats",
+    """
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((d.doc_id * 11 + f.f * 5 + r.r * 3 + c.c) % 256)
+                AS BIGINT) AS sum_px,
+           CAST(MAX((d.doc_id * 11 + f.f * 5 + r.r * 3 + c.c) % 256)
+                AS BIGINT) AS max_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+         range(4) f(f), range(8) r(r), range(8) c(c)
+    GROUP BY d.doc_id
+    """,
+)
+def video_codec_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_video, encode_video
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
+        F.col("doc_id") < 200
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        f = np.arange(4)[:, None, None]
+        r = np.arange(8)[None, :, None]
+        c = np.arange(8)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                frames = ((int(doc_id) * 11 + f * 5 + r * 3 + c) % 256).astype(
+                    np.uint8
+                )
+                arr, _fps = decode_video(encode_video(frames, fps=(25, 1)))
+                px = arr[:, :, :, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_px": int(px.size),
+                        "sum_px": int(px.sum()),
+                        "max_px": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "sum_px", "max_px"]
+            )
+
+    return docs.select("doc_id").mapInPandas(_stats, out_schema)
