@@ -29,6 +29,24 @@ def _warehouse_dir(sf_dir: str) -> str:
     )
 
 
+# S9 and S14 both consume the events_warehouse pipeline's partitioned
+# fact; the write is deterministic, so within one process the first
+# caller builds it and later callers read the same directory — one
+# partitioned write per gate run instead of one per query.
+_EVENTS_FACT_CACHE: dict[str, str] = {}
+
+
+def _events_fact_path(spark, sf_dir: str) -> str:
+    from ..jobs import run_pipeline
+
+    wh = _warehouse_dir(sf_dir)
+    cached = _EVENTS_FACT_CACHE.get(wh)
+    if cached is None or not os.path.isdir(cached):
+        ctx = run_pipeline(spark, "events_warehouse", wh, {"sf_dir": sf_dir})
+        _EVENTS_FACT_CACHE[wh] = ctx.reports["events_fact"]["path"]
+    return _EVENTS_FACT_CACHE[wh]
+
+
 @query(
     "S9_partitioned_events_pruned",
     f"""
@@ -40,13 +58,8 @@ def _warehouse_dir(sf_dir: str) -> str:
     """,
 )
 def partitioned_events_pruned(spark, sf_dir):
-    from ..jobs import run_pipeline
-
     utc(spark)
-    wh = _warehouse_dir(sf_dir)
-    ctx = run_pipeline(spark, "events_warehouse", wh, {"sf_dir": sf_dir})
-    fact_path = ctx.reports["events_fact"]["path"]
-    ev = spark.read.parquet(fact_path)
+    ev = spark.read.parquet(_events_fact_path(spark, sf_dir))
     pruned = ev.filter(
         F.col("event_date").between(F.lit(_SLICE_LO).cast("date"),
                                     F.lit(_SLICE_HI).cast("date"))
@@ -89,12 +102,8 @@ def dpp_weekend_dates(spark, sf_dir):
 
 def dpp_weekend_dates_plan(spark, sf_dir):
     """The join plan pre-cast, for the DPP plan assertion in tests."""
-    from ..jobs import run_pipeline
-
     utc(spark)
-    wh = _warehouse_dir(sf_dir)
-    ctx = run_pipeline(spark, "events_warehouse", wh, {"sf_dir": sf_dir})
-    fact = spark.read.parquet(ctx.reports["events_fact"]["path"])
+    fact = spark.read.parquet(_events_fact_path(spark, sf_dir))
     raw = load(spark, sf_dir, "events")
     # Spark dayofweek: 1=Sun..7=Sat; DuckDB dayofweek: 0=Sun..6=Sat.
     wk = (
