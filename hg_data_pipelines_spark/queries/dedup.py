@@ -529,3 +529,91 @@ def dedup_components_incremental(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),
     )
+
+
+# --------------------------------------------------------------------------
+# X1: URL canonicalization + dedup — the web-crawl front door: the same
+# resource arrives as http/https, with/without www, trailing slash, and
+# tracking params. Canonicalization is a pure JVM string-expression chain
+# (lowercase → scheme unify → www strip → tracking-param strip → trailing
+# slash strip), then exact dedup groups by canonical URL (one shuffle).
+# URL variants are synthesized deterministically (doc_id mod 4 picks the
+# noise form; doc_id mod 250 picks the resource), so canonical groups are
+# non-trivial and the DuckDB oracle runs the same chain.
+# --------------------------------------------------------------------------
+
+_URL_CANON_SQL = """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://www.src' || (doc_id % 250) % 20
+                      || '.example.org/p/' || doc_id % 250 || '/'
+                 WHEN 1 THEN 'http://src' || (doc_id % 250) % 20
+                      || '.example.org/p/' || doc_id % 250
+                 WHEN 2 THEN 'https://src' || (doc_id % 250) % 20
+                      || '.example.org/p/' || doc_id % 250 || '?utm_source=x'
+                 ELSE 'HTTPS://WWW.SRC' || (doc_id % 250) % 20
+                      || '.EXAMPLE.ORG/P/' || doc_id % 250
+               END AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       replace(replace(lower(url), 'http://', 'https://'),
+                               '://www.', '://'),
+                       '\\?utm_[^&]*$', ''),
+                   '/$', '') AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_variants
+    FROM canon GROUP BY canonical_url
+"""
+
+
+@query("X1_url_canonical_dedup", _URL_CANON_SQL)
+def url_canonical_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = F.col("doc_id") % 250
+    host_k = (base % 20).cast("string")
+    b = base.cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www.src"), host_k,
+                     F.lit(".example.org/p/"), b, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://src"), host_k,
+                     F.lit(".example.org/p/"), b),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://src"), host_k,
+                     F.lit(".example.org/p/"), b, F.lit("?utm_source=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://WWW.SRC"), host_k,
+                     F.lit(".EXAMPLE.ORG/P/"), b)
+        )
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.replace(F.lower(url), F.lit("http://"), F.lit("https://")),
+                F.lit("://www."), F.lit("://"),
+            ),
+            r"\?utm_[^&]*$", "",
+        ),
+        "/$", "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -1579,3 +1579,46 @@ def try_funcs(spark, sf_dir):
         .alias("name_prefix_int"),
         F.try_element_at(toks, F.lit(9)).alias("ninth_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.8 widening: URL parsing — parse_url(HOST/PATH/QUERY[, key]), the
+# web-corpus normalization primitive (canonical host/path extraction for
+# URL-level dedup). URLs are synthesized deterministically from fixture
+# columns; the oracle mirrors each component with an anchored regexp, so
+# the hash match pins Spark's parse_url component semantics exactly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_url_funcs",
+    """
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/' || doc_id
+                   || '?lang=' || lang || '&n=' || n_chars AS url
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '[?&]n=([^&]*)', 1) AS n_param
+    FROM u
+    """,
+)
+def url_funcs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+        F.lit("&n="), F.col("n_chars"),
+    )
+    with_u = docs.select("doc_id", url.alias("url"))
+    return with_u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
+    )
