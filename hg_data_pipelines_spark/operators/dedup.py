@@ -696,3 +696,56 @@ def update_fingerprint_store(
         order=["key"],
     )
     return table
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| — the
+    sub-document-inclusion test (a quote, a mirrored section, a doc
+    embedded in a digest) that Jaccard misses when the containing
+    document is much larger. Same bucket-then-combine inverted index as
+    ``ngram_jaccard_pairs`` (one shuffle on the shingle key, posting-list
+    pair expansion); emits BOTH directions, each with its own score,
+    filtered at ``threshold``. Returns (id_a, id_b, containment) where
+    containment = |shingles(a) ∩ shingles(b)| / |shingles(a)|.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("toks"))
+        .select("_id", word_shingles("toks", ngram).alias("shingles"))
+        .select(
+            "_id", F.size("shingles").alias("_n"), F.explode("shingles").alias("s")
+        )
+    )
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.collect_list(F.struct("_id", "_n")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " CASE WHEN x._id < y._id"
+        " THEN struct(x._id as lo, y._id as hi, x._n as nlo, y._n as nhi)"
+        " ELSE struct(y._id as lo, x._id as hi, y._n as nlo, x._n as nhi)"
+        " END)))"
+    )
+    common = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.lo", "p.hi", "p.nlo", "p.nhi")
+        .groupBy("lo", "hi", "nlo", "nhi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fwd = common.select(
+        F.col("lo").alias("id_a"), F.col("hi").alias("id_b"),
+        (F.col("c").cast("double") / F.col("nlo")).alias("containment"),
+    )
+    rev = common.select(
+        F.col("hi").alias("id_a"), F.col("lo").alias("id_b"),
+        (F.col("c").cast("double") / F.col("nhi")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -617,3 +617,33 @@ def url_canonical_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X2: containment (asymmetric) near-dup pairs — |A∩B| / |A|, the
+# sub-document-inclusion test Jaccard misses when the containing doc is
+# much larger. Both directions emitted with their own scores; the oracle
+# runs the same inverted index in SQL.
+# --------------------------------------------------------------------------
+
+_CONTAINMENT_T = 0.5
+
+
+@query(
+    "X2_containment_pairs",
+    _SQL_SHINGLES
+    + f"""
+    , cpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / na AS containment
+    FROM cpairs WHERE CAST(c AS DOUBLE) / na >= {_CONTAINMENT_T}
+    """,
+)
+def containment_pairs_query(spark, sf_dir):
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    return ngram_containment_pairs(docs, threshold=_CONTAINMENT_T)
