@@ -60,3 +60,51 @@ def banded_range_join(
         )
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    grain_days: int,
+) -> DataFrame:
+    """Pairs of OVERLAPPING intervals across two relations (l_start <=
+    r_end AND r_start <= l_end) — the two-sided generalization of the
+    banded point-in-range join (J8): both sides carry variable-length
+    intervals and there is no equality key at all.
+
+    Scale shape: each interval explodes into the day-grain bands it
+    covers (≤ len/grain + 1 rows — pick ``grain_days`` ≥ the typical
+    interval length so the fan-out is 1-2), candidates equi-join on the
+    band, the exact overlap predicate verifies, and ``distinct()``
+    collapses pairs that met in several bands. A naive theta join is
+    |L|·|R| comparisons through one node; this is |bands| hash-join
+    work, the same candidate-bounding trick LSH uses for X2.
+    """
+    day = "unix_date(cast({c} as date))"
+
+    def bands(df, s, e):
+        return df.withColumn(
+            "_band",
+            F.explode(
+                F.expr(
+                    f"sequence({day.format(c=s)} DIV {grain_days},"
+                    f" {day.format(c=e)} DIV {grain_days})"
+                )
+            ),
+        )
+
+    cand = bands(left, l_start, l_end).join(
+        bands(right, r_start, r_end), "_band"
+    )
+    return (
+        cand.filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("_band")
+        .distinct()
+    )

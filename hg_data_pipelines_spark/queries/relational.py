@@ -1622,3 +1622,54 @@ def url_funcs(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
     )
+
+
+# --------------------------------------------------------------------------
+# J11: interval-OVERLAP join — two interval relations (big-order 30-day
+# activity windows × slow-shipping lineitem ship windows), no equality
+# key; pairs where the intervals intersect. Banded by a 31-day grain so
+# each interval posts 1-2 band rows; the oracle is the direct theta join
+# (DuckDB's IEJoin handles it at fixture scale; the banded form is what
+# survives 100 TB).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J11_interval_overlap_join",
+    """
+    SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber,
+           CAST(date_diff('day', greatest(a.s, b.s2), least(a.e, b.e2))
+                AS BIGINT) AS overlap_days
+    FROM (SELECT o_orderkey, o_orderdate AS s,
+                 o_orderdate + INTERVAL 30 DAY AS e
+          FROM orders WHERE o_totalprice > 494000) a,
+         (SELECT l_orderkey, l_linenumber, l_shipdate AS s2,
+                 l_shipdate + to_days(l_linenumber) AS e2
+          FROM lineitem WHERE l_quantity = 50) b
+    WHERE a.s <= b.e2 AND b.s2 <= a.e
+    """,
+)
+def interval_overlap_join_query(spark, sf_dir):
+    from ..operators.rangejoin import interval_overlap_join
+
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    a = orders.filter(F.col("o_totalprice") > 494000).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+    )
+    b = li.filter(F.col("l_quantity") == 50).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("s2"),
+        F.expr("l_shipdate + make_dt_interval(l_linenumber)").alias("e2"),
+    )
+    pairs = interval_overlap_join(a, b, "s", "e", "s2", "e2", grain_days=31)
+    return pairs.select(
+        "o_orderkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(
+            F.least("e", "e2").cast("date"), F.greatest("s", "s2").cast("date")
+        ).cast("bigint").alias("overlap_days"),
+    )
