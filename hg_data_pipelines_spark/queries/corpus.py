@@ -976,3 +976,91 @@ def bpe_sequence_packing(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bpe_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: bigram-LM perplexity scoring — the classic LM-based quality filter
+# (docs whose token transitions surprise a corpus-trained model get high
+# negative-log-likelihood and are pruned). Model = add-one-smoothed
+# bigram frequencies trained on the corpus itself: p(w2|w1) =
+# (c(w1,w2)+1) / (c(w1)+V). Scale shape: bigram explode is row-local,
+# counts are two map-combinable aggregations, scoring joins each bigram
+# occurrence to its counts (shuffle on the bigram key), and the per-doc
+# mean NLL uses the char-entropy float discipline — each -ln p term
+# quantized to 12 dp and summed in exact DECIMAL, so the result is
+# term-order independent and engine-invariant. Output rounded to 6 dp.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_bigram_nll_score",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+        WHERE len(toks) >= 2
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS n FROM bg GROUP BY w1
+    ), v AS (
+        SELECT COUNT(DISTINCT tok) AS vocab
+        FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(round(
+               -ln((c12.c + 1.0) / (c1.n + v.vocab)), 12
+           ) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM bg
+    JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+    JOIN c1 ON bg.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_nll_score(spark, sf_dir):
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    t = docs.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) as w1,"
+                    " element_at(toks, i + 1) as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n"))
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    term = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("n") + F.col("vocab"))), 12
+    ).cast("decimal(38,12)")
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )
+    return scored
