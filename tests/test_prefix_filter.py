@@ -70,3 +70,40 @@ def test_hamming_default_chunks_raises_beyond_16(spark):
         hamming_near_pairs(df, "id", "h", max_hamming=16)
     # explicit n_chunks opts into the reduced guarantee
     assert hamming_near_pairs(df, "id", "h", max_hamming=16, n_chunks=16).count() == 0
+
+
+class TestContainmentPairs:
+    def test_subset_scores_one_on_small_side(self, spark):
+        from hg_data_pipelines_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        # doc 2's shingles are a strict subset of doc 1's: containment
+        # from 2 into 1 is 1.0; the reverse is |∩|/|big| < 1
+        big = "a b c d e f g h i j"
+        small = "a b c d e"
+        docs = spark.createDataFrame(
+            [(1, big), (2, small)], "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(docs, threshold=0.0).collect()
+        }
+        assert got[(2, 1)] == 1.0
+        # big side: 3 shared 3-gram shingles of its 8
+        assert abs(got[(1, 2)] - 3 / 8) < 1e-12
+
+    def test_threshold_keeps_only_qualifying_direction(self, spark):
+        from hg_data_pipelines_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c d e")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+        }
+        assert got == {(2, 1)}  # only the contained doc passes 0.9

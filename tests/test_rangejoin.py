@@ -54,3 +54,62 @@ class TestBandedRangeJoin:
             upper=15_000_000,
         )
         assert got == {(1, 3), (1, 4)}
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, spark, a_rows, b_rows, grain=31):
+        from hg_data_pipelines_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        a = spark.createDataFrame(a_rows, "a_id long, s timestamp, e timestamp")
+        b = spark.createDataFrame(b_rows, "b_id long, s2 timestamp, e2 timestamp")
+        out = interval_overlap_join(a, b, "s", "e", "s2", "e2", grain)
+        return {(r["a_id"], r["b_id"]) for r in out.collect()}
+
+    def test_overlap_touching_and_disjoint(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        a = [(1, T(2024, 1, 1), T(2024, 1, 31))]
+        b = [
+            (10, T(2024, 1, 31), T(2024, 2, 5)),   # touches at a.e == b.s2
+            (11, T(2024, 2, 1), T(2024, 2, 5)),    # disjoint
+            (12, T(2023, 12, 1), T(2024, 1, 1)),   # touches at a.s == b.e2
+            (13, T(2024, 1, 10), T(2024, 1, 12)),  # contained
+        ]
+        got = self._run(spark, a, b)
+        assert got == {(1, 10), (1, 12), (1, 13)}
+
+    def test_pair_spanning_many_bands_appears_once(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        # 100-day intervals with a 7-day grain: the pair meets in many
+        # bands; distinct() must collapse it to one row
+        a = [(1, T(2024, 1, 1), T(2024, 4, 10))]
+        b = [(10, T(2024, 2, 1), T(2024, 5, 1))]
+        got_rows = self._run(spark, a, b, grain=7)
+        assert got_rows == {(1, 10)}
+
+    def test_matches_theta_join_on_random_intervals(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        a = [
+            (i, base + dt.timedelta(days=(i * 13) % 90),
+             base + dt.timedelta(days=(i * 13) % 90 + (i % 11) + 1))
+            for i in range(40)
+        ]
+        b = [
+            (100 + j, base + dt.timedelta(days=(j * 7) % 95),
+             base + dt.timedelta(days=(j * 7) % 95 + (j % 5) + 1))
+            for j in range(40)
+        ]
+        want = {
+            (ai, bj)
+            for ai, s, e in a
+            for bj, s2, e2 in b
+            if s <= e2 and s2 <= e
+        }
+        assert self._run(spark, a, b, grain=12) == want
