@@ -383,3 +383,49 @@ def streaming_ohlc(spark, sf_dir):
     return out.withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
+
+
+# --------------------------------------------------------------------------
+# S16: streaming → warehouse landing with a CONTENT-EQUALITY oracle —
+# events replay as deterministic micro-batches through the exactly-once
+# foreachBatch sink (each batch lands in its own _batch_id=N subdir,
+# idempotent on replay), then the landed table is read back and
+# aggregated. Batch boundaries don't affect final content, so the
+# aggregate must hash-match the same aggregate computed straight from
+# the source — landing is provably lossless and duplicate-free.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "S16_streaming_warehouse_landing",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_warehouse_landing(spark, sf_dir):
+    from ..streaming import stream_to_warehouse
+
+    utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stage_event_batches(spark, sf_dir)
+    schema = _raw_events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = _to_ntz(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/batch_*")
+    )
+    wh = tempfile.mkdtemp(prefix="s16_wh_")
+    ck = tempfile.mkdtemp(prefix="s16_ck_")
+    q = stream_to_warehouse(stream, wh, "events_landed", ck)
+    q.awaitTermination()
+    landed = spark.read.parquet(os.path.join(wh, "events_landed", "*"))
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
