@@ -148,3 +148,77 @@ def shortest_paths_bounded(
         )
         dist = _truncate_lineage(dist, checkpoint_dir)
     return dist
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restarts ONLY at the seed
+    set → (node, rank_scaled BIGINT). Rank concentrates around the
+    seeds' neighborhoods — the graph-proximity score behind
+    related-document retrieval and seed-expansion dedup.
+
+    Same scaled-BIGINT fixed-point discipline as ``pagerank_fixed_point``
+    (every step exact integer arithmetic, bit-identical on any engine /
+    partitioning); same per-iteration cost shape (one shuffle on the
+    contribution groupBy). Nodes outside every seed's reach keep rank 0.
+    """
+    from .dedup import _truncate_lineage
+
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = sd.agg(F.count(F.lit(1)).alias("_ns"))
+    nodes_s = (
+        nodes.join(sd.withColumn("_is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    e_deg = e.join(outdeg, "_src").localCheckpoint(eager=False)
+
+    seed_base = F.expr(
+        f"CASE WHEN _is_seed = 1 THEN ({SCALE} DIV _ns) ELSE 0L END"
+    )
+    teleport = F.expr(
+        f"CASE WHEN _is_seed = 1 THEN"
+        f" (({damping_den - damping_num} * ({SCALE} DIV _ns)) DIV {damping_den})"
+        f" ELSE 0L END"
+    )
+    ranks = nodes_s.select("node", "_is_seed", "_ns", seed_base.alias("rank_scaled"))
+    for _ in range(n_iter):
+        contrib = e_deg.join(
+            ranks.select(F.col("node").alias("_src"), "rank_scaled"), "_src"
+        ).select(F.col("_dst"), F.expr("rank_scaled DIV _deg").alias("_c"))
+        sums = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes_s.join(sums, nodes_s["node"] == sums["_dst"], "left")
+            .select(
+                "node",
+                "_is_seed",
+                "_ns",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L)) DIV {damping_den}"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+        if checkpoint_dir is not None:
+            ranks = _truncate_lineage(ranks, checkpoint_dir)
+    return ranks.select("node", "rank_scaled")

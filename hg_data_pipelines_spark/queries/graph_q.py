@@ -245,3 +245,77 @@ def sssp_knn(spark, sf_dir):
     )
     source = emb.agg(F.min("vec_id")).first()[0]  # bounded 1-scalar collect
     return shortest_paths_bounded(edges, source, rounds=_SSSP_DEPTH)
+
+
+# --------------------------------------------------------------------------
+# X11: personalized PageRank over the k-NN graph — teleport restarts only
+# at the 3 lowest vec_ids, so rank concentrates in the seeds'
+# neighborhoods (the related-document retrieval / seed-expansion score).
+# Same scaled-BIGINT exactness as X11_pagerank_knn; the oracle unrolls
+# the iteration with a seed-membership CASE in the teleport term.
+# --------------------------------------------------------------------------
+
+_PPR_SEEDS = 3
+
+
+def _ppr_oracle(n_iter: int = _PR_ITER, k: int = _KNN_K) -> str:
+    parts = [
+        f"""
+    WITH edges AS MATERIALIZED (
+        SELECT q.vec_id AS src, c.vec_id AS dst
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+        ) <= {k}
+    ), nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), seeds AS (
+        SELECT vec_id AS node FROM embeddings WHERE vec_id < {_PPR_SEEDS}
+    ), ns AS (
+        SELECT COUNT(*) AS n FROM seeds
+    ), nodes_s AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ), deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node,
+               CASE WHEN is_seed = 1 THEN ({SCALE} // ns.n) ELSE 0 END AS r
+        FROM nodes_s CROSS JOIN ns
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", s{i} AS (
+        SELECT e.dst, CAST(SUM(r.r // deg.d) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ), r{i} AS (
+        SELECT n.node,
+               CASE WHEN n.is_seed = 1
+                    THEN ((15 * ({SCALE} // ns.n)) // 100) ELSE 0 END
+               + (85 * COALESCE(s{i}.s, 0)) // 100 AS r
+        FROM nodes_s n
+        CROSS JOIN ns
+        LEFT JOIN s{i} ON n.node = s{i}.dst
+    )"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_scaled FROM r{n_iter}")
+    return "".join(parts)
+
+
+@query("X11_personalized_pagerank", _ppr_oracle())
+def personalized_pagerank_knn(spark, sf_dir):
+    from ..operators.graph import personalized_pagerank_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    edges = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") < _PPR_SEEDS).select(
+        F.col("vec_id").alias("node")
+    )
+    return personalized_pagerank_fixed_point(edges, seeds, n_iter=_PR_ITER)

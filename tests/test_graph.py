@@ -113,3 +113,47 @@ class TestShortestPathsBounded:
             ).collect()
         }
         assert a == b
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_at_seeds_and_zero_unreachable(self, spark):
+        from hg_data_pipelines_spark.operators.graph import (
+            personalized_pagerank_fixed_point,
+        )
+
+        # two disjoint cycles; seeds only in the first — the second
+        # component must end with rank exactly 0
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank_fixed_point(
+                edges, seeds, n_iter=4
+            ).collect()
+        }
+        assert got[10] == 0 and got[11] == 0
+        assert got[1] > got[3] > 0  # seed holds the most rank in its cycle
+
+    def test_partitioning_invariant(self, spark):
+        from hg_data_pipelines_spark.operators.graph import (
+            personalized_pagerank_fixed_point,
+        )
+
+        edges = [(i, (i * 3 + 1) % 29) for i in range(29)]
+        seeds = spark.createDataFrame([(0,), (5,)], ["node"])
+        a = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank_fixed_point(
+                spark.createDataFrame(edges, ["src", "dst"]), seeds
+            ).collect()
+        }
+        b = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank_fixed_point(
+                spark.createDataFrame(edges, ["src", "dst"]).repartition(7),
+                seeds,
+            ).collect()
+        }
+        assert a == b
