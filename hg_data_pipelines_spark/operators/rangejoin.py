@@ -83,6 +83,9 @@ def interval_overlap_join(
     collapses pairs that met in several bands. A naive theta join is
     |L|·|R| comparisons through one node; this is |bands| hash-join
     work, the same candidate-bounding trick LSH uses for X2.
+
+    Column names across ``left`` and ``right`` must be disjoint (the
+    band join carries both sides' columns through).
     """
     day = "unix_date(cast({c} as date))"
 

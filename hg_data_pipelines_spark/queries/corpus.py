@@ -1042,6 +1042,9 @@ def bigram_nll_score(spark, sf_dir):
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
+        # pinned: bg feeds the two count aggregations AND the scoring
+        # join — without the cut the bigram explode re-evaluates 3x
+        .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n"))

@@ -537,6 +537,9 @@ def dedup_components_incremental(spark, sf_dir):
 # tracking params. Canonicalization is a pure JVM string-expression chain
 # (lowercase → scheme unify → www strip → tracking-param strip → trailing
 # slash strip), then exact dedup groups by canonical URL (one shuffle).
+# The tracking strip here handles the tail-only ?utm_* form the variants
+# synthesize; a production canonicalizer strips per-parameter (split the
+# query string, drop utm_*/fbclid keys, re-join sorted).
 # URL variants are synthesized deterministically (doc_id mod 4 picks the
 # noise form; doc_id mod 250 picks the resource), so canonical groups are
 # non-trivial and the DuckDB oracle runs the same chain.
