@@ -530,3 +530,37 @@ def merge_algebraic_aggregates(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in measures])
     )
+
+
+def quantile_bucket_assign(
+    df: DataFrame,
+    val_col: str,
+    probs: list[float],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Value-based quantile binning: exact percentile cutpoints + a
+    broadcast arithmetic assignment — the SHUFFLE-FREE alternative to
+    ``global_ntile`` when equal-count-with-exact-tie semantics aren't
+    required. One aggregation computes the cutpoints (exact interpolated
+    percentiles — identical doubles on any engine), a 1-row broadcast
+    cross join carries them back, and ``bucket = 1 + Σ (v > c_i)`` (rows
+    equal to a cutpoint land in the lower bucket) assigns inside the scan
+    projection: no range partitioning, no sort, no window — at 100 TB the
+    whole operator is one partial-aggregate pass plus a map.
+    """
+    cuts = df.agg(
+        *[
+            F.percentile(val_col, F.lit(p)).alias(f"_c{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + F.when(
+            F.col(val_col) > F.col(f"_c{i}"), 1
+        ).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop(*[f"_c{i}" for i in range(len(probs))])
+    )

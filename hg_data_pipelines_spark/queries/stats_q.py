@@ -560,3 +560,45 @@ def approx_distinct_bounds(spark, sf_dir):
         (F.col("approx_n") < F.col("exact_n") - tol)
         | (F.col("approx_n") > F.col("exact_n") + tol)
     ).select("c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# A25: quantile binning via cutpoints — the shuffle-free VALUE-based
+# sibling of A20's exact equal-count ntile: exact quartile cutpoints
+# (one aggregation), broadcast back, bucket = 1 + Σ(v > cutpoint) in the
+# scan projection. No range shuffle, no sort, no window — the shape you
+# use at 100 TB when bucket populations may differ at ties.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A25_quantile_binning",
+    """
+    WITH c AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS c0,
+               quantile_cont(l_extendedprice, 0.50) AS c1,
+               quantile_cont(l_extendedprice, 0.75) AS c2
+        FROM lineitem
+    )
+    SELECT 1 + (CASE WHEN l_extendedprice > c0 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, c
+    GROUP BY 1
+    """,
+)
+def quantile_binning(spark, sf_dir):
+    from ..operators.scale import quantile_bucket_assign
+
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    binned = quantile_bucket_assign(
+        li, "l_extendedprice", [0.25, 0.50, 0.75]
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
