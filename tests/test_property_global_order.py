@@ -75,3 +75,27 @@ def test_formula_exact_at_scale_boundaries(n, k, data):
         want = rem + (r - cut - 1) // q + 1
     assert got == want
     assert 1 <= got <= min(k, n)
+
+
+class TestQuantileBucketAssign:
+    def test_ties_at_cutpoint_land_low_and_counts_partition(self, spark):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import (
+            quantile_bucket_assign,
+        )
+
+        # 1..100: quartile cutpoints are 25.75/50.5/75.25; values equal to
+        # a cutpoint can't occur, so buckets are exactly 25/25/25/25
+        df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+        out = quantile_bucket_assign(df, "v", [0.25, 0.5, 0.75])
+        counts = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+
+        # explicit tie: every value equals the single cutpoint → all low
+        tie = spark.createDataFrame([(5.0,)] * 8, "v double")
+        got = quantile_bucket_assign(tie, "v", [0.5]).select("bucket").collect()
+        assert {r["bucket"] for r in got} == {1}
