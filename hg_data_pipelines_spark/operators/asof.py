@@ -31,6 +31,7 @@ def asof_join(
     value_cols: list[str],
     left_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Return ``left`` columns + the as-of values from ``right``.
 
@@ -41,6 +42,12 @@ def asof_join(
     ``right.time >= left.time`` — implemented by running the identical
     single-shuffle window over a descending time order, so both
     directions share cardinality |L| + |R| and one pass per key.
+
+    ``tolerance`` (an INTERVAL literal, e.g. ``"7 days"``) bounds the
+    staleness: an as-of match farther than the tolerance from the left
+    time is nulled out, matching pandas ``merge_asof(tolerance=...)`` /
+    kdb ``wj`` window semantics. Enforced as a post-attach projection —
+    the plan shape (one key shuffle, one window pass) is unchanged.
     """
     from pyspark.sql import types as T
 
@@ -55,6 +62,7 @@ def asof_join(
     # backfilled from an older right row.
     vrow_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [T.StructField("_rt", right.schema[right_time].dataType)]
     )
     lhs = left.select(
         F.col(left_on).alias("_k"),
@@ -68,7 +76,10 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_vrow"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_time).alias("_rt"),
+        ).alias("_vrow"),
     )
 
     # One shuffle: partition by key, order by (time, side). Right rows sort
@@ -86,6 +97,18 @@ def asof_join(
     carried = lhs.unionByName(rhs).select(
         "*", F.last("_vrow", ignorenulls=True).over(w).alias("_asof_row")
     )
+    if tolerance is not None:
+        if direction == "backward":
+            in_band = F.col("_asof_row._rt") >= F.expr(
+                f"_t - INTERVAL {tolerance}"
+            )
+        else:
+            in_band = F.col("_asof_row._rt") <= F.expr(
+                f"_t + INTERVAL {tolerance}"
+            )
+        carried = carried.withColumn(
+            "_asof_row", F.when(in_band, F.col("_asof_row"))
+        )
     return carried.filter(F.col("_is_left") == 1).select(
         *left_cols,
         *[F.col("_asof_row")[c].alias(f"asof_{c}") for c in value_cols],

@@ -1454,3 +1454,46 @@ def correlation_exact(spark, sf_dir):
         (num / F.sqrt(varx * vary)).alias("corr_qty_price"),
         (num / nd / nd).alias("covar_pop_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# J6 (cont.): as-of join with a TOLERANCE band (pandas merge_asof
+# tolerance / kdb wj semantics): the as-of match is kept only when it is
+# fresh enough, else nulled. The fixture's epochs make the band bite —
+# orders span 1995-2001 and events sit in 2024, so an 8766-day (~24 y)
+# tolerance keeps matches to recent-enough orders and nulls the stale
+# tail: both outcomes populated. Same one-shuffle/one-window plan as J6;
+# the band is a post-attach projection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J6_asof_tolerance_band",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 8766 DAY
+                THEN o.o_orderkey END AS asof_o_orderkey
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_tolerance_band(spark, sf_dir):
+    utc(spark)
+    ev, orders = load(spark, sf_dir, "events", "orders")
+    orders_d = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    return asof_join(
+        ev,
+        orders_d,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        left_cols=["event_id", "user_id", "ts"],
+        tolerance="8766 DAY",
+    )

@@ -64,3 +64,51 @@ class TestAsofJoin:
         )
         assert got[(1, 10)] == ("k1", 1)
         assert got[(2, 10)] == (None, None)
+
+
+class TestAsofTolerance:
+    def test_stale_match_nulled_fresh_kept(self, spark):
+        import datetime as dt
+
+        from hg_data_pipelines_spark.operators.asof import asof_join
+
+        T = dt.datetime
+        left = spark.createDataFrame(
+            [(1, 100, T(2024, 1, 10)), (2, 100, T(2024, 3, 1))],
+            "id long, k long, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, T(2024, 1, 1), 7.0)], "k long, rt timestamp, v double"
+        )
+        out = {
+            r["id"]: r["asof_v"]
+            for r in asof_join(
+                left, right, "k", "k", "t", "rt", ["v"],
+                left_cols=["id"], tolerance="30 DAY",
+            ).collect()
+        }
+        assert out[1] == 7.0   # 9 days stale: inside the band
+        assert out[2] is None  # 60 days stale: nulled
+
+    def test_forward_direction_band(self, spark):
+        import datetime as dt
+
+        from hg_data_pipelines_spark.operators.asof import asof_join
+
+        T = dt.datetime
+        left = spark.createDataFrame(
+            [(1, 100, T(2024, 1, 1)), (2, 100, T(2023, 10, 1))],
+            "id long, k long, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, T(2024, 1, 5), 9.0)], "k long, rt timestamp, v double"
+        )
+        out = {
+            r["id"]: r["asof_v"]
+            for r in asof_join(
+                left, right, "k", "k", "t", "rt", ["v"],
+                left_cols=["id"], direction="forward", tolerance="30 DAY",
+            ).collect()
+        }
+        assert out[1] == 9.0   # 4 days ahead: inside
+        assert out[2] is None  # 96 days ahead: nulled
