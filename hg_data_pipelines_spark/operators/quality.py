@@ -217,3 +217,34 @@ def referential_integrity(relations: list[ForeignKey]) -> DataFrame:
     for _, p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def check_uniqueness(
+    checks: list[tuple[str, DataFrame, list[str]]],
+) -> DataFrame:
+    """Table-level UNIQUENESS audit → (key, n_rows, n_distinct,
+    n_dup_rows, passed) per (name, df, key_cols) check — the constraint
+    class row-level predicates (DQ2) can't express. One count-distinct
+    aggregation per check (two shuffles: partial distinct + final);
+    ``n_dup_rows`` counts rows beyond the first per duplicated key, so
+    ``n_rows - n_dup_rows == n_distinct`` always holds.
+    """
+    parts = []
+    for name, df, key_cols in checks:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias(
+                "n_distinct"
+            ),
+        ).select(
+            F.lit(name).alias("key"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+            (F.col("n_rows") == F.col("n_distinct")).alias("passed"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -271,3 +271,72 @@ def referential_integrity_audit(spark, sf_dir):
                        customer, "c_custkey", events, "user_id"),
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# DQ7: uniqueness audit — the table-level constraint class DQ2's
+# row-level predicates can't express. Includes a deliberately failing
+# check (documents.text is NOT unique — the fixture plants exact
+# duplicates for X1) so the audit is non-vacuous in both directions.
+# NOTE: count_distinct here is EXACT (it feeds a gate); the approx form
+# is A9's territory.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ7_uniqueness_audit",
+    """
+    SELECT 'orders.o_orderkey' AS key,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+           (SELECT COUNT(*) FROM orders)
+             - (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_dup_rows,
+           (SELECT COUNT(*) FROM orders)
+             = (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS passed
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM
+               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+           (SELECT COUNT(*) FROM lineitem)
+             - (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+           (SELECT COUNT(*) FROM lineitem)
+             = (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    UNION ALL
+    SELECT 'events.event_id',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(DISTINCT event_id) FROM events),
+           (SELECT COUNT(*) FROM events)
+             - (SELECT COUNT(DISTINCT event_id) FROM events),
+           (SELECT COUNT(*) FROM events)
+             = (SELECT COUNT(DISTINCT event_id) FROM events)
+    UNION ALL
+    SELECT 'documents.text',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(DISTINCT text) FROM documents),
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(DISTINCT text) FROM documents),
+           (SELECT COUNT(*) FROM documents)
+             = (SELECT COUNT(DISTINCT text) FROM documents)
+    """,
+)
+def uniqueness_audit(spark, sf_dir):
+    from ..operators.quality import check_uniqueness
+
+    orders, lineitem, events, documents = load(
+        spark, sf_dir, "orders", "lineitem", "events", "documents"
+    )
+    return check_uniqueness(
+        [
+            ("orders.o_orderkey", orders, ["o_orderkey"]),
+            (
+                "lineitem.(l_orderkey,l_linenumber)",
+                lineitem,
+                ["l_orderkey", "l_linenumber"],
+            ),
+            ("events.event_id", events, ["event_id"]),
+            ("documents.text", documents, ["text"]),
+        ]
+    )
