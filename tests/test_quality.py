@@ -115,3 +115,20 @@ class TestReferentialIntegrity:
             [ForeignKey("ok", fact, "fk", dim, "pk")]
         ).collect()[0]
         assert r["n_orphans"] == 0 and r["passed"] is True
+
+
+class TestUniqueness:
+    def test_duplicate_and_clean_keys(self, spark):
+        from hg_data_pipelines_spark.operators.quality import check_uniqueness
+
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+        )
+        out = {
+            r["key"]: (r["n_rows"], r["n_distinct"], r["n_dup_rows"], r["passed"])
+            for r in check_uniqueness(
+                [("dup.k", dup, ["k"]), ("clean.kv", dup, ["k", "v"])]
+            ).collect()
+        }
+        assert out["dup.k"] == (3, 2, 1, False)
+        assert out["clean.kv"] == (3, 3, 0, True)
