@@ -280,8 +280,15 @@ def _corpus_semantic_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFr
     emb = load_table(spark, ctx.config["sf_dir"], "embeddings", scan_parallel=True)
     threshold = float(ctx.config.get("semantic_cos_threshold", 0.45))
     if ctx.config.get("semantic_method", "lsh") == "exact":
+        from .operators.guards import fence_rows
         from .operators.similarity import _cosine
 
+        emb = fence_rows(
+            emb,
+            what="semantic_method='exact'",
+            scale_path="semantic_method='lsh' (the default)",
+            force=bool(ctx.config.get("force_exact", False)),
+        )
         a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
         b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
         pairs = (

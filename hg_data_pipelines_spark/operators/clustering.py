@@ -1,0 +1,150 @@
+"""Distributed k-means in scaled-integer fixed point (X3 extension).
+
+Semantic clustering is the backbone of several corpus-curation moves
+(SemDeDup-style cluster-then-dedup, cluster-balanced sampling, topic
+mixture estimation). The Spark shape here is the same one MLlib's KMeans
+uses: centroids are tiny (k × dim) so they ride to the driver each
+iteration and return to executors as *literals* — assignment is then a
+map-side, whole-stage-codegen expression with NO join and NO shuffle;
+the only shuffle per iteration is the centroid-update aggregation, which
+partial-aggregates map-side down to k × dim numbers. At 100 TB that is
+one scan + one tiny shuffle per iteration, the optimal layout.
+
+Why fixed point: float k-means is not reproducible across engines (sum
+association order changes the means, which can flip argmin assignments),
+so a float implementation could only ever be rows-only-checked. Scaling
+each coordinate to an integer grid (floor(x · 2^20)) makes every sum
+exact and commutative, centroid division uses an explicitly portable
+floor-division ((s - pmod(s, n)) / n — Spark's DIV truncates toward
+zero, DuckDB's // floors; pmod-subtraction sidesteps both), and argmin
+ties break to the lowest centroid id. The result is bit-identical on any
+engine, any partitioning — the same trick graph.py uses for PageRank.
+
+Convergence caveat (documented, inherent): fixed-point quantization
+perturbs each coordinate by < 2^-20, far below the data's noise floor;
+k-means± literature shows assignment trajectories are stable under such
+perturbation except at exact decision boundaries, which the integer grid
+resolves deterministically instead of leaving to float luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KMEANS_SCALE = 1 << 20
+
+
+def _quantize(vec_col: str) -> F.Column:
+    return F.expr(
+        f"transform({vec_col}, x ->"
+        f" CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT))"
+    )
+
+
+def kmeans_fixed_point(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist) after ``iters`` Lloyd iterations.
+
+    Init: the ``k`` rows with the smallest ids (deterministic; callers
+    wanting k-means++ should pre-seed and pass their own init ids).
+    ``dist`` is the squared L2 distance on the integer grid (scale²·L2²).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), _quantize(vec_col).alias("_vi")
+    )
+    # centroid seeds: deterministic lowest-k ids; k×dim values — bounded
+    # driver traffic, the MLlib pattern.
+    seed_rows = (
+        v.filter(F.col("_id") < k).orderBy("_id").select("_id", "_vi").collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need {k} seed vectors, found {len(seed_rows)}")
+    centroids = [list(r["_vi"]) for r in seed_rows]
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(v, centroids)
+        centroids = _update(assigned, centroids)
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.col("_dist").alias("dist"),
+    )
+
+
+def _assign(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Map-side argmin over centroid literals: array<struct<dist,j>> →
+    array_min picks (min dist, then min j) by lexicographic struct order."""
+    scored = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_vi"),
+                            F.array(*[F.lit(c) for c in cv]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j, cv in enumerate(centroids)
+            ]
+        )
+    )
+    return v.select(
+        "_id", "_vi", scored["dist"].alias("_dist"), scored["j"].alias("_cluster")
+    )
+
+
+def _update(assigned: DataFrame, prev: list[list[int]]) -> list[list[int]]:
+    """New centroids: per-(cluster, dim) exact integer mean via portable
+    floor division. One aggregation (partial map-side); k×dim rows to the
+    driver. Empty clusters keep their previous centroid (standard Lloyd
+    convention)."""
+    dim = len(prev[0])
+    sums = (
+        assigned.select("_cluster", F.posexplode("_vi").alias("_d", "_x"))
+        .groupBy("_cluster", "_d")
+        .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_cluster",
+            "_d",
+            F.expr("(_s - pmod(_s, _n)) DIV _n").alias("_c"),
+        )
+        .collect()
+    )
+    out = [list(c) for c in prev]
+    got: dict[int, list[int | None]] = {}
+    for r in sums:
+        got.setdefault(r["_cluster"], [None] * dim)[r["_d"]] = r["_c"]
+    for j, cv in got.items():
+        assert all(x is not None for x in cv)
+        out[j] = cv  # type: ignore[assignment]
+    return out
+
+
+def cluster_balanced_sample(
+    assignments: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic per-cluster head sample: the ``per_cluster`` lowest
+    ids of each cluster — the cluster-balanced curation draw (equal
+    representation regardless of cluster skew). One window shuffle keyed
+    by cluster; at scale this is the standard top-k-per-group shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.col(id_col))
+    return (
+        assignments.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )

@@ -163,6 +163,8 @@ def referential_integrity(relations: list[ForeignKey]) -> DataFrame:
     FK columns costs one scan + k key joins, not 2k scans. Only COUNTs
     cross to the driver; fact rows are never collected.
     """
+    if not relations:
+        raise ValueError("referential_integrity: no relations given")
     by_fact: dict[int, list[tuple[int, ForeignKey]]] = {}
     for idx, rel in enumerate(relations):
         by_fact.setdefault(id(rel.fact), []).append((idx, rel))
@@ -228,14 +230,24 @@ def check_uniqueness(
     aggregation per check (two shuffles: partial distinct + final);
     ``n_dup_rows`` counts rows beyond the first per duplicated key, so
     ``n_rows - n_dup_rows == n_distinct`` always holds.
+
+    NULL semantics: a key tuple containing NULLs counts as a real
+    (distinct) key — two all-NULL keys are duplicates of each other —
+    matching SQL's ``COUNT(*) FROM (SELECT DISTINCT key...)`` form. The
+    multi-arg ``count_distinct(c1, c2)`` would instead SKIP any row with
+    a NULL in ANY key column (ANSI aggregate-DISTINCT semantics) and
+    misreport genuinely-unique nullable keys as duplicated; wrapping the
+    key in a single non-null struct restores tuple-level counting.
     """
+    if not checks:
+        raise ValueError("check_uniqueness: no checks given")
     parts = []
     for name, df, key_cols in checks:
         agg = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct(*[F.col(c) for c in key_cols]).alias(
-                "n_distinct"
-            ),
+            F.count_distinct(
+                F.struct(*[F.col(c) for c in key_cols])
+            ).alias("n_distinct"),
         ).select(
             F.lit(name).alias("key"),
             "n_rows",

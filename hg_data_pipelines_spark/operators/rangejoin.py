@@ -79,18 +79,26 @@ def interval_overlap_join(
     Scale shape: each interval explodes into the day-grain bands it
     covers (≤ len/grain + 1 rows — pick ``grain_days`` ≥ the typical
     interval length so the fan-out is 1-2), candidates equi-join on the
-    band, the exact overlap predicate verifies, and ``distinct()``
-    collapses pairs that met in several bands. A naive theta join is
-    |L|·|R| comparisons through one node; this is |bands| hash-join
-    work, the same candidate-bounding trick LSH uses for X2.
+    band, the exact overlap predicate verifies, and each pair is kept
+    only in the FIRST band the two intervals share
+    (``_band == greatest(band(l_start), band(r_start))`` — overlapping
+    intervals always co-occur in that band), so multi-band pairs emit
+    exactly once WITHOUT a full-row ``distinct()``. That keeps output
+    multiplicity identical to the naive theta join (legitimately
+    duplicated input rows stay duplicated) and saves a whole-row
+    shuffle; it also drops the old requirement that every carried
+    column type be comparable. A naive theta join is |L|·|R|
+    comparisons through one node; this is |bands| hash-join work, the
+    same candidate-bounding trick LSH uses for X2.
 
     Column names across ``left`` and ``right`` must be disjoint (the
     band join carries both sides' columns through).
     """
     day = "unix_date(cast({c} as date))"
 
-    def bands(df, s, e):
-        return df.withColumn(
+    def bands(df, s, e, start_band):
+        start = F.expr(f"{day.format(c=s)} DIV {grain_days}")
+        return df.withColumn(start_band, start).withColumn(
             "_band",
             F.explode(
                 F.expr(
@@ -100,14 +108,15 @@ def interval_overlap_join(
             ),
         )
 
-    cand = bands(left, l_start, l_end).join(
-        bands(right, r_start, r_end), "_band"
+    cand = bands(left, l_start, l_end, "_lsb").join(
+        bands(right, r_start, r_end, "_rsb"), "_band"
     )
     return (
         cand.filter(
             (F.col(l_start) <= F.col(r_end))
             & (F.col(r_start) <= F.col(l_end))
+            # first-shared-band dedup: emit the pair exactly once
+            & (F.col("_band") == F.greatest("_lsb", "_rsb"))
         )
-        .drop("_band")
-        .distinct()
+        .drop("_band", "_lsb", "_rsb")
     )

@@ -231,6 +231,7 @@ def knn_graph_exact(
     round_dp: int = 6,
     n_chunks: int | None = None,
     candidate_buffer: int = 32,
+    force: bool = False,
 ) -> DataFrame:
     """Exact k-NN graph (every vector's top-k neighbors) via chunked block
     scoring: the corpus splits into hash chunks, each chunk is cogrouped
@@ -263,6 +264,12 @@ def knn_graph_exact(
 
     from pyspark.sql import types as T
 
+    from .guards import fence_rows
+
+    corpus = fence_rows(
+        corpus, what="knn_graph_exact", scale_path="lsh_topk / ivf_topk",
+        force=force,
+    )
     spark = corpus.sparkSession
     if n_chunks is None:
         n_chunks = max(spark.sparkContext.defaultParallelism, 1)

@@ -313,11 +313,177 @@ def simhash_query(spark, sf_dir):
 @query("X2_simhash_near_pairs")
 def simhash_pairs_query(spark, sf_dir):
     """SimHash near-dup pairs via 16-bit chunk blocking (rows-only:
-    xxhash64 not in DuckDB; pytest pins determinism)."""
+    xxhash64 not in DuckDB; pytest pins determinism). The PORTABLE twin
+    below (X2_simhash_portable_pairs) oracle-checks the same pipeline
+    shape end-to-end with an md5-derived fingerprint both engines can
+    compute."""
     from ..operators.dedup import simhash_near_pairs
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return simhash_near_pairs(docs, max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# X2: PORTABLE SimHash — the oracle-checkable twin of the xxhash64 pipeline
+# above. A 32-bit simhash over distinct word 3-shingles where the per-token
+# hash is the first 8 hex digits of md5 (computable identically in Spark
+# and DuckDB), so the WHOLE pipeline — fingerprint, pigeonhole candidate
+# generation, exact Hamming verification — is value-checked against a
+# brute-force all-pairs oracle, not just row-counted. With max Hamming 3
+# and 4 disjoint 8-bit chunks, the pigeonhole principle guarantees every
+# qualifying pair shares at least one chunk, so the banded candidate join
+# (the 100 TB shape: 4 equi-joins on small keys, no cross product) is
+# provably COMPLETE, and its output equals the oracle's exactly.
+# Candidate pairs found in several chunks are emitted only by their FIRST
+# shared chunk (a.cj <> b.cj for all j < k), preserving exactness without
+# a distinct(). Ties in the bit vote (sum == 0) set the bit — both
+# engines integer-sum the same ±1 votes, so no float ambiguity exists.
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_MAX_HD = 3  # 4 chunks of 8 bits -> pigeonhole-complete for hd<=3
+
+
+def _portable_simhash_sql() -> str:
+    """DuckDB oracle: brute-force all-pairs over the portable simhash."""
+    digits = ",\n".join(
+        f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(_SIMHASH_BITS // 4)
+    )
+    votes = ",\n".join(
+        f"CASE WHEN SUM(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) >= 0 THEN {1 << i} ELSE 0 END AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp_sum = " + ".join(f"b{i}" for i in range(_SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks,
+           UNNEST(list_transform(
+               generate_series(1, greatest(len(ts) - 2, 0)),
+               i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS u(s)
+      WHERE s <> ''
+    ), dg AS (
+      SELECT doc_id, {digits} FROM (SELECT doc_id, md5(s) AS h FROM sh)
+    ), fp AS (
+      SELECT doc_id, ({fp_sum}) AS fp
+      FROM (SELECT doc_id, {votes} FROM dg GROUP BY doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {_SIMHASH_MAX_HD}
+    """
+
+
+def portable_simhash_fingerprints(docs):
+    """(doc_id, fp): 32-bit md5-based simhash over distinct 3-shingles.
+
+    All JVM-side built-ins (split/transform/md5/conv + integer sums) —
+    one explode, one hash-aggregate; no Python boundary.
+    """
+    n_hex = _SIMHASH_BITS // 4
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr("split(lower(text), '[^a-z0-9]+')").alias("ts"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(filter(CASE WHEN size(ts) >= 3 THEN"
+                    " transform(sequence(1, size(ts) - 2),"
+                    " i -> concat_ws(' ', slice(ts, i, 3)))"
+                    " ELSE array() END, s -> s <> ''))"
+                )
+            ).alias("s"),
+        )
+        .withColumn("h", F.md5("s"))
+    )
+    for j in range(n_hex):
+        sh = sh.withColumn(
+            f"d{j}",
+            F.expr(f"CAST(conv(substr(h, {j + 1}, 1), 16, 10) AS INT)"),
+        )
+    votes = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.expr(f"(d{i // 4} >> {i % 4}) & 1 = 1"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            )
+            >= 0,
+            F.lit(1 << i),
+        )
+        .otherwise(F.lit(0))
+        .alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    fp = sum((F.col(f"b{i}") for i in range(_SIMHASH_BITS)), F.lit(0))
+    return (
+        sh.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", fp.cast("bigint").alias("fp"))
+    )
+
+
+@query("X2_simhash_portable_pairs", _portable_simhash_sql())
+def simhash_portable_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    fp = portable_simhash_fingerprints(docs)
+    n_chunks = _SIMHASH_MAX_HD + 1
+    width = _SIMHASH_BITS // n_chunks
+    mask = (1 << width) - 1
+    # LSH-band shape: ONE equi-join on (chunk_index, chunk_value) band
+    # rows instead of n_chunks separate self-joins (which would recompute
+    # the fingerprint subtree per branch).
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(f"(fp >> {k * width}) & {mask}").alias("v"),
+                    )
+                    for k in range(n_chunks)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.k", "band.v")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "k", "v"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"), "k", "v"
+    )
+    # first-shared-chunk dedup: for all j < k the chunks differ — derived
+    # from the carried fingerprints, so no extra columns shuffle.
+    first_shared = F.lit(True)
+    for j in range(n_chunks - 1):
+        first_shared = first_shared & (
+            (F.col("k") <= j)
+            | (
+                F.expr(f"(fp_a >> {j * width}) & {mask}")
+                != F.expr(f"(fp_b >> {j * width}) & {mask}")
+            )
+        )
+    return (
+        a.join(b, ["k", "v"])
+        .filter((F.col("id_a") < F.col("id_b")) & first_shared)
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("fp_a ^ fp_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HD)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -288,11 +288,14 @@ def referential_integrity_audit(spark, sf_dir):
     """
     SELECT 'orders.o_orderkey' AS key,
            (SELECT COUNT(*) FROM orders) AS n_rows,
-           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+           (SELECT COUNT(*) FROM
+               (SELECT DISTINCT o_orderkey FROM orders)) AS n_distinct,
            (SELECT COUNT(*) FROM orders)
-             - (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_dup_rows,
+             - (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT o_orderkey FROM orders)) AS n_dup_rows,
            (SELECT COUNT(*) FROM orders)
-             = (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS passed
+             = (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT o_orderkey FROM orders)) AS passed
     UNION ALL
     SELECT 'lineitem.(l_orderkey,l_linenumber)',
            (SELECT COUNT(*) FROM lineitem),
@@ -307,19 +310,25 @@ def referential_integrity_audit(spark, sf_dir):
     UNION ALL
     SELECT 'events.event_id',
            (SELECT COUNT(*) FROM events),
-           (SELECT COUNT(DISTINCT event_id) FROM events),
+           (SELECT COUNT(*) FROM
+               (SELECT DISTINCT event_id FROM events)),
            (SELECT COUNT(*) FROM events)
-             - (SELECT COUNT(DISTINCT event_id) FROM events),
+             - (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT event_id FROM events)),
            (SELECT COUNT(*) FROM events)
-             = (SELECT COUNT(DISTINCT event_id) FROM events)
+             = (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT event_id FROM events))
     UNION ALL
     SELECT 'documents.text',
            (SELECT COUNT(*) FROM documents),
-           (SELECT COUNT(DISTINCT text) FROM documents),
+           (SELECT COUNT(*) FROM
+               (SELECT DISTINCT text FROM documents)),
            (SELECT COUNT(*) FROM documents)
-             - (SELECT COUNT(DISTINCT text) FROM documents),
+             - (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT text FROM documents)),
            (SELECT COUNT(*) FROM documents)
-             = (SELECT COUNT(DISTINCT text) FROM documents)
+             = (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT text FROM documents))
     """,
 )
 def uniqueness_audit(spark, sf_dir):

@@ -84,7 +84,13 @@ _SQL_PAIR_COSINE = """
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    from ..operators.guards import fence_rows
+
+    emb = fence_rows(
+        load(spark, sf_dir, "embeddings", scan_parallel=True),
+        what="X2_embedding_neardup_pairs",
+        scale_path="X2_embedding_neardup_lsh",
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
     from ..operators.similarity import _cosine
@@ -777,3 +783,107 @@ def video_codec_stats(spark, sf_dir):
             )
 
     return docs.select("doc_id").mapInPandas(_stats, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X3: fixed-point k-means — semantic clustering for SemDeDup-style curation
+# and cluster-balanced sampling. The scaled-integer grid (operators/
+# clustering.py) makes 3 Lloyd iterations bit-identical across engines, so
+# the oracle is the SAME algorithm unrolled as SQL CTE stages: assignment
+# by (dist, cid)-ordered row_number, centroid update by exact integer
+# floor-division mean (pmod-subtraction — portable across Spark's
+# truncating DIV and DuckDB's flooring //), empty clusters carrying over.
+# Spark-side the per-iteration shapes are map-side argmin over centroid
+# LITERALS (no join, no shuffle) + one k×dim partial aggregation — the
+# MLlib layout, which is also the 100 TB layout.
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    from ..operators.clustering import KMEANS_SCALE
+
+    q = f"""
+    WITH v AS (
+      SELECT vec_id, i AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {KMEANS_SCALE})
+                  AS BIGINT) AS xi
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+    ),
+    c0 AS (SELECT vec_id AS cid, d, xi AS c FROM v WHERE vec_id < {k}),
+    """
+    for t in range(iters):
+        q += f"""
+    d{t} AS (
+      SELECT v.vec_id, c.cid, SUM((v.xi - c.c) * (v.xi - c.c)) AS dist
+      FROM v JOIN c{t} c USING (d) GROUP BY v.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, cid AS cluster, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{t}) WHERE rn = 1
+    ),
+    """
+        if t < iters - 1:
+            q += f"""
+    s{t} AS (
+      SELECT a.cluster AS cid, v.d,
+             CAST((SUM(v.xi)
+                   - ((SUM(v.xi) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                  / COUNT(*) AS BIGINT) AS c
+      FROM a{t} a JOIN v ON a.vec_id = v.vec_id
+      GROUP BY a.cluster, v.d
+    ),
+    c{t + 1} AS (
+      SELECT cid, d, c FROM s{t}
+      UNION ALL
+      SELECT cid, d, c FROM c{t}
+      WHERE cid NOT IN (SELECT DISTINCT cid FROM s{t})
+    ),
+    """
+    q = q.rstrip().rstrip(",")  # drop the trailing CTE comma
+    return q + f" SELECT vec_id, cluster, dist FROM a{iters - 1}"
+
+
+@query("X3_kmeans_fixed_point", _kmeans_sql())
+def kmeans_fixed_point_query(spark, sf_dir):
+    from ..operators.clustering import kmeans_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    return kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+@query(
+    "X3_cluster_balanced_sample",
+    _kmeans_sql().replace(
+        f"SELECT vec_id, cluster, dist FROM a{_KMEANS_ITERS - 1}",
+        f"""
+    SELECT vec_id, cluster, n_cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_cluster
+      FROM a{_KMEANS_ITERS - 1}) WHERE rn <= 4
+    """,
+    ),
+)
+def cluster_balanced_sample_query(spark, sf_dir):
+    """Equal-representation curation draw: 4 lowest-id members per
+    cluster, annotated with the cluster's total size (so downstream
+    mixture math can re-weight)."""
+    from pyspark.sql import Window
+
+    from ..operators.clustering import cluster_balanced_sample, kmeans_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    labels = kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    sized = labels.withColumn(
+        "n_cluster",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")),
+    )
+    return cluster_balanced_sample(sized, per_cluster=4).select(
+        "vec_id", "cluster", "n_cluster"
+    )

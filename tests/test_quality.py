@@ -132,3 +132,38 @@ class TestUniqueness:
         }
         assert out["dup.k"] == (3, 2, 1, False)
         assert out["clean.kv"] == (3, 3, 0, True)
+
+    def test_nullable_keys_count_as_keys(self, spark):
+        """NULL-containing key tuples are real keys (SQL DISTINCT-subquery
+        semantics): a unique nullable key passes; two identical all-NULL
+        keys are duplicates of each other."""
+        from hg_data_pipelines_spark.operators.quality import check_uniqueness
+
+        nk = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (2, None), (2, "c")],
+            "k bigint, v string",
+        )
+        nn = spark.createDataFrame(
+            [(None, "x"), (None, "x"), (1, "y")], "k bigint, v string"
+        )
+        out = {
+            r["key"]: (r["n_rows"], r["n_distinct"], r["n_dup_rows"], r["passed"])
+            for r in check_uniqueness(
+                [("unique_nullable", nk, ["k", "v"]), ("dup_nulls", nn, ["k", "v"])]
+            ).collect()
+        }
+        # all 4 tuples distinct even though two contain a NULL
+        assert out["unique_nullable"] == (4, 4, 0, True)
+        # (NULL,'x') twice is one distinct key, one duplicate row
+        assert out["dup_nulls"] == (3, 2, 1, False)
+
+    def test_empty_checks_raise(self, spark):
+        from hg_data_pipelines_spark.operators.quality import (
+            check_uniqueness,
+            referential_integrity,
+        )
+
+        with pytest.raises(ValueError, match="no checks"):
+            check_uniqueness([])
+        with pytest.raises(ValueError, match="no relations"):
+            referential_integrity([])

@@ -86,7 +86,7 @@ class TestIntervalOverlapJoin:
 
         T = dt.datetime
         # 100-day intervals with a 7-day grain: the pair meets in many
-        # bands; distinct() must collapse it to one row
+        # bands; first-shared-band filter must emit it exactly once
         a = [(1, T(2024, 1, 1), T(2024, 4, 10))]
         b = [(10, T(2024, 2, 1), T(2024, 5, 1))]
         got_rows = self._run(spark, a, b, grain=7)
@@ -113,3 +113,25 @@ class TestIntervalOverlapJoin:
             if s <= e2 and s2 <= e
         }
         assert self._run(spark, a, b, grain=12) == want
+
+    def test_duplicate_input_rows_keep_multiplicity(self, spark):
+        """Theta-join semantics: a duplicated input row pairs twice.
+        (The old full-row distinct() collapsed these — regression for
+        the first-shared-band dedup.)"""
+        import datetime as dt
+
+        from hg_data_pipelines_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        T = dt.datetime
+        a = spark.createDataFrame(
+            [(1, T(2024, 1, 1), T(2024, 3, 20))] * 2,
+            "a_id long, s timestamp, e timestamp",
+        )
+        b = spark.createDataFrame(
+            [(10, T(2024, 2, 1), T(2024, 4, 1))],
+            "b_id long, s2 timestamp, e2 timestamp",
+        )
+        out = interval_overlap_join(a, b, "s", "e", "s2", "e2", 7).collect()
+        assert len(out) == 2  # once per duplicate left row, no band dup
