@@ -57,6 +57,11 @@ HEADLINE = [
     # round-4 (cont.): sparse retrieval + sub-document dedup flagships
     "X3_bm25_topk",
     "X1_chunk_dedup_reassemble",
+    # round-5: fixed-point semantic clustering (build time includes the
+    # per-iteration centroid jobs — that IS the query's cost) + the
+    # oracle-checkable portable-simhash near-dup pipeline
+    "X3_kmeans_fixed_point",
+    "X2_simhash_portable_pairs",
 ]
 
 

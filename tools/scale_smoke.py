@@ -1,0 +1,154 @@
+"""Scale smoke: measure headline queries at a 10×-replicated sf0.1 (~sf1).
+
+The driver's fixtures stop at sf0.1 (600k lineitem rows). This tool
+manufactures an order-of-magnitude-larger input by unioning K key-shifted
+copies of every sf0.1 table — FK relationships stay intact because both
+sides of every relationship shift by the same per-copy offset — then runs
+a representative slice of the headline set at both scales and reports the
+time ratio per query. Linear-shaped plans should land near K (plus fixed
+overheads amortizing, so often below K); anything superlinear is a scale
+smell the sf0.1 bench cannot see.
+
+Deliberate semantic notes (timing tool, NOT a correctness fixture):
+- documents.text gets a per-copy suffix token so exact-dedup doesn't
+  degenerate to 90% duplicates; near-dup families see K-way near-copies,
+  which only makes their candidate structure HARDER (denser buckets).
+- embeddings get a tiny per-copy deterministic perturbation on the first
+  dimension so ANN bucket structure isn't K identical echoes.
+- Dims (region, nation) are NOT replicated — they are genuinely fixed
+  cardinality; customer/supplier/part/orders/lineitem/events/documents/
+  embeddings all scale.
+
+Usage: python tools/scale_smoke.py [K] (default 10). Writes the scaled
+tables to .scale_smoke/sfX/ (gitignored) once and reuses them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+# (table, [key columns shifted by copy_idx * offset])
+SHIFTS: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# Key offsets chosen above every table's max key so shifted copies never
+# collide. One shared offset per key FAMILY keeps FKs aligned.
+OFFSETS = {
+    "c_custkey": 1_000_000, "o_custkey": 1_000_000,
+    "s_suppkey": 1_000_000, "l_suppkey": 1_000_000,
+    "p_partkey": 1_000_000, "l_partkey": 1_000_000,
+    "o_orderkey": 10_000_000, "l_orderkey": 10_000_000,
+    "event_id": 10_000_000, "user_id": 1_000_000,
+    "doc_id": 1_000_000, "vec_id": 1_000_000,
+}
+
+QUERIES = [
+    "A7_q1_pricing_summary",
+    "A7_q3_shipping_priority",
+    "J1_q5_local_supplier_revenue",
+    "W1_best_order_per_customer",
+    "J6_asof_latest_order",
+    "A20_equi_depth_histogram",
+    "X1_exact_dedup_by_content",
+    "X2_minhash_lsh_pairs",
+    "X2_simhash_portable_pairs",
+    "X3_bm25_topk",
+    "X3_kmeans_fixed_point",
+    "X4_text_stats",
+    "X4_sequence_packing",
+    "X6_tumbling_window_agg",
+    "X8_session_window_agg",
+    "X12_cohort_retention",
+]
+
+
+def build(spark, k: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in SHIFTS.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        if not keys:  # fixed-cardinality dim: copy through
+            src.write.mode("overwrite").parquet(dst)
+            continue
+        copies = []
+        for i in range(k):
+            c = src
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(i * OFFSETS[col]))
+            if table == "documents" and i > 0:
+                c = c.withColumn(
+                    "text", F.concat_ws(" ", "text", F.lit(f"copytag{i}"))
+                )
+            if table == "embeddings" and i > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> CAST(CASE WHEN j = 0"
+                        f" THEN x + {i} * 0.001 ELSE x END AS FLOAT))"
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"built {table} x{k}", flush=True)
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from hg_data_pipelines_spark.queries import QUERIES as REG
+
+    times: dict[str, float] = {}
+    for name in names:
+        REG[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in names:
+        t0 = time.time()
+        REG[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"{sf_dir.split('/')[-1]:>12} {times[name]:7.2f}s {name}", flush=True)
+    return times
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from hg_data_pipelines_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(repo, ".scale_smoke", f"sf{k}x")
+    spark = get_spark("scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, k, out_dir)
+    small = run(spark, SRC, QUERIES)
+    big = run(spark, out_dir, QUERIES)
+    report = {
+        n: {"sf0.1": small[n], f"x{k}": big[n],
+            "ratio": round(big[n] / max(small[n], 1e-9), 2)}
+        for n in QUERIES
+    }
+    print(json.dumps({"k": k, "queries": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
