@@ -1067,3 +1067,47 @@ def bigram_nll_score(spark, sf_dir):
         )
     )
     return scored
+
+
+# --------------------------------------------------------------------------
+# X4: epoch upsampling — the mixture knob that repeats high-quality
+# sources N times per training run (the "3 epochs of wiki, 1 of web"
+# recipe). Row explosion via sequence/generate_series is pure fan-out
+# (map-side, no shuffle); the epoch index rides along so downstream
+# packing can interleave epochs deterministically. At 100 TB the fan-out
+# multiplies bytes, not shuffle keys — the write stays partitioned by
+# (source, epoch) and nothing concentrates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_upsample_epochs",
+    """
+    SELECT doc_id, source, e AS epoch
+    FROM (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1') THEN 3
+                  WHEN source IN ('src2', 'src3') THEN 2
+                  ELSE 1 END AS n_epochs
+      FROM documents
+    ), UNNEST(generate_series(1, n_epochs)) AS u(e)
+    """,
+)
+def upsample_epochs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CASE WHEN source IN ('src0', 'src1') THEN 3"
+                " WHEN source IN ('src2', 'src3') THEN 2"
+                " ELSE 1 END"
+            ).alias("n_epochs"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, n_epochs)")).alias("epoch"),
+        )
+    )

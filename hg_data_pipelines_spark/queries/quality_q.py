@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.quality import Constraint, check_constraints, profile
-from .common import load, query
+from .common import load, query, utc
 
 # --------------------------------------------------------------------------
 # DQ1: one-pass column profile of orders (exact-distinct form so DuckDB
@@ -348,4 +348,68 @@ def uniqueness_audit(spark, sf_dir):
             ("events.event_id", events, ["event_id"]),
             ("documents.text", documents, ["text"]),
         ]
+    )
+
+
+# --------------------------------------------------------------------------
+# DQ8: ingest-volume drift — the day-over-day row-count anomaly gate every
+# production feed needs (a silently half-empty day is the most common
+# upstream failure mode, and no row-level constraint can see it). The
+# z-score uses a trailing 7-day window EXCLUDING the current day, and the
+# moment statistics are assembled from exact integer sums (n, Σn, Σn²)
+# with the variance expanded manually — both engines then execute the
+# identical double-precision expression tree, so the rounded z-score is
+# bit-stable (builtin stddev_samp would leave the accumulation order to
+# the engine). Days without a full 7-day history emit no verdict.
+# --------------------------------------------------------------------------
+
+_DQ8_Z = (
+    "round((n - s / m) / sqrt((ss - (s * s) / m) / (m - 1)), 6)"
+)
+
+
+@query(
+    "DQ8_volume_drift",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT day, n,
+             COUNT(*) OVER win AS m,
+             SUM(n) OVER win AS s,
+             SUM(n * n) OVER win AS ss
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n AS n_events, {_DQ8_Z} AS zscore,
+           abs({_DQ8_Z}) > 2.0 AS is_anomaly
+    FROM w WHERE m = 7
+    """,
+)
+def volume_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    utc(spark)
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = Window.orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "day",
+        "n",
+        F.count(F.lit(1)).over(win).alias("m"),
+        F.sum("n").over(win).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("ss"),
+    )
+    z = F.expr(_DQ8_Z)
+    return (
+        w.filter(F.col("m") == 7)
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
     )

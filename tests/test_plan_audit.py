@@ -36,6 +36,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # both RRF arms rank the ≤50-row survivors of their own
     # TakeOrderedAndProject shortlist — corpus never reaches a window
     "X3_hybrid_rrf_fusion",
+    # trailing 7-day stats over DAILY COUNTS — the window input is the
+    # post-aggregation calendar (one row per day, bounded by feed age,
+    # ~36.5k rows per century), never the raw events table
+    "DQ8_volume_drift",
 }
 
 
