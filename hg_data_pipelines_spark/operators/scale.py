@@ -176,51 +176,22 @@ def write_zorder_clustered(
     """Two-dimensional Z-order (Morton) clustering before a Parquet write:
     selective filters on EITHER column prune files/row-groups.
 
-    Each column is min-max quantized to ``bits`` bits (the min/max scalars
-    ride along as a broadcast 1-row cross join — no driver action), the
-    two codes are bit-interleaved into a Morton value, and the write is
-    range-partitioned + sorted on that value. Because the Morton curve
-    preserves locality in both dimensions, every output file covers a
-    small rectangle of (x, y) space, so Parquet min/max stats stay tight
-    on both columns — unlike single-column range clustering
-    (``write_range_clustered``), which leaves the second column's
-    per-file range at ~100% of global. This is the layout lever for
-    multi-predicate scan pruning at 100 TB; the quantization is
-    layout-only and never changes stored values.
+    Thin wrapper over the canonical N-column implementation in
+    ``operators/layout.py`` (integer-exact grid scaling + bit
+    interleave, min/max bounds broadcast back — no driver action, no
+    window). Because the Morton curve preserves locality in both
+    dimensions, every output file covers a small rectangle of (x, y)
+    space, so Parquet min/max stats stay tight on both columns — unlike
+    single-column range clustering (``write_range_clustered``), which
+    leaves the second column's per-file range at ~100% of global. This
+    is the layout lever for multi-predicate scan pruning at 100 TB; the
+    clustering key is layout-only and never changes stored values.
+    Columns must be integral (cast timestamps upstream); the key math is
+    oracle-checked by the S17_zorder_key_events declared query.
     """
-    stats = df.agg(
-        F.min(col_x).alias("_mnx"),
-        F.max(col_x).alias("_mxx"),
-        F.min(col_y).alias("_mny"),
-        F.max(col_y).alias("_mxy"),
-    )
-    top = (1 << bits) - 1
-    qx = (
-        f"CAST(((CAST({col_x} AS DOUBLE) - _mnx) / "
-        f"(CASE WHEN _mxx = _mnx THEN 1.0 ELSE CAST(_mxx AS DOUBLE) - _mnx END)"
-        f") * {top} AS BIGINT)"
-    )
-    qy = (
-        f"CAST(((CAST({col_y} AS DOUBLE) - _mny) / "
-        f"(CASE WHEN _mxy = _mny THEN 1.0 ELSE CAST(_mxy AS DOUBLE) - _mny END)"
-        f") * {top} AS BIGINT)"
-    )
-    interleave = " | ".join(
-        f"(shiftleft(shiftright(_qx, {i}) & 1, {2 * i}))"
-        f" | (shiftleft(shiftright(_qy, {i}) & 1, {2 * i + 1}))"
-        for i in range(bits)
-    )
-    (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn("_qx", F.expr(qx))
-        .withColumn("_qy", F.expr(qy))
-        .withColumn("_z", F.expr(interleave))
-        .repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_mnx", "_mxx", "_mny", "_mxy", "_qx", "_qy", "_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    from .layout import write_zordered
+
+    write_zordered(df, [col_x, col_y], path, n_files=n_files, bits=bits)
     return path
 
 

@@ -318,3 +318,57 @@ def cdc_apply_roundtrip(spark, sf_dir):
     )
     base = read_table_snapshot(spark, wh, "cust_orders", 1)
     return apply_change_feed(base, feed, ["custkey"])
+
+
+# --------------------------------------------------------------------------
+# S17: Z-order layout key — the multi-dimensional data-skipping write
+# (operators/layout.py). The declared query exposes the Morton key the
+# writer clusters by: both engines derive the same min/max bounds via one
+# aggregate, scale onto the 16-bit grid with multiply-before-divide
+# integer arithmetic, and interleave bits — bit-for-bit portable, so the
+# oracle checks the exact key every row would sort under. The file-level
+# skipping EFFECT (per-file min/max bounding boxes shrinking vs a
+# single-column sort) is asserted on real parquet footers in
+# tests/test_layout.py.
+# --------------------------------------------------------------------------
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
+        for j in range(2)
+        for i in range(bits)
+    )
+    span = (1 << bits) - 1
+    return f"""
+    WITH b AS (
+      SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+             MIN(epoch_us(ts)) AS lo_t, MAX(epoch_us(ts)) AS hi_t
+      FROM events
+    ), s AS (
+      SELECT event_id,
+             CASE WHEN hi_u = lo_u THEN 0
+                  ELSE ((user_id - lo_u) * {span}) // (hi_u - lo_u)
+             END AS s0,
+             CASE WHEN hi_t = lo_t THEN 0
+                  ELSE ((epoch_us(ts) - lo_t) * {span}) // (hi_t - lo_t)
+             END AS s1
+      FROM events, b
+    )
+    SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM s
+    """
+
+
+@query("S17_zorder_key_events", _zorder_sql())
+def zorder_key_events(spark, sf_dir):
+    from ..operators.layout import with_zorder_key
+
+    utc(spark)
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts AS timestamp))").alias("ts_us"),
+    )
+    return with_zorder_key(events, ["user_id", "ts_us"], bits=16).select(
+        "event_id", F.col("_z").alias("zkey")
+    )

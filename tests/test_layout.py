@@ -1,0 +1,115 @@
+"""Z-order layout (operators/layout.py): key math + real skipping effect."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hg_data_pipelines_spark.operators.layout import (
+    with_zorder_key,
+    write_zordered,
+    zorder_bit_expr,
+)
+
+
+class TestZorderKey:
+    def test_interleave_known_values(self, spark):
+        # x=0b11, y=0b01 with 2 bits -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3
+        #                             = 1 | 1<<1 | 1<<2 | 0<<3 = 0b0111
+        df = spark.createDataFrame([(3, 1)], "a bigint, b bigint")
+        z = df.select(zorder_bit_expr(["a", "b"], bits=2).alias("z"))
+        assert z.collect()[0]["z"] == 0b0111
+
+    def test_locality_beats_lexicographic(self, spark):
+        # points on a 4x4 grid: Morton order keeps (x,y) and (x+1,y+1)
+        # closer in key space than lexicographic (x*4+y) keeps (0,3),(1,0)
+        df = spark.createDataFrame(
+            [(x, y) for x in range(4) for y in range(4)],
+            "x bigint, y bigint",
+        )
+        rows = (
+            with_zorder_key(df, ["x", "y"], bits=2)
+            .orderBy("_z")
+            .collect()
+        )
+        order = [(r["x"], r["y"]) for r in rows]
+        # first quadrant (x<2, y<2) occupies the first 4 slots — the
+        # defining property that makes file bounding boxes tight
+        assert set(order[:4]) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+        with pytest.raises(ValueError, match="at least 2"):
+            with_zorder_key(df, ["a"])
+        with pytest.raises(ValueError, match="overflows"):
+            with_zorder_key(df, ["a", "b"], bits=32)
+
+    def test_degenerate_constant_column(self, spark):
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(8)], "a bigint, b bigint"
+        )
+        out = with_zorder_key(df, ["a", "b"], bits=4).collect()
+        assert len(out) == 8  # no divide-by-zero; b contributes 0 bits
+
+
+def _file_spans(path: str, col: str) -> list[tuple[int, int]]:
+    """Per-file (min, max) of ``col`` from parquet footers."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi))
+    return spans
+
+
+class TestWriteZordered:
+    def test_files_carry_tight_bounding_boxes(self, spark, tmp_path):
+        # 2-D uniform data: a single-column sort gives tight x-spans but
+        # every file spans ~all of y; z-order shrinks BOTH spans.
+        n = 4096
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") * 48271 % n).alias("x"),
+            (F.col("id") * 16807 % n).alias("y"),
+        )
+        zpath = str(tmp_path / "zorder")
+        spath = str(tmp_path / "xsort")
+        write_zordered(df, ["x", "y"], zpath, n_files=16)
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+
+        def avg_span(path, col):
+            spans = _file_spans(path, col)
+            return sum(hi - lo for lo, hi in spans) / len(spans) / n
+
+        # x-sorted control: x tight, y spans ~everything
+        assert avg_span(spath, "y") > 0.9
+        # z-ordered: BOTH dimensions' per-file spans shrink well below
+        # the full range -> 2-D range predicates can skip most files
+        assert avg_span(zpath, "x") < 0.6
+        assert avg_span(zpath, "y") < 0.6
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        df = spark.range(100).select(
+            "id", (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+        )
+        p = str(tmp_path / "z")
+        write_zordered(df, ["x", "y"], p, n_files=4)
+        back = spark.read.parquet(p)
+        assert back.count() == 100
+        assert "_z" not in back.columns
+        assert sorted(r["id"] for r in back.collect()) == list(range(100))
