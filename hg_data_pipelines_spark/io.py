@@ -380,6 +380,7 @@ def compact_table(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Compact a Parquet table's small files toward ``target_file_bytes``.
 
@@ -392,7 +393,10 @@ def compact_table(
 
     Returns the new file count. Row order within the table is not
     preserved (Parquet tables are unordered by contract); content equality
-    is what the test asserts. Transactional formats (Delta OPTIMIZE /
+    is what the test asserts. ``zorder_by`` re-clusters the rewrite on the
+    Morton key of 2+ columns (operators/layout.py) — compaction is the
+    natural moment to fix layout, since the data is being rewritten
+    anyway (Delta's OPTIMIZE ZORDER BY pairing). Transactional formats (Delta OPTIMIZE /
     Iceberg rewrite_data_files) are the concurrent-writer production path;
     this is the format-free equivalent with the same cost model.
     """
@@ -422,7 +426,18 @@ def compact_table(
         probe = os.path.join(probe, subs[0])
 
     tmp = path.rstrip("/") + "._compact_tmp"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    if zorder_by:
+        from .operators.layout import with_zorder_key
+
+        df = (
+            with_zorder_key(df, zorder_by)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.repartition(n_files)
+    writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(tmp)

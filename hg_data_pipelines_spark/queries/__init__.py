@@ -58,7 +58,7 @@ _WINDOW = [
     "A8_grouping_sets",
     "A9_approx_distinct_bounds",    # sketch with oracle-checkable bounds
     "A10_exact_percentiles",
-    "A12_pivot_priority_counts",
+    "DQ8_volume_drift",             # ingest-volume anomaly gate
     "A20_equi_depth_histogram",
     "A22_regression_aggs",
     "W1_best_order_per_customer",
@@ -68,14 +68,14 @@ _WINDOW = [
     "O4_topk_orders",
     "O5_intersect_buyers",
     "F_string_funcs",
-    "F_lambda_funcs",
+    "X3_kmeans_fixed_point",       # fixed-point semantic clustering
     "SQL_lateral_topn_per_group",
     "SQL_recursive_reachability",
     "U1_pixel_to_ray",              # geometry UDF surface
     "U3_bbox_inverse",
     "U9_udtf_char_ngrams",          # UDTF
     "U10_grouped_agg_mean",         # pandas UDAF
-    "U12_cogrouped_reconciliation",
+    "S17_zorder_key_events",        # Z-order layout key
     "X1_exact_dedup_by_content",    # exact dedup
     "X2_ngram_jaccard_pairs",       # near-dup (exact verification form)
     "X2_component_representatives", # connected components

@@ -308,3 +308,52 @@ class TestCompaction:
         )
         # partition layout (pruning) preserved
         assert any(d.startswith("event_type=") for d in os.listdir(path))
+
+    def test_compact_with_zorder_reclusters(self, spark, tmp_path):
+        """zorder_by during compaction: content preserved AND per-file
+        min/max spans shrink on both clustering columns."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.io import compact_table
+
+        path = str(tmp_path / "t")
+        n = 4096
+        spark.range(n).select(
+            "id",
+            (F.col("id") * 48271 % n).alias("x"),
+            (F.col("id") * 16807 % n).alias("y"),
+        ).repartition(32).write.parquet(path)
+
+        n_after = compact_table(
+            spark, path, target_file_bytes=6_000, zorder_by=["x", "y"]
+        )
+        assert n_after < 32
+        back = spark.read.parquet(path)
+        assert back.count() == n
+        assert "_z" not in back.columns
+
+        def avg_span(col):
+            spans = []
+            for f in glob.glob(os.path.join(path, "*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }[col]
+                lo = min(
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                spans.append(hi - lo)
+            return sum(spans) / len(spans) / n
+
+        assert n_after >= 8  # 83KB input / 6KB target -> ~14 files
+        assert avg_span("x") < 0.7 and avg_span("y") < 0.7
