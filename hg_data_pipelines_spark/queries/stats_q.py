@@ -602,3 +602,61 @@ def quantile_binning(spark, sf_dir):
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# A24: weighted percentiles — the quantile that respects row mass (median
+# price weighted by quantity ≠ median price). Definition: smallest x whose
+# cumulative weight reaches p · total. Cumulative weights are exact
+# integer sums under a RANGE frame (equal-x runs share the run-end total,
+# so the result is independent of intra-run row order AND partitioning),
+# and the thresholds are cross-multiplied to stay in integer arithmetic —
+# no float accumulation anywhere, both engines agree bit-for-bit.
+# Scale shape: one partitioned window (shuffle on l_returnflag) + one
+# hash aggregate; no global sort.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A24_weighted_percentiles",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               RANGE UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cum * 2 >= tot THEN x END) AS w_median,
+           MIN(CASE WHEN cum * 10 >= tot * 9 THEN x END) AS w_p90
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def weighted_percentiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(win).alias("cum"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("x"))).alias(
+            "w_median"
+        ),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("x"))
+        ).alias("w_p90"),
+    )
