@@ -1,8 +1,10 @@
 """Dedup queries over ``documents``/``events`` (SURVEY.md X1/X2).
 
-The exact forms carry DuckDB oracles; MinHash-LSH and SimHash use engine
-hash functions DuckDB lacks, so they are declared rows-only (deterministic,
-verified structurally by pytest against the exact-Jaccard ground truth).
+The exact forms carry DuckDB oracles. The xxhash64 MinHash-LSH and
+SimHash variants are rows-only (engine hash functions DuckDB lacks;
+pytest pins recall vs the exact ground truth), and each has an
+md5-based PORTABLE twin (X2_minhash_portable_pairs,
+X2_simhash_portable_pairs) whose whole pipeline IS oracle-checked.
 """
 
 from __future__ import annotations
@@ -816,3 +818,173 @@ def containment_pairs_query(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     return ngram_containment_pairs(docs, threshold=_CONTAINMENT_T)
+
+
+# --------------------------------------------------------------------------
+# X2: PORTABLE MinHash-LSH — the oracle-checkable twin of the xxhash64
+# MinHash pipeline (X2_minhash_lsh_pairs), same move as the portable
+# SimHash above. Shingle hashes are a polynomial over the first 8 md5 hex
+# digits (≡ the 32-bit digest prefix, computable identically in Spark and
+# DuckDB); the k=12 hash family is (a_i·h + b_i) mod (2³¹−1) with fixed
+# odd constants (products < 2⁵⁸ — no BIGINT overflow); per-doc signatures
+# are 12 exact integer MINs; banding is 4 bands × 3 rows. Because every
+# step is deterministic integer arithmetic, the ORACLE can brute-force
+# the identical signatures and emit exactly the pairs sharing ≥1 band —
+# so the whole LSH pipeline (signature → banding → candidate → estimate)
+# is value-checked, not just row-counted. Spark keeps the 100 TB shape:
+# ONE equi-join on (band_idx, band_signature) rows, first-shared-band
+# dedup, no distinct, no cross product. ``est_jaccard`` (equal-min
+# fraction) rides along — also exact.
+# --------------------------------------------------------------------------
+
+_MH_P = 2147483647  # 2^31 - 1
+_MH_K = 12
+_MH_BANDS = 4  # rows per band r = _MH_K // _MH_BANDS = 3
+_MH_AB = [(1000003 + 15838 * i, 12345 + 271829 * i) for i in range(_MH_K)]
+
+# 32-bit base hash: polynomial over the first 8 md5 hex digits.
+_MH_H_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {j + 1}, 1)) - 1)"
+    f" * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
+
+def _portable_minhash_sql() -> str:
+    mins = ",\n".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MH_AB)
+    )
+    r = _MH_K // _MH_BANDS
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{k * r + j} = b.m{k * r + j}" for j in range(r)
+        )
+        + ")"
+        for k in range(_MH_BANDS)
+    )
+    eq_count = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks,
+           UNNEST(list_transform(
+               generate_series(1, greatest(len(ts) - 2, 0)),
+               i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS u(s)
+      WHERE s <> ''
+    ), hx AS (
+      SELECT doc_id, ({_MH_H_SQL}) AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, {mins} FROM hx GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(({eq_count}) / {_MH_K}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {band_match}
+    """
+
+
+@query("X2_minhash_portable_pairs", _portable_minhash_sql())
+def minhash_portable_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr("split(lower(text), '[^a-z0-9]+')").alias("ts"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(filter(CASE WHEN size(ts) >= 3 THEN"
+                    " transform(sequence(1, size(ts) - 2),"
+                    " i -> concat_ws(' ', slice(ts, i, 3)))"
+                    " ELSE array() END, s -> s <> ''))"
+                )
+            ).alias("s"),
+        )
+        .withColumn(
+            "h",
+            F.expr(
+                " + ".join(
+                    "CAST(instr('0123456789abcdef',"
+                    f" substr(md5(s), {j + 1}, 1)) - 1 AS BIGINT)"
+                    f" * {16 ** (7 - j)}"
+                    for j in range(8)
+                )
+            ).cast("bigint"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * h + {b}) % {_MH_P}")).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MH_AB)
+        ]
+    )
+    r = _MH_K // _MH_BANDS
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(_MH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        *[
+                            F.col(f"m{k * r + j}").alias(f"b{j}")
+                            for j in range(r)
+                        ],
+                    )
+                    for k in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(_MH_K)],
+        "band.k",
+        *[F.col(f"band.b{j}") for j in range(r)],
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(_MH_K)],
+        "k",
+        *[F.col(f"b{j}") for j in range(r)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(_MH_K)],
+        "k",
+        *[F.col(f"b{j}") for j in range(r)],
+    )
+    # first-shared-band dedup, derived from the carried signatures
+    first_shared = F.lit(True)
+    for kk in range(_MH_BANDS - 1):
+        prev_differs = F.lit(False)
+        for j in range(r):
+            prev_differs = prev_differs | (
+                F.col(f"am{kk * r + j}") != F.col(f"bm{kk * r + j}")
+            )
+        first_shared = first_shared & ((F.col("k") <= kk) | prev_differs)
+    eq_count = sum(
+        (
+            F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+            for i in range(_MH_K)
+        ),
+        F.lit(0),
+    )
+    return (
+        a.join(b, ["k"] + [f"b{j}" for j in range(r)])
+        .filter((F.col("id_a") < F.col("id_b")) & first_shared)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(eq_count.cast("double") / _MH_K, 6).alias("est_jaccard"),
+        )
+    )
