@@ -53,6 +53,10 @@ def kmeans_fixed_point(
     Init: the ``k`` rows with the smallest ids (deterministic; callers
     wanting k-means++ should pre-seed and pass their own init ids).
     ``dist`` is the squared L2 distance on the integer grid (scale²·L2²).
+
+    Range bound: |coordinate| · 2^20 must stay under ~2^31 so the
+    dim-summed squared distances fit BIGINT (fine for unit-normalized
+    embeddings; ANSI mode raises loudly on overflow rather than wrapping).
     """
     v = vectors.select(
         F.col(id_col).alias("_id"), _quantize(vec_col).alias("_vi")

@@ -353,8 +353,9 @@ def _portable_simhash_sql() -> str:
         for j in range(_SIMHASH_BITS // 4)
     )
     votes = ",\n".join(
-        f"CASE WHEN SUM(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1"
-        f" THEN 1 ELSE -1 END) >= 0 THEN {1 << i} ELSE 0 END AS b{i}"
+        f"CASE WHEN CAST(SUM(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS BIGINT) >= 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END AS b{i}"
         for i in range(_SIMHASH_BITS)
     )
     fp_sum = " + ".join(f"b{i}" for i in range(_SIMHASH_BITS))
