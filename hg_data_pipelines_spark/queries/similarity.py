@@ -364,7 +364,35 @@ def quantized_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("X5_video_frame_sample_stats")
+@query(
+    "X5_video_frame_sample_stats",
+    # Closed-form oracle: the frames are min-max quantized embeddings
+    # (floor((x-lo)/span·255), numpy's uint8 astype truncates — CAST in
+    # DuckDB would ROUND, hence the explicit floor) and RAWVID round-trips
+    # losslessly, so every sampled frame's luma mean is SQL-computable.
+    # A hash match here proves the encode→decode→frame-sample mapInPandas
+    # path bit-preserves the frames, not merely that rows came back.
+    """
+    WITH v AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1
+                  AS INTEGER) AS idx,
+             CAST(COUNT(*) OVER (PARTITION BY label) AS INTEGER) AS n_frames
+      FROM embeddings
+    ), s AS (
+      SELECT label, idx, n_frames, e, list_min(e) AS lo,
+             CASE WHEN list_max(e) > list_min(e)
+                  THEN list_max(e) - list_min(e) ELSE 1.0 END AS span
+      FROM v WHERE idx % 2 = 0
+    )
+    SELECT label, n_frames, idx AS frame_idx,
+           CAST(idx AS DOUBLE) / 4 AS t_seconds,
+           list_sum(list_transform(e,
+               x -> floor((x - lo) / span * 255.0))) / len(e)
+               AS mean_intensity
+    FROM s
+    """,
+)
 def video_frame_sample_stats(spark, sf_dir):
     import numpy as np
     import pandas as pd
@@ -418,7 +446,45 @@ def video_frame_sample_stats(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("X5_audio_feature_stats")
+@query(
+    "X5_audio_feature_stats",
+    # Closed-form oracle: encode_wav C-casts the peak-normalized float64
+    # wave to int16 (truncation toward zero — every sample lands in
+    # {-1, 0, 1}), decode scales by 1/32768, and every feature is then
+    # exact integer counting under IEEE-identical double ops (sqrt is
+    # correctly rounded by the standard, so both engines agree to the
+    # bit). A hash match proves the WAV encode→decode→feature mapInPandas
+    # path bit-preserves samples, not merely that rows came back.
+    """
+    WITH f AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ), w AS (
+      SELECT label, vec_id, i, e[i] AS x
+      FROM f, UNNEST(generate_series(1, len(e))) AS u(i)
+    ), p AS (
+      SELECT label, MAX(ABS(x)) AS peak FROM w GROUP BY label
+    ), q AS (
+      SELECT w.label, TRUNC(w.x / CASE WHEN p.peak = 0 THEN 1.0
+                                       ELSE p.peak END) AS s,
+             LAG(TRUNC(w.x / CASE WHEN p.peak = 0 THEN 1.0
+                                  ELSE p.peak END))
+               OVER (PARTITION BY w.label ORDER BY w.vec_id, w.i) AS prev
+      FROM w JOIN p USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(COUNT(*) AS DOUBLE) / 8000 AS duration_s,
+           sqrt((CAST(SUM(CAST(s * s AS BIGINT)) AS DOUBLE)
+                 / 1073741824.0) / COUNT(*)) AS rms,
+           MAX(ABS(s)) / 32768.0 AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                         AND ((prev < 0) != (s < 0))
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+               / (COUNT(*) - 1) AS zero_crossing_rate
+    FROM q GROUP BY label
+    """,
+)
 def audio_feature_stats(spark, sf_dir):
     import numpy as np
     import pandas as pd

@@ -76,6 +76,14 @@ QUERIES = [
     "X6_tumbling_window_agg",
     "X8_session_window_agg",
     "X12_cohort_retention",
+    # iterative graph, measured skew, and the round-5 families
+    "X11_pagerank_knn",
+    "X2_component_representatives",
+    "J9_skew90_join_salted",
+    "DQ8_volume_drift",
+    "S17_zorder_key_events",
+    "A24_weighted_percentiles",
+    "X2_minhash_portable_pairs",
 ]
 
 
