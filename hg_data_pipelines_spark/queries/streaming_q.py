@@ -429,3 +429,67 @@ def streaming_warehouse_landing(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# X10 (cont.): stream-STATIC dimension enrichment — the other canonical
+# streaming join. The static side (customer → nation) is a batch
+# DataFrame joined into every micro-batch; Spark broadcasts it, so the
+# stream side never shuffles on the join key and no join state
+# accumulates at all (unlike stream-stream). The complete-mode aggregate
+# over availableNow replay equals the batch join-aggregate — the oracle.
+# At 100 TB/day this is the dimension-conforming hot path: a slowly
+# changing dim re-broadcasts per batch; keys missing from the dim drop
+# (inner), exactly as the SQL does.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X10_streaming_static_enrich",
+    f"""
+    SELECT n.n_name AS nation, e.event_type, COUNT(*) AS n,
+           {sql_dsum('e.value', 'sum_value')}
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..io import load_table
+
+    stage = tempfile.mkdtemp(prefix="x10_static_events_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    schema = _raw_events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = _to_ntz(spark.readStream.schema(schema).parquet(stage))
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    sink = f"x10_static_enrich_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
