@@ -953,3 +953,51 @@ def cluster_balanced_sample_query(spark, sf_dir):
     return cluster_balanced_sample(sized, per_cluster=4).select(
         "vec_id", "cluster", "n_cluster"
     )
+
+
+# --------------------------------------------------------------------------
+# F: vector function surface — norms, dot products, cosine, elementwise
+# combine over the embedding arrays. Both engines fold dimensions in
+# index order with a 0.0 seed (Spark aggregate(zip_with(...)),
+# DuckDB list_dot_product), the same IEEE sequence the X3 retrieval
+# queries rely on; results round to 6dp for FP robustness. Row-local,
+# no shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_vector_funcs",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           len(e) AS dim,
+           round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+           round(list_sum(list_transform(e, x -> abs(x))), 6) AS l1_norm,
+           round(list_dot_product(e, list_reverse(e))
+                 / (list_dot_product(e, e)), 6) AS self_rev_cos_ratio,
+           round(list_max(e) - list_min(e), 6) AS range_span
+    FROM v
+    """,
+)
+def vector_funcs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+
+    def fold(expr):
+        return F.expr(f"aggregate({expr}, 0.0d, (acc, x) -> acc + x)")
+
+    dot_ee = fold("zip_with(e, e, (x, y) -> x * y)")
+    dot_rev = fold("zip_with(e, reverse(e), (x, y) -> x * y)")
+    return v.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(F.sqrt(dot_ee), 6).alias("l2_norm"),
+        F.round(fold("transform(e, x -> abs(x))"), 6).alias("l1_norm"),
+        F.round(dot_rev / dot_ee, 6).alias("self_rev_cos_ratio"),
+        F.round(F.array_max("e") - F.array_min("e"), 6).alias("range_span"),
+    )

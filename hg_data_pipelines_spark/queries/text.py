@@ -939,3 +939,54 @@ def hybrid_rrf_fusion(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+# --------------------------------------------------------------------------
+# F: array function surface — the collection-function sweep (sort /
+# distinct / slice / contains / element_at / reverse) over document token
+# arrays, all row-local higher-order built-ins (no shuffle, pure
+# whole-stage codegen). Tokens are ASCII-lowercase so lexicographic
+# ordering agrees byte-for-byte across engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "F_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(ts) AS n_toks,
+           len(list_distinct(ts)) AS n_unique,
+           list_sort(list_distinct(ts))[1] AS first_sorted,
+           list_sort(list_distinct(ts))[-1] AS last_sorted,
+           list_contains(ts, 'data') AS has_data,
+           array_to_string(list_slice(list_sort(list_distinct(ts)), 1, 3),
+                           ',') AS first3,
+           list_reverse(ts)[1] AS last_token
+    FROM t
+    """,
+)
+def array_funcs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        ).alias("ts"),
+    )
+    srt = F.array_sort(F.array_distinct("ts"))
+    return t.select(
+        "doc_id",
+        F.size("ts").alias("n_toks"),
+        F.size(F.array_distinct("ts")).alias("n_unique"),
+        F.element_at(srt, 1).alias("first_sorted"),
+        F.element_at(srt, -1).alias("last_sorted"),
+        F.array_contains("ts", "data").alias("has_data"),
+        F.concat_ws(",", F.slice(srt, 1, 3)).alias("first3"),
+        F.element_at(F.reverse("ts"), 1).alias("last_token"),
+    )
