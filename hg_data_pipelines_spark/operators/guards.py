@@ -51,3 +51,52 @@ def fence_rows(
             f"or pass force=True if you really want the quadratic form."
         )
     return df
+
+
+def fence_unique_keys(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    what: str,
+    sample_violations: int = 5,
+    force: bool = False,
+) -> DataFrame:
+    """Raise unless ``keys`` are unique in ``df`` (or ``force``).
+
+    The join-fanout fence: a dimension side that silently stops being
+    key-unique turns every downstream inner join into a row multiplier —
+    the classic quiet corruption that no schema check catches. One
+    count/count-distinct aggregate (struct-wrapped, so NULL-containing
+    tuples count as real keys — DQ7 semantics); on violation the error
+    carries the worst offending keys so the failure is diagnosable
+    without a re-run. At 100 TB this is one partial-aggregated pass over
+    the dim — negligible next to the join it protects.
+    """
+    from pyspark.sql import functions as F
+
+    if force:
+        return df
+    key_struct = F.struct(*[F.col(c) for c in keys])
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(key_struct).alias("d"),
+    ).collect()[0]
+    if row["n"] != row["d"]:
+        worst = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .orderBy(F.col("n").desc(), *keys)
+            .limit(sample_violations)
+            .collect()
+        )
+        detail = ", ".join(
+            f"{tuple(r[c] for c in keys)}×{r['n']}" for r in worst
+        )
+        raise ValueError(
+            f"{what}: join key {keys} not unique "
+            f"({row['n']} rows, {row['d']} distinct keys; worst: {detail}). "
+            f"A join on this side would multiply rows. Deduplicate first, "
+            f"or pass force=True if fan-out is intended."
+        )
+    return df

@@ -44,3 +44,39 @@ class TestFenceRows:
         )
         out = knn_graph_exact(small, k=2, n_chunks=2)
         assert out.count() == 12  # 6 queries × k=2
+
+
+class TestFenceUniqueKeys:
+    def test_unique_passes_through(self, spark):
+        from hg_data_pipelines_spark.operators.guards import fence_unique_keys
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        assert fence_unique_keys(df, ["k"], what="dim") is df
+
+    def test_duplicate_keys_raise_with_worst_offenders(self, spark):
+        from hg_data_pipelines_spark.operators.guards import fence_unique_keys
+
+        df = spark.createDataFrame(
+            [(1, "a")] * 3 + [(2, "b")] * 2 + [(3, "c")], "k long, v string"
+        )
+        with pytest.raises(ValueError, match=r"dim.*not unique.*\(1,\)×3"):
+            fence_unique_keys(df, ["k"], what="dim")
+
+    def test_null_keys_follow_dq7_semantics(self, spark):
+        from hg_data_pipelines_spark.operators.guards import fence_unique_keys
+
+        # two NULL keys are duplicates of each other (struct counting)
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "b")], "k string, v string"
+        )
+        with pytest.raises(ValueError, match="not unique"):
+            fence_unique_keys(df, ["k"], what="dim")
+        # a single NULL key is a real, unique key
+        one = spark.createDataFrame([(None, "a"), ("x", "b")], "k string, v string")
+        assert fence_unique_keys(one, ["k"], what="dim") is one
+
+    def test_force_skips(self, spark):
+        from hg_data_pipelines_spark.operators.guards import fence_unique_keys
+
+        df = spark.createDataFrame([(1,), (1,)], "k long")
+        assert fence_unique_keys(df, ["k"], what="dim", force=True) is df
