@@ -413,3 +413,70 @@ def volume_drift(spark, sf_dir):
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DQ9: freshness audit — data staleness, the third leg of the feed-health
+# triad (DQ8 volume, DQ6/7 integrity, DQ9 recency). Each feed's newest
+# event date is compared against the pipeline's as-of date (a config
+# literal here — in production, current_date at the orchestrator); lag
+# beyond the feed's SLA flags stale. Pure MAX aggregates — one scan per
+# feed, only dates cross to the driver. The fixture anchors make both a
+# passing feed (events, 2 days stale vs a 7-day SLA) and failing feeds
+# (the TPC-H dates vs any recent anchor) so the audit is non-vacuous in
+# both directions.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ9_freshness_audit",
+    """
+    SELECT 'events.ts' AS feed,
+           CAST(MAX(CAST(ts AS DATE)) AS DATE) AS max_date,
+           date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01')
+               AS lag_days,
+           date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01') <= 7
+               AS fresh
+    FROM events
+    UNION ALL
+    SELECT 'orders.o_orderdate',
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE),
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2024-02-01'),
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2024-02-01')
+               <= 7
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_shipdate',
+           CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE),
+           date_diff('day', MAX(CAST(l_shipdate AS DATE)), DATE '2024-02-01'),
+           date_diff('day', MAX(CAST(l_shipdate AS DATE)), DATE '2024-02-01')
+               <= 7
+    FROM lineitem
+    """,
+)
+def freshness_audit(spark, sf_dir):
+    utc(spark)
+    asof = "DATE '2024-02-01'"
+    parts = []
+    for feed, table, col in [
+        ("events.ts", "events", "ts"),
+        ("orders.o_orderdate", "orders", "o_orderdate"),
+        ("lineitem.l_shipdate", "lineitem", "l_shipdate"),
+    ]:
+        t = load(spark, sf_dir, table)
+        parts.append(
+            t.agg(F.max(F.col(col).cast("date")).alias("max_date")).select(
+                F.lit(feed).alias("feed"),
+                "max_date",
+                F.datediff(F.expr(asof), F.col("max_date")).cast("bigint").alias(
+                    "lag_days"
+                ),
+                (
+                    F.datediff(F.expr(asof), F.col("max_date")) <= 7
+                ).alias("fresh"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
