@@ -136,3 +136,107 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve: Z-order's jumps between quadrant boundaries leave a few
+# files straddling distant rectangles; the Hilbert curve visits every
+# grid cell in a single unbroken path (consecutive indices are always
+# grid neighbors), so per-file bounding boxes are as tight as a
+# space-filling curve can make them — the layout behind Databricks
+# liquid clustering. The standard xy→d bit walk (per-bit quadrant
+# detect + reflect/swap rotation) unrolls into `bits` chained integer
+# CASE steps — whole-stage codegen, engine-portable, oracle-checkable.
+# 2-D only (the classical construction); use Z-order for 3+ columns.
+# --------------------------------------------------------------------------
+
+
+def hilbert_step_exprs(
+    s: int, x: str, y: str, d: str
+) -> tuple[str, str, str]:
+    """One unrolled Hilbert iteration at scale ``s`` (a power of two):
+    returns (new_x, new_y, new_d) SQL expressions over columns x, y, d.
+    Uses only +,-,&,CASE — identical semantics in Spark SQL and DuckDB."""
+    rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+    # (3*rx) XOR ry without ^: equals 3*rx + ry - 2*((3*rx & ry) * 2 ... )
+    # simpler: enumerate the 4 cases
+    quad = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+        f" WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+        f" WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+        f" ELSE 3 END)"
+    )
+    new_d = f"({d} + CAST({s} AS BIGINT) * {s} * {quad})"
+    xr = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s} - 1 - {x} ELSE {x} END)"
+    yr = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s} - 1 - {y} ELSE {y} END)"
+    new_x = f"(CASE WHEN {ry} = 0 THEN {yr} ELSE {x} END)"
+    new_y = f"(CASE WHEN {ry} = 0 THEN {xr} ELSE {y} END)"
+    return new_x, new_y, new_d
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    key_col: str = "_h",
+) -> DataFrame:
+    """Append the Hilbert index over TWO integer-valued columns (same
+    bounds/normalization machinery as the Morton key)."""
+    from pyspark.sql import types as T
+
+    if len(cols) != 2:
+        raise ValueError("Hilbert clustering is 2-D; use Z-order for 3+")
+    if 2 * bits > 62:
+        raise ValueError(f"2 x {bits} bits overflows BIGINT")
+    is_int = {
+        c: isinstance(
+            df.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        for c in cols
+    }
+    bounds = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).cast("bigint" if is_int[c] else "double").alias(f"_lo_{c}"),
+                F.max(c).cast("bigint" if is_int[c] else "double").alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for c, s in zip(cols, ("_hx", "_hy")):
+        out = out.withColumn(
+            s, scale_to_grid(c, f"_lo_{c}", f"_hi_{c}", bits, is_int[c])
+        )
+    out = out.withColumn("_hd", F.lit(0).cast("bigint"))
+    for k in range(bits - 1, -1, -1):
+        nx, ny, nd = hilbert_step_exprs(1 << k, "_hx", "_hy", "_hd")
+        out = out.withColumns(
+            {"_hx": F.expr(nx), "_hy": F.expr(ny), "_hd": F.expr(nd)}
+        )
+    return out.withColumn(key_col, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd",
+        *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols],
+    )
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 8,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Write ``df`` as parquet clustered by the Hilbert index of two
+    columns — same range-partition + sort shape as ``write_zordered``."""
+    keyed = with_hilbert_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -372,3 +372,64 @@ def zorder_key_events(spark, sf_dir):
     return with_zorder_key(events, ["user_id", "ts_us"], bits=16).select(
         "event_id", F.col("_z").alias("zkey")
     )
+
+
+# --------------------------------------------------------------------------
+# S18: Hilbert layout key — same contract as S17 for the Hilbert curve
+# (operators/layout.py): both engines walk the identical unrolled
+# per-bit reflect/swap recurrence in pure integer CASE arithmetic, so
+# the oracle checks the exact curve index every row would cluster under.
+# The locality advantage over Z-order (consecutive indices are always
+# grid neighbors) is asserted on parquet footers in tests/test_layout.py.
+# --------------------------------------------------------------------------
+
+
+def _hilbert_sql(bits: int = 16) -> str:
+    from ..operators.layout import hilbert_step_exprs
+
+    span = (1 << bits) - 1
+    # One CTE per bit — substituting each step's expressions into the
+    # next would blow up exponentially (x appears several times per
+    # step); chained CTEs keep the SQL linear in `bits`.
+    ctes = [f"""h{bits} AS (
+      SELECT event_id,
+             CASE WHEN hi_u = lo_u THEN 0
+                  ELSE ((user_id - lo_u) * {span}) // (hi_u - lo_u)
+             END AS x,
+             CASE WHEN hi_t = lo_t THEN 0
+                  ELSE ((epoch_us(ts) - lo_t) * {span}) // (hi_t - lo_t)
+             END AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM events, b
+    )"""]
+    for k in range(bits - 1, -1, -1):
+        nx, ny, nd = hilbert_step_exprs(1 << k, "x", "y", "d")
+        ctes.append(
+            f"h{k} AS (SELECT event_id, {nx} AS x, {ny} AS y, {nd} AS d"
+            f" FROM h{k + 1})"
+        )
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH b AS (
+      SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+             MIN(epoch_us(ts)) AS lo_t, MAX(epoch_us(ts)) AS hi_t
+      FROM events
+    ),
+    {cte_sql}
+    SELECT event_id, d AS hkey FROM h0
+    """
+
+
+@query("S18_hilbert_key_events", _hilbert_sql())
+def hilbert_key_events(spark, sf_dir):
+    from ..operators.layout import with_hilbert_key
+
+    utc(spark)
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts AS timestamp))").alias("ts_us"),
+    )
+    return with_hilbert_key(events, ["user_id", "ts_us"], bits=16).select(
+        "event_id", F.col("_h").alias("hkey")
+    )

@@ -113,3 +113,88 @@ class TestWriteZordered:
         assert back.count() == 100
         assert "_z" not in back.columns
         assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def _xy2d_ref(n: int, x: int, y: int) -> int:
+    """Reference Hilbert xy→d (Wikipedia formulation)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+class TestHilbertKey:
+    def test_matches_reference_on_full_grid(self, spark):
+        from hg_data_pipelines_spark.operators.layout import with_hilbert_key
+
+        bits = 4
+        pts = [(x, y) for x in range(16) for y in range(16)]
+        # feed the raw grid (bounds are exactly [0, 15] so scaling is
+        # identity at bits=4)
+        df = spark.createDataFrame(pts, "x bigint, y bigint")
+        got = {
+            (r["x"], r["y"]): r["_h"]
+            for r in with_hilbert_key(df, ["x", "y"], bits=bits).collect()
+        }
+        for x, y in pts:
+            assert got[(x, y)] == _xy2d_ref(1 << bits, x, y), (x, y)
+
+    def test_consecutive_indices_are_grid_neighbors(self, spark):
+        """The defining Hilbert property Z-order lacks: the curve never
+        jumps — |Δx| + |Δy| = 1 between consecutive indices."""
+        from hg_data_pipelines_spark.operators.layout import with_hilbert_key
+
+        bits = 3
+        pts = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(pts, "x bigint, y bigint")
+        rows = sorted(
+            with_hilbert_key(df, ["x", "y"], bits=bits).collect(),
+            key=lambda r: r["_h"],
+        )
+        assert [r["_h"] for r in rows] == list(range(64))
+        for a, b in zip(rows, rows[1:]):
+            assert abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) == 1
+
+    def test_2d_only(self, spark):
+        from hg_data_pipelines_spark.operators.layout import with_hilbert_key
+
+        df = spark.createDataFrame([(1, 2, 3)], "a bigint, b bigint, c bigint")
+        with pytest.raises(ValueError, match="2-D"):
+            with_hilbert_key(df, ["a", "b", "c"])
+
+    def test_file_spans_no_worse_than_zorder(self, spark, tmp_path):
+        from hg_data_pipelines_spark.operators.layout import (
+            write_hilbert_clustered,
+        )
+
+        n = 4096
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") * 48271 % n).alias("x"),
+            (F.col("id") * 16807 % n).alias("y"),
+        )
+        hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+        write_hilbert_clustered(df, ["x", "y"], hpath, n_files=16)
+        write_zordered(df, ["x", "y"], zpath, n_files=16)
+
+        def total_area(path):
+            xs = _file_spans(path, "x")
+            ys = _file_spans(path, "y")
+            return sum(
+                (xh - xl) * (yh - yl) for (xl, xh), (yl, yh) in zip(xs, ys)
+            )
+
+        # Hilbert's unbroken path → per-file bounding boxes at least as
+        # tight as Morton's (strictly tighter on jump-straddling files);
+        # allow 10% slack for file-boundary placement noise.
+        assert total_area(hpath) <= 1.1 * total_area(zpath)
+        assert spark.read.parquet(hpath).count() == n
