@@ -381,6 +381,7 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_by: list[str] | None = None,
+    curve: str = "zorder",
 ) -> int:
     """Compact a Parquet table's small files toward ``target_file_bytes``.
 
@@ -394,9 +395,11 @@ def compact_table(
     Returns the new file count. Row order within the table is not
     preserved (Parquet tables are unordered by contract); content equality
     is what the test asserts. ``zorder_by`` re-clusters the rewrite on the
-    Morton key of 2+ columns (operators/layout.py) — compaction is the
-    natural moment to fix layout, since the data is being rewritten
-    anyway (Delta's OPTIMIZE ZORDER BY pairing). Transactional formats (Delta OPTIMIZE /
+    Morton key of 2+ columns (operators/layout.py; ``curve="hilbert"``
+    uses the Hilbert index for 2 columns — tighter bounding boxes, no
+    quadrant jumps) — compaction is the natural moment to fix layout,
+    since the data is being rewritten anyway (Delta's OPTIMIZE ZORDER BY
+    pairing). Transactional formats (Delta OPTIMIZE /
     Iceberg rewrite_data_files) are the concurrent-writer production path;
     this is the format-free equivalent with the same cost model.
     """
@@ -427,11 +430,14 @@ def compact_table(
 
     tmp = path.rstrip("/") + "._compact_tmp"
     if zorder_by:
-        from .operators.layout import with_zorder_key
+        from .operators.layout import with_hilbert_key, with_zorder_key
 
+        if curve == "hilbert":
+            df = with_hilbert_key(df, zorder_by, key_col="_z")
+        else:
+            df = with_zorder_key(df, zorder_by)
         df = (
-            with_zorder_key(df, zorder_by)
-            .repartitionByRange(n_files, "_z")
+            df.repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
             .drop("_z")
         )

@@ -357,3 +357,21 @@ class TestCompaction:
 
         assert n_after >= 8  # 83KB input / 6KB target -> ~14 files
         assert avg_span("x") < 0.7 and avg_span("y") < 0.7
+
+    def test_compact_with_hilbert_curve(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.io import compact_table
+
+        path = str(tmp_path / "t")
+        n = 2048
+        spark.range(n).select(
+            "id",
+            (F.col("id") * 48271 % n).alias("x"),
+            (F.col("id") * 16807 % n).alias("y"),
+        ).repartition(16).write.parquet(path)
+        compact_table(
+            spark, path, target_file_bytes=6_000,
+            zorder_by=["x", "y"], curve="hilbert",
+        )
+        assert spark.read.parquet(path).count() == n
