@@ -222,3 +222,41 @@ def personalized_pagerank_fixed_point(
         if checkpoint_dir is not None:
             ranks = _truncate_lineage(ranks, checkpoint_dir)
     return ranks.select("node", "rank_scaled")
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int
+) -> DataFrame:
+    """Fixed-round k-core peel → (node, degree) for nodes surviving
+    ``rounds`` rounds of "drop every node with degree < k".
+
+    The k-core (maximal subgraph where every node keeps ≥ k neighbors)
+    is the standard density filter before community detection — it
+    strips the near-dup graph's dangling pairs so clustering only sees
+    cohesive duplicate groups. The FIXED round count is the determinism
+    contract: both engines run exactly ``rounds`` peels (an unrollable
+    computation, hence hash-oracle-able); when the peel converges within
+    the budget — asserted in pytest by comparing ``rounds`` and
+    ``rounds + 1`` — the result IS the true k-core. Per round: one
+    degree aggregation + one semi-join per side, all key-partitioned;
+    rounds needed in practice ≈ the depth of the shallowest peeling
+    cascade, small for near-dup graphs.
+
+    ``edges`` are undirected pairs (id_a, id_b), no self-loops; each
+    pair once (the peel symmetrizes internally).
+    """
+    und = edges.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        edges.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("src")
+        und = (
+            und.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

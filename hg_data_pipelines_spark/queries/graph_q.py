@@ -319,3 +319,70 @@ def personalized_pagerank_knn(spark, sf_dir):
         F.col("vec_id").alias("node")
     )
     return personalized_pagerank_fixed_point(edges, seeds, n_iter=_PR_ITER)
+
+
+# --------------------------------------------------------------------------
+# X11 (cont.): k-core peel over the near-dup pair graph — the density
+# filter that strips dangling pairs (degree-1 chains) before duplicate-
+# cluster analysis, keeping only cohesive groups where every member has
+# ≥ k near-dup neighbors. Fixed 4-round peel (unrollable → exact oracle);
+# pytest asserts the fixture converges within the budget, so the result
+# is the true 2-core. Each round is one degree aggregation + two
+# key-partitioned semi-joins — no step sees more than the live edge set.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    from .dedup import _JACCARD_THRESHOLD, _SQL_SHINGLES
+
+    parts = [
+        _SQL_SHINGLES
+        + f"""
+    , cpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), good AS (
+        SELECT id_a, id_b FROM cpairs
+        WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {_JACCARD_THRESHOLD}
+    ), e0 AS (
+        SELECT id_a AS src, id_b AS dst FROM good
+        UNION ALL
+        SELECT id_b, id_a FROM good
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", d{r} AS (
+        SELECT src, COUNT(*) AS deg FROM e{r} GROUP BY src
+    ), k{r} AS (
+        SELECT src FROM d{r} WHERE deg >= {k}
+    ), e{r + 1} AS (
+        SELECT e.src, e.dst FROM e{r} e
+        JOIN k{r} ks ON e.src = ks.src
+        JOIN k{r} kd ON e.dst = kd.src
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY src
+    """
+    )
+    return "".join(parts)
+
+
+@query("X11_kcore_neardup", _kcore_oracle())
+def kcore_neardup(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import kcore_peel
+    from .dedup import _JACCARD_THRESHOLD
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    return kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)

@@ -157,3 +157,39 @@ class TestPersonalizedPagerank:
             ).collect()
         }
         assert a == b
+
+
+class TestKcorePeel:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_triangle_survives_dangling_pair_peeled(self, spark):
+        from hg_data_pipelines_spark.operators.graph import kcore_peel
+
+        # triangle 1-2-3 plus dangling pair 4-5 and a tail 3-6
+        e = self._edges(
+            spark, [(1, 2), (2, 3), (1, 3), (4, 5), (3, 6)]
+        )
+        out = {r["node"]: r["degree"] for r in kcore_peel(e, 2, 4).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        from hg_data_pipelines_spark.operators.graph import kcore_peel
+
+        # path 1-2-3-4: round 1 peels 1 and 4, round 2 peels 2 and 3 —
+        # needs the iteration, a single degree filter would keep 2,3
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4)])
+        assert kcore_peel(e, 2, 4).count() == 0
+
+    def test_fixture_converges_within_round_budget(self, spark):
+        """rounds=4 equals rounds=5 on the fixture near-dup graph, so the
+        declared fixed-round contract returns the true 2-core."""
+        from hg_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+        from hg_data_pipelines_spark.operators.graph import kcore_peel
+        from hg_data_pipelines_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        pairs = ngram_jaccard_pairs(docs, threshold=0.08).select("id_a", "id_b")
+        a = sorted(map(tuple, kcore_peel(pairs, 2, 4).collect()))
+        b = sorted(map(tuple, kcore_peel(pairs, 2, 5).collect()))
+        assert a == b
