@@ -245,8 +245,14 @@ def kcore_peel(
     ``edges`` are undirected pairs (id_a, id_b), no self-loops; each
     pair once (the peel symmetrizes internally).
     """
-    und = edges.selectExpr("id_a AS src", "id_b AS dst").unionAll(
-        edges.selectExpr("id_b AS src", "id_a AS dst")
+    und = (
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .unionAll(edges.selectExpr("id_b AS src", "id_a AS dst"))
+        # cut the edge-derivation lineage once, then once per round:
+        # each round references the live edge set three times (degree,
+        # src-keep, dst-keep) — without truncation the lazy plan
+        # re-embeds the whole subtree 3^rounds times.
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
@@ -255,6 +261,7 @@ def kcore_peel(
             und.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
+            .localCheckpoint(eager=False)
         )
     return (
         und.groupBy(F.col("src").alias("node"))
