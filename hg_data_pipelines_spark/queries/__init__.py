@@ -77,7 +77,7 @@ _WINDOW = [
     "U10_grouped_agg_mean",         # pandas UDAF
     "S17_zorder_key_events",        # Z-order layout key
     "X1_exact_dedup_by_content",    # exact dedup
-    "X2_ngram_jaccard_pairs",       # near-dup (exact verification form)
+    "X2_minhash_portable_pairs",    # MinHash-LSH, whole pipeline oracle-checked
     "X2_component_representatives", # connected components
     "X3_cosine_topk_bruteforce",    # similarity search baseline
     "X3_bm25_topk",                 # lexical retrieval
