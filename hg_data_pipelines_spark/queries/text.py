@@ -990,3 +990,83 @@ def array_funcs(spark, sf_dir):
         F.concat_ws(",", F.slice(srt, 1, 3)).alias("first3"),
         F.element_at(F.reverse("ts"), 1).alias("last_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: quality-tiered hash sampling — the curation downsampler: keep all
+# high-quality documents, half the mid tier, a tenth of the low tier.
+# The keep/drop decision is a pure function of doc_id (uniform u32 from
+# the first 8 md5 hex digits — the same portable-hash trick as the
+# MinHash twin), NOT rand(): at 100 TB hash sampling is reproducible
+# across retries, partitionings, and engines, and downstream joins can
+# re-derive membership without a stored sample list. Row-local end to
+# end — zero shuffles.
+# --------------------------------------------------------------------------
+
+_TIER_RATES = {"high": 1.0, "mid": 0.5, "low": 0.1}
+_U32 = 4294967296
+
+
+def _md5_u32_sql(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+@query(
+    "X4_quality_tier_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tiered AS (
+      SELECT doc_id,
+             CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       >= 0.6 THEN 'high'
+                  WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       >= 0.4 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             ({_md5_u32_sql("CAST(doc_id AS VARCHAR)")}) AS u
+      FROM t
+    )
+    SELECT doc_id, tier FROM tiered
+    WHERE u < CASE tier WHEN 'high' THEN {int(1.0 * _U32)}
+                        WHEN 'mid' THEN {int(0.5 * _U32)}
+                        ELSE {int(0.1 * _U32)} END
+    """,
+)
+def quality_tier_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        ).alias("toks"),
+    )
+    ratio = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    u = F.expr(
+        " + ".join(
+            "CAST(instr('0123456789abcdef',"
+            f" substr(md5(CAST(doc_id AS STRING)), {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+    )
+    tiered = t.select(
+        "doc_id",
+        F.when(ratio >= 0.6, "high")
+        .when(ratio >= 0.4, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        u.alias("u"),
+    )
+    rate = (
+        F.when(F.col("tier") == "high", F.lit(int(1.0 * _U32)))
+        .when(F.col("tier") == "mid", F.lit(int(0.5 * _U32)))
+        .otherwise(F.lit(int(0.1 * _U32)))
+    )
+    return tiered.filter(F.col("u") < rate).select("doc_id", "tier")
