@@ -989,3 +989,92 @@ def minhash_portable_pairs(spark, sf_dir):
             F.round(eq_count.cast("double") / _MH_K, 6).alias("est_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X1: exact-substring duplicate spans (the ExactSubstr dedup of Lee et
+# al.'s "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499, re-expressed Spark-first): any ≥L-char substring
+# shared verbatim across ≥2 documents marks a span to cut. Suffix arrays
+# don't distribute; the equivalent formulation does — a character
+# L-gram at every position (stride 1 = full fidelity), grouped by gram
+# to find cross-document repeats, then per-document island-merging of
+# overlapping hit positions into maximal spans. Shapes: one shuffle on
+# the gram key (at 100 TB you'd group on xxhash64(gram) — 8 bytes per
+# key instead of L chars — with a verbatim re-check on the survivors;
+# the declared form groups the string itself so the oracle is exact),
+# one broadcast-back semi-join, one doc-partitioned window for the
+# island merge. Pure integer/string logic — bit-identical both engines.
+# --------------------------------------------------------------------------
+
+_SUBSTR_L = 40
+
+
+@query(
+    "X1_substring_dedup_spans",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, i, substr(text, i, {_SUBSTR_L}) AS g
+      FROM documents,
+           UNNEST(generate_series(1, length(text) - {_SUBSTR_L} + 1)) AS u(i)
+      WHERE length(text) >= {_SUBSTR_L}
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (g)
+    ), brk AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER w > {_SUBSTR_L} THEN 1 ELSE 0 END AS b
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    )
+    SELECT doc_id, MIN(i) AS span_start,
+           MAX(i) + {_SUBSTR_L} - 1 AS span_end,
+           MAX(i) - MIN(i) + {_SUBSTR_L} AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def substring_dedup_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    L = _SUBSTR_L
+    grams = (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {L} + 1)")
+            ).alias("i"),
+        )
+        .select("doc_id", "i", F.expr(f"substring(text, i, {L})").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = hits.withColumn(
+        "b",
+        F.when(F.col("i") - F.lag("i").over(w) > L, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + L - 1).alias("span_end"),
+        (F.max("i") - F.min("i") + L).alias("span_len"),
+    ).drop("island")
