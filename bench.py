@@ -62,6 +62,8 @@ HEADLINE = [
     # oracle-checkable portable-simhash near-dup pipeline
     "X3_kmeans_fixed_point",
     "X2_simhash_portable_pairs",
+    # round-5 (cont.): ExactSubstr-style char-gram duplicate spans
+    "X1_substring_dedup_spans",
 ]
 
 
