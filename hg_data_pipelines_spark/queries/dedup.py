@@ -1078,3 +1078,144 @@ def substring_dedup_spans(spark, sf_dir):
         (F.max("i") + L - 1).alias("span_end"),
         (F.max("i") - F.min("i") + L).alias("span_len"),
     ).drop("island")
+
+
+# --------------------------------------------------------------------------
+# X1 (cont.): span APPLICATION — the cut step that turns detected
+# duplicate spans into redacted documents. Contract: every cross-document
+# duplicate span (the X1_substring_dedup_spans output) is removed from
+# EVERY document carrying it (decontamination semantics; keep-one-copy
+# is a policy layer on top — join the keeper table before cutting). The
+# rebuild takes the complement intervals per document (lag over sorted
+# spans), slices each, and concatenates in order; the declared output is
+# (doc_id, n_chars, cleaned_len, md5 of the cleaned text) so the oracle
+# value-checks the exact redacted bytes without shipping full texts
+# through the comparator. One spans window + one ordered string_agg per
+# doc — both doc-partitioned.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X1_substring_dedup_apply",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, i, substr(text, i, {_SUBSTR_L}) AS g
+      FROM documents,
+           UNNEST(generate_series(1, length(text) - {_SUBSTR_L} + 1)) AS u(i)
+      WHERE length(text) >= {_SUBSTR_L}
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (g)
+    ), brk AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER w > {_SUBSTR_L} THEN 1 ELSE 0 END AS b
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, MIN(i) AS s, MAX(i) + {_SUBSTR_L} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    ), keeps AS (
+      SELECT doc_id,
+             COALESCE(lag(e) OVER w2 + 1, 1) AS ks,
+             s - 1 AS ke,
+             0 AS is_tail
+      FROM spans
+      WINDOW w2 AS (PARTITION BY doc_id ORDER BY s)
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1, 2147483647, 1 FROM spans GROUP BY doc_id
+    ), pieces AS (
+      SELECT k.doc_id, k.ks,
+             CASE WHEN k.is_tail = 1
+                  THEN substr(d.text, k.ks)
+                  ELSE substr(d.text, k.ks, k.ke - k.ks + 1) END AS piece
+      FROM keeps k JOIN documents d USING (doc_id)
+      WHERE k.is_tail = 1 OR k.ke >= k.ks
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS cleaned
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(length(COALESCE(r.cleaned, d.text)) AS BIGINT) AS cleaned_len,
+           md5(COALESCE(r.cleaned, d.text)) AS cleaned_md5
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def substring_dedup_apply(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    L = _SUBSTR_L
+    grams = (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence(1, length(text) - {L} + 1)")).alias("i"),
+        )
+        .select("doc_id", "i", F.expr(f"substring(text, i, {L})").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = hits.withColumn(
+        "b",
+        F.when(F.col("i") - F.lag("i").over(w) > L, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "island", F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + L - 1).alias("e")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("s")
+    mids = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(w2) + 1, F.lit(1)).alias("ks"),
+        (F.col("s") - 1).alias("ke"),
+        F.lit(0).alias("is_tail"),
+    )
+    tails = spans.groupBy("doc_id").agg(
+        (F.max("e") + 1).alias("ks"),
+        F.lit(2147483647).alias("ke"),
+        F.lit(1).alias("is_tail"),
+    )
+    keeps = mids.unionByName(tails).filter(
+        (F.col("is_tail") == 1) | (F.col("ke") >= F.col("ks"))
+    )
+    pieces = keeps.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "ks",
+        F.when(
+            F.col("is_tail") == 1, F.expr("substring(text, ks)")
+        ).otherwise(F.expr("substring(text, ks, ke - ks + 1)")).alias("piece"),
+    )
+    rebuilt = pieces.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort("
+            "collect_list(struct(ks, piece))), p -> p.piece))"
+        ).alias("cleaned")
+    )
+    return (
+        docs.select("doc_id", "n_chars", "text")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length(F.coalesce("cleaned", "text")).cast("bigint").alias(
+                "cleaned_len"
+            ),
+            F.md5(F.coalesce("cleaned", "text").cast("binary")).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
