@@ -1219,3 +1219,62 @@ def substring_dedup_apply(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X4 (here for shingle-machinery reuse): novelty score — the share of a
+# document's distinct 3-shingles that appear NOWHERE else in the corpus.
+# The per-document complement of the dup-rate family: curation pipelines
+# up-weight high-novelty documents in mixtures and down-weight templated
+# text. One inverted-index pass (shingle df) + one per-doc aggregate —
+# the same scale shape as X2's exact pair generation without the pair
+# join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_novelty_score",
+    _SQL_SHINGLES
+    + """
+    , df AS (
+      SELECT s, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(MAX(sh.n) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           round(CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / MAX(sh.n), 6) AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def novelty_score(spark, sf_dir):
+    from ..functions.text import tokens, word_shingles
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    sh = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", word_shingles("toks", 3).alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+    )
+    df = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("d"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("double")
+                / F.max("n"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -1497,3 +1497,66 @@ def asof_tolerance_band(spark, sf_dir):
         left_cols=["event_id", "user_id", "ts"],
         tolerance="8766 DAY",
     )
+
+
+# --------------------------------------------------------------------------
+# X12 (cont.): DAU/MAU stickiness — the engagement ratio product teams
+# live by. Distinct (user, day) pairs reduce events to the small active
+# table first (ONE distinct shuffle over the raw stream — everything
+# after runs on |users|·|days| rows, not |events|); trailing-28-day MAU
+# comes from a banded self-join of the pair table against the day
+# spine (fan-out ≤ 28 per pair — the J8 candidate-bounding shape, no
+# sliding count-distinct window needed). Exact integer counts; the
+# ratio is one double division, identical both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_dau_mau_stickiness",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM active
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM active GROUP BY day
+    ), mau AS (
+      SELECT d.day, COUNT(DISTINCT a.user_id) AS mau
+      FROM days d JOIN active a
+        ON a.day <= d.day AND a.day >= d.day - INTERVAL 27 DAY
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau USING (day)
+    """,
+)
+def dau_mau_stickiness(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = active.select("day").distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    a = active.select(F.col("user_id"), F.col("day").alias("aday"))
+    mau = (
+        days.join(
+            a,
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") >= F.date_sub(F.col("day"), 27)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
