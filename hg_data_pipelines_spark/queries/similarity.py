@@ -1001,3 +1001,162 @@ def vector_funcs(spark, sf_dir):
         F.round(dot_rev / dot_ee, 6).alias("self_rev_cos_ratio"),
         F.round(F.array_max("e") - F.array_min("e"), 6).alias("range_span"),
     )
+
+
+# --------------------------------------------------------------------------
+# X3: MMR diversity re-rank — Maximal Marginal Relevance (Carbonell &
+# Goldstein 1998): greedily pick the candidate maximizing
+# λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s), so the final top-k is
+# relevant AND non-redundant (the standard fix for near-dup-cluttered
+# retrieval). Greedy selection is inherently sequential in k — but k is
+# tiny and fixed, so the loop UNROLLS into k join stages over the
+# per-query candidate shortlist (≤20 rows each), which makes the whole
+# thing oracle-exact: scores are arithmetic over 6dp-rounded cosines,
+# ties break to the lowest candidate id. Scale shape: everything after
+# the top-20 shortlist operates on |queries|·20 rows + |queries|·20²
+# candidate-pair similarities — independent of corpus size.
+# --------------------------------------------------------------------------
+
+_MMR_QUERIES = 10
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def _mmr_sql() -> str:
+    # Integer-scaled score (x10): 7*rel - 3*maxsim over 6dp-rounded
+    # cosines — small-int products of shared doubles are bit-identical
+    # on both engines, and skipping a final round() avoids the
+    # HALF_UP (Spark) vs half-even (DuckDB) boundary on x.xxxxx5 values.
+    lam, om = 7, 3
+    q = f"""
+    WITH cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_SQL_COSINE} AS rel
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {_MMR_QUERIES}
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+      ) <= {_MMR_POOL}
+    ), psim AS (
+      SELECT x.qid, x.cid AS c1, y.cid AS c2, {_SQL_PAIR_COSINE} AS sim
+      FROM cand x
+      JOIN cand y ON x.qid = y.qid AND x.cid != y.cid
+      JOIN embeddings a ON a.vec_id = x.cid
+      JOIN embeddings b ON b.vec_id = y.cid
+    ), sel1 AS (
+      SELECT qid, cid, {lam} * rel AS score, 1 AS stage FROM cand
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, cid) = 1
+    )"""
+    prev_union = "SELECT qid, cid FROM sel1"
+    for t in range(2, _MMR_K + 1):
+        q += f""", pool{t} AS (
+      SELECT c.qid, c.cid, c.rel,
+             MAX(p.sim) AS maxsim
+      FROM cand c
+      JOIN psim p ON p.qid = c.qid AND p.c1 = c.cid
+                 AND p.c2 IN (SELECT cid FROM ({prev_union}) u
+                              WHERE u.qid = c.qid)
+      WHERE c.cid NOT IN (SELECT cid FROM ({prev_union}) u
+                          WHERE u.qid = c.qid)
+      GROUP BY c.qid, c.cid, c.rel
+    ), sel{t} AS (
+      SELECT qid, cid, {lam} * rel - {om} * maxsim AS score, {t} AS stage
+      FROM pool{t}
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY qid
+          ORDER BY {lam} * rel - {om} * maxsim DESC, cid) = 1
+    )"""
+        prev_union += f" UNION ALL SELECT qid, cid FROM sel{t}"
+    sel_all = " UNION ALL ".join(
+        f"SELECT qid, cid, score, stage FROM sel{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return q + f" {sel_all}"
+
+
+@query("X3_mmr_rerank", _mmr_sql())
+def mmr_rerank(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    from ..operators.similarity import cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < _MMR_QUERIES)
+    cand = (
+        cosine_topk(queries, emb, k=_MMR_POOL)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("cid"),
+            F.col("cosine").alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from ..operators.similarity import _cosine
+
+    e1 = emb.select(F.col("vec_id").alias("c1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("c2"), F.col("embedding").alias("v2"))
+    x = cand.select("qid", F.col("cid").alias("c1"))
+    y = cand.select(F.col("qid").alias("q2"), F.col("cid").alias("c2"))
+    psim = (
+        x.join(y, (x["qid"] == y["q2"]) & (x["c1"] != y["c2"]))
+        .join(e1, "c1")
+        .join(e2, "c2")
+        .select(
+            "qid", "c1", "c2", F.round(_cosine("v1", "v2"), 6).alias("sim")
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam, om = 7, 3  # integer-scaled MMR weights, see _mmr_sql
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid")
+    sel = (
+        cand.withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col("rel").desc(), F.col("cid"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("qid", "cid", (F.lit(lam) * F.col("rel")).alias("score"),
+                F.lit(1).alias("stage"))
+    )
+    selected = sel.select("qid", "cid")
+    out = [sel]
+    for t in range(2, _MMR_K + 1):
+        pool = (
+            cand.join(selected.withColumnRenamed("cid", "_sel"), "qid")
+            .filter(F.col("cid") != F.col("_sel"))
+            .groupBy("qid", "cid", "rel")
+            .agg(F.count(F.lit(1)).alias("_nsel"))
+            .filter(F.col("_nsel") == t - 1)  # cid not among selected
+            .join(
+                psim.withColumnRenamed("c1", "cid").withColumnRenamed(
+                    "c2", "_sel"
+                ).join(
+                    selected.withColumnRenamed("cid", "_sel"),
+                    ["qid", "_sel"],
+                ),
+                ["qid", "cid"],
+            )
+            .groupBy("qid", "cid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        st = (
+            pool.withColumn(
+                "score", F.lit(lam) * F.col("rel") - F.lit(om) * F.col("maxsim")
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    w.orderBy(F.col("score").desc(), F.col("cid"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("qid", "cid", "score", F.lit(t).alias("stage"))
+        )
+        out.append(st)
+        selected = selected.unionByName(st.select("qid", "cid")).localCheckpoint(
+            eager=False
+        )
+    res = out[0]
+    for st in out[1:]:
+        res = res.unionByName(st)
+    return res
