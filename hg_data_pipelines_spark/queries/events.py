@@ -1560,3 +1560,96 @@ def dau_mau_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X13 (cont.): top session paths — the full-journey complement of the
+# pairwise transition matrix: sessionize by 30-min gaps (X8's lag
+# pattern), fold each session's event types into an ordered path string,
+# and count the most common journeys. The ordered fold is
+# string_agg(... ORDER BY) / sort_array(collect_list(struct)) — the
+# canonical ordered-aggregation idiom (deterministic: the sort key
+# includes the unique event_id tiebreak). Paths are capped at the first
+# 12 events so a marathon session can't grow an unbounded group key.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X13_top_session_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ), stepped AS (
+        SELECT user_id, ts, event_id, event_type, session_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS step
+        FROM numbered
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM stepped WHERE step <= 12
+        GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def top_session_paths(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            _epoch_us("ts")
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        numbered.withColumn("step", F.row_number().over(ws))
+        .filter(F.col("step") <= 12)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform(array_sort("
+                "collect_list(struct(ts, event_id, event_type))),"
+                " x -> x.event_type))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
