@@ -1653,3 +1653,79 @@ def top_session_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# X15: session anomaly screen — sessions whose event count sits beyond
+# 3·MAD of the corpus median (bot bursts, scraping, stuck clients). The
+# robust-stats core is DQ5's (median + MAD survive the very outliers
+# they hunt); the input is the sessionized event stream rather than a
+# raw column. Two tiny scalar aggregates broadcast back onto the
+# session table — no window over the full stream beyond the
+# sessionization itself.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X15_session_anomalies",
+    _SESSIONIZE_SQL
+    + """
+    , sess AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    ), med AS (
+        SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events) AS m
+        FROM sess
+    ), dev AS (
+        SELECT percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY abs(sess.n_events - med.m)) AS mad
+        FROM sess, med
+    )
+    SELECT s.user_id, s.session_id, s.n_events
+    FROM sess s, med, dev
+    WHERE abs(s.n_events - med.m) > 3 * dev.mad
+    """,
+)
+def session_anomalies(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            _epoch_us("ts")
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_id", F.sum("new_session").over(wrun).cast("long")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = sess.agg(F.percentile("n_events", F.lit(0.5)).alias("m"))
+    dev = (
+        sess.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(
+                F.abs(F.col("n_events") - F.col("m")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    return (
+        sess.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(dev))
+        .filter(F.abs(F.col("n_events") - F.col("m")) > 3 * F.col("mad"))
+        .select("user_id", "session_id", "n_events")
+    )
