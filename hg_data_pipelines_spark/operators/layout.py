@@ -55,12 +55,23 @@ def scale_to_grid(
     result is exact and engine-portable — the form the S17 oracle checks;
     float/decimal columns quantize through double arithmetic (layout-only
     precision, which is all a clustering key needs). A degenerate
-    hi == lo column maps to 0."""
+    hi == lo column maps to 0.
+
+    Integral ranges wider than 2^62 / top (~2^46 at 16 bits — e.g.
+    epoch-micro columns spanning >~4.5 years) would overflow the
+    multiply-before-divide BIGINT product under ANSI; those fall back to
+    the double path at runtime via a range-width CASE. Doubles lose
+    low-bit exactness, but a clustering key only needs the grid cell."""
     top = (1 << bits) - 1
     if integral:
+        wide = (1 << 62) // top
         return F.expr(
-            f"CAST(CASE WHEN {hi} = {lo} THEN 0 ELSE"
-            f" (({col} - {lo}) * {top}) DIV ({hi} - {lo}) END AS BIGINT)"
+            f"CAST(CASE WHEN {hi} = {lo} THEN 0"
+            f" WHEN (CAST({hi} AS DOUBLE) - {lo}) > {wide} THEN"
+            f" CAST((CAST({col} AS DOUBLE) - {lo}) / ({hi} - {lo})"
+            f" * {top} AS BIGINT)"
+            f" ELSE (({col} - {lo}) * {top}) DIV ({hi} - {lo})"
+            f" END AS BIGINT)"
         )
     return F.expr(
         f"CAST(CASE WHEN {hi} = {lo} THEN 0.0 ELSE"

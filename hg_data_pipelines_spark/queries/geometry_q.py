@@ -32,7 +32,7 @@ _ROLL, _PITCH, _HEADING = -1.2, 0.35, 3.7  # radians
 _ORIGIN = (582100.0, 6002250.0, 97.3)
 
 
-@pandas_udf(T.ArrayType(T.DoubleType()))
+@pandas_udf(T.ArrayType(T.LongType()))
 def _ray_udf(px: pd.Series, py: pd.Series) -> pd.Series:
     # Vectorized reference math (street_level_grouping.py:257-299) — the
     # same kernel the street-level pipeline uses.
@@ -51,13 +51,17 @@ def _ray_udf(px: pd.Series, py: pd.Series) -> pd.Series:
         W,
         H,
     )
-    # Quantization is floor(v*1e6 + 0.5)/1e6 — the same IEEE operation
-    # sequence DuckDB's oracle runs. Library round() is NOT portable:
-    # Python rounds the correctly-converted decimal (half-even), DuckDB
-    # rounds the double product (half-away), and they disagree near
-    # half-points even on bit-identical inputs.
+    # Quantization is floor(v*1e6 + 0.5) kept as a BIGINT micro-unit —
+    # the same IEEE operation sequence DuckDB's oracle runs. Library
+    # round() is NOT portable: Python rounds the correctly-converted
+    # decimal (half-even), DuckDB rounds the double product (half-away),
+    # and they disagree near half-points even on bit-identical inputs.
+    # Integers (not /1e6 doubles) keep the declared output scalar-exact:
+    # the driver's pandas canonicalizer is dtype-sensitive and cannot
+    # sort/hash array columns, so the query surfaces the three components
+    # as int64 scalars.
     return pd.Series(
-        [[math.floor(float(v) * 1e6 + 0.5) / 1e6 for v in r] for r in rays]
+        [[int(math.floor(float(v) * 1e6 + 0.5)) for v in r] for r in rays]
     )
 
 
@@ -78,14 +82,15 @@ def _sql_ray() -> str:
         f" cart AS (SELECT *, sin(ph)*cos(th) AS xc, sin(ph)*sin(th) AS yc, cos(ph) AS zc FROM theta)"
     )
     def q(expr: str) -> str:
-        # floor(v*1e6 + 0.5)/1e6 — identical IEEE sequence to the UDF side.
-        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+        # CAST(floor(v*1e6 + 0.5) AS BIGINT) — identical IEEE sequence to
+        # the UDF side, surfaced as an int64 micro-unit scalar.
+        return f"CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT)"
 
     out = (
         f"SELECT l_orderkey, l_linenumber,"
-        f" [{q(f'{r[0][0]}*xc + {r[0][1]}*yc + {r[0][2]}*zc')},"
-        f"  {q(f'{r[1][0]}*xc + {r[1][1]}*yc + {r[1][2]}*zc')},"
-        f"  {q(f'{r[2][0]}*xc + {r[2][1]}*yc + {r[2][2]}*zc')}] AS ray"
+        f" {q(f'{r[0][0]}*xc + {r[0][1]}*yc + {r[0][2]}*zc')} AS ray_x_e6,"
+        f" {q(f'{r[1][0]}*xc + {r[1][1]}*yc + {r[1][2]}*zc')} AS ray_y_e6,"
+        f" {q(f'{r[2][0]}*xc + {r[2][1]}*yc + {r[2][2]}*zc')} AS ray_z_e6"
         f" FROM cart"
     )
     return pre, out
@@ -117,6 +122,13 @@ def pixel_to_ray(spark, sf_dir):
             (F.col("l_partkey") % H).cast("double").alias("py"),
         )
         .select("l_orderkey", "l_linenumber", _ray_udf("px", "py").alias("ray"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.element_at("ray", 1).alias("ray_x_e6"),
+            F.element_at("ray", 2).alias("ray_y_e6"),
+            F.element_at("ray", 3).alias("ray_z_e6"),
+        )
     )
 
 
@@ -456,9 +468,10 @@ def _u3_sql() -> str:
         SELECT l_orderkey, l_linenumber, {corners} FROM crop
     )
     SELECT l_orderkey, l_linenumber,
-           [least(c1x, c2x, c3x, c4x), least(c1y, c2y, c3y, c4y),
-            greatest(c1x, c2x, c3x, c4x), greatest(c1y, c2y, c3y, c4y)]
-               AS bbox_360
+           least(c1x, c2x, c3x, c4x) AS bx1,
+           least(c1y, c2y, c3y, c4y) AS by1,
+           greatest(c1x, c2x, c3x, c4x) AS bx2,
+           greatest(c1y, c2y, c3y, c4y) AS by2
     FROM proj
     """
 
@@ -478,8 +491,18 @@ def bbox_inverse_query(spark, sf_dir):
         .cast("double")
         .alias("y2"),
     )
+    # Surface the 4-int bbox as scalar int64 columns: the driver's pandas
+    # canonicalizer cannot sort/hash array columns, and scalar schemas
+    # stay dtype-exact across both engines.
     return crop.select(
         "l_orderkey",
         "l_linenumber",
         _bbox_inverse_udf("x1", "y1", "x2", "y2").alias("bbox_360"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at("bbox_360", 1).alias("bx1"),
+        F.element_at("bbox_360", 2).alias("by1"),
+        F.element_at("bbox_360", 3).alias("bx2"),
+        F.element_at("bbox_360", 4).alias("by2"),
     )

@@ -912,7 +912,14 @@ def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     ),
     """
     q = q.rstrip().rstrip(",")  # drop the trailing CTE comma
-    return q + f" SELECT vec_id, cluster, dist FROM a{iters - 1}"
+    # CAST: DuckDB's SUM(BIGINT) yields HUGEINT, which the driver's
+    # pandas canonicalizer widens to float64 while Spark's stays int64 —
+    # identical values, different dtype, hash mismatch. Pin to BIGINT.
+    return (
+        q
+        + f" SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist"
+        f" FROM a{iters - 1}"
+    )
 
 
 @query("X3_kmeans_fixed_point", _kmeans_sql())
@@ -926,7 +933,8 @@ def kmeans_fixed_point_query(spark, sf_dir):
 @query(
     "X3_cluster_balanced_sample",
     _kmeans_sql().replace(
-        f"SELECT vec_id, cluster, dist FROM a{_KMEANS_ITERS - 1}",
+        f"SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist"
+        f" FROM a{_KMEANS_ITERS - 1}",
         f"""
     SELECT vec_id, cluster, n_cluster FROM (
       SELECT vec_id, cluster,

@@ -969,16 +969,20 @@ def hybrid_rrf_fusion(spark, sf_dir):
                            ',') AS first3,
            list_reverse(ts)[1] AS last_token
     FROM t
+    WHERE len(ts) > 0
     """,
 )
 def array_funcs(spark, sf_dir):
+    # size(ts) > 0 guard (both engines): element_at on an empty token
+    # array errors under Spark ANSI but NULLs in DuckDB — a document
+    # whose text tokenizes to nothing must be filtered identically.
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     t = docs.select(
         "doc_id",
         F.expr(
             "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
         ).alias("ts"),
-    )
+    ).filter(F.size("ts") > 0)
     srt = F.array_sort(F.array_distinct("ts"))
     return t.select(
         "doc_id",
@@ -1023,6 +1027,8 @@ def _md5_u32_sql(expr: str) -> str:
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
       FROM documents
+    ), nonempty AS (
+      SELECT * FROM t WHERE len(toks) > 0
     ), tiered AS (
       SELECT doc_id,
              CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
@@ -1031,7 +1037,7 @@ def _md5_u32_sql(expr: str) -> str:
                        >= 0.4 THEN 'mid'
                   ELSE 'low' END AS tier,
              ({_md5_u32_sql("CAST(doc_id AS VARCHAR)")}) AS u
-      FROM t
+      FROM nonempty
     )
     SELECT doc_id, tier FROM tiered
     WHERE u < CASE tier WHEN 'high' THEN {int(1.0 * _U32)}
@@ -1040,13 +1046,16 @@ def _md5_u32_sql(expr: str) -> str:
     """,
 )
 def quality_tier_sample(spark, sf_dir):
+    # size(toks) > 0 guard (both engines): the tier ratio divides by the
+    # token count, which diverges on empty-token documents (Spark ANSI
+    # error vs DuckDB NULL) — filter them out identically.
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.select(
         "doc_id",
         F.expr(
             "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
         ).alias("toks"),
-    )
+    ).filter(F.size("toks") > 0)
     ratio = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
     u = F.expr(
         " + ".join(
