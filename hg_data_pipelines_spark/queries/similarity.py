@@ -168,28 +168,117 @@ def knn_graph_lsh(spark, sf_dir):
 # X5 → driver gate: the multimodal image path as a declared query. Each
 # embedding renders as a deterministic 8×8 grayscale image (per-vector
 # min-max quantization — no RNG, no codec dependence), flows through the
-# RAW image codec and the perceptual-hash fingerprinter, and the 64-bit
-# pHash/dHash land back as columns. Rows-only by design (a DCT cannot be
-# expressed in the SQL oracle); determinism means the driver's rows-only
-# check is stable across runs and layouts.
+# RAW image codec, and is fingerprinted with a FIXED-POINT perceptual
+# hash: a scaled-integer 8×8 DCT-II (basis coefficients rounded to
+# 1/2^14, the same trick that makes k-means/PageRank oracle-portable)
+# whose AC coefficients threshold at their exact median, plus a 56-bit
+# horizontal-gradient dHash. All arithmetic after pixel quantization is
+# exact BIGINT, so DuckDB reproduces every bit — this was the last
+# rows-only query with a derivable oracle. The float 32×32 pHash for
+# real images stays in multimodal.py::phash64 (pytest-covered via
+# image_fingerprints); this declared form is its integer twin.
 # --------------------------------------------------------------------------
 
+_PHASH_SCALE = 1 << 14
 
-@query("X5_image_phash_fingerprints")
+
+def _phash_basis() -> list[list[int]]:
+    # Orthonormal DCT-II basis, scaled to integers. Computed once in
+    # Python and embedded as literals in BOTH engines' plans, so cos()
+    # portability never matters.
+    import math
+
+    return [
+        [
+            int(
+                round(
+                    (math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8))
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * _PHASH_SCALE
+                )
+            )
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+def _phash_sql() -> str:
+    basis_vals = ", ".join(
+        f"({u},{x},{a})" for u, row in enumerate(_phash_basis()) for x, a in enumerate(row)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), mm AS (
+      SELECT vec_id, e, list_aggregate(e,'min') AS lo,
+             list_aggregate(e,'max') AS hi FROM base
+    ), px0 AS (
+      SELECT vec_id, generate_subscripts(e,1) AS i, unnest(e) AS v, lo, hi
+      FROM mm
+    ), px AS (
+      -- identical IEEE sequence to numpy: (v-lo)/scale*255 then truncate
+      SELECT vec_id, CAST((i-1) // 8 AS BIGINT) AS r,
+             CAST((i-1) % 8 AS BIGINT) AS c,
+             CAST(floor((v - lo) / (CASE WHEN hi > lo THEN hi - lo
+                                         ELSE 1.0 END) * 255.0) AS BIGINT) AS p
+      FROM px0
+    ), basis AS (
+      SELECT u, x, CAST(a AS BIGINT) AS a FROM (VALUES {basis_vals}) t(u, x, a)
+    ), coef AS (
+      SELECT px.vec_id, bu.u AS cu, bv.u AS cv,
+             CAST(SUM(px.p * bu.a * bv.a) AS BIGINT) AS coeff
+      FROM px JOIN basis bu ON bu.x = px.r JOIN basis bv ON bv.x = px.c
+      GROUP BY px.vec_id, bu.u, bv.u
+    ), med AS (
+      -- 63 AC coefficients: QUANTILE_DISC(0.5) is the 32nd smallest,
+      -- exactly numpy sort(rest)[31]
+      SELECT vec_id, QUANTILE_DISC(coeff, 0.5) AS med
+      FROM coef WHERE NOT (cu = 0 AND cv = 0) GROUP BY vec_id
+    ), bits AS (
+      SELECT c.vec_id, c.cu * 8 + c.cv AS i,
+             CASE WHEN c.cu = 0 AND c.cv = 0 THEN 0
+                  WHEN c.coeff > m.med THEN 1 ELSE 0 END AS b
+      FROM coef c JOIN med m USING (vec_id)
+    ), ph AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN i < 32 THEN
+                 b * (CAST(1 AS BIGINT) << CAST(31 - i AS INTEGER))
+                 ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN i >= 32 THEN
+                 b * (CAST(1 AS BIGINT) << CAST(63 - i AS INTEGER))
+                 ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM bits GROUP BY vec_id
+    ), dh AS (
+      SELECT a.vec_id,
+             CAST(SUM(CASE WHEN b.p > a.p THEN
+                 CAST(1 AS BIGINT) << CAST(55 - (a.r*7 + a.c) AS INTEGER)
+                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash56
+      FROM px a JOIN px b
+        ON b.vec_id = a.vec_id AND b.r = a.r AND b.c = a.c + 1
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, phash_hi, phash_lo, dhash56 FROM ph JOIN dh USING (vec_id)
+    """
+
+
+@query("X5_image_phash_fingerprints", _phash_sql())
 def image_phash_fingerprints_query(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    from ..multimodal import decode_image, dhash64, encode_image, phash64
+    from ..multimodal import decode_image, encode_image
 
+    a_np = np.array(_phash_basis(), dtype=np.int64)
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
-            T.StructField("phash", T.LongType()),
-            T.StructField("dhash", T.LongType()),
+            T.StructField("phash_hi", T.LongType()),
+            T.StructField("phash_lo", T.LongType()),
+            T.StructField("dhash56", T.LongType()),
         ]
     )
 
@@ -202,16 +291,37 @@ def image_phash_fingerprints_query(spark, sf_dir):
                 scale = (hi - lo) if hi > lo else 1.0
                 img = ((v - lo) / scale * 255.0).astype(np.uint8).reshape(8, 8)
                 # round-trip through the RAW codec (exercises the real
-                # image interchange path), then fingerprint
-                arr = decode_image(encode_image(img))
+                # image interchange path), then fingerprint in exact
+                # integer arithmetic
+                p = (
+                    decode_image(encode_image(img))[:, :, 0].astype(np.int64)
+                )
+                coeff = a_np @ p @ a_np.T
+                rest = coeff.ravel()[1:]
+                med = np.sort(rest)[31]
+                bits = rest > med  # DC (index 0) excluded → bit 0 is 0
+                phash_hi = sum(
+                    int(bits[i - 1]) << (31 - i) for i in range(1, 32)
+                )
+                phash_lo = sum(
+                    int(bits[i - 1]) << (63 - i) for i in range(32, 64)
+                )
+                dh = 0
+                for rr in range(8):
+                    for cc in range(7):
+                        if p[rr, cc + 1] > p[rr, cc]:
+                            dh |= 1 << (55 - (rr * 7 + cc))
                 rows.append(
                     {
                         "vec_id": r["vec_id"],
-                        "phash": phash64(arr),
-                        "dhash": dhash64(arr),
+                        "phash_hi": phash_hi,
+                        "phash_lo": phash_lo,
+                        "dhash56": dh,
                     }
                 )
-            yield pd.DataFrame(rows, columns=["vec_id", "phash", "dhash"])
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "phash_hi", "phash_lo", "dhash56"]
+            )
 
     return emb.select("vec_id", "embedding").mapInPandas(_fp, out_schema)
 

@@ -20,10 +20,21 @@ from hg_data_pipelines_spark.queries import ORACLES, QUERIES, _WINDOW
 _BANNED = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 
 
+def _guarded_names():
+    # The driver's gate records the first 50 registered queries, but a
+    # future window rotation could expose queries 50-99 — guard those
+    # too (rotation insurance). Rows-only queries (no oracle) skip the
+    # pandas hash path, so only oracle-checked entries need scalar
+    # shapes.
+    return [n for n in list(QUERIES)[:100] if n in ORACLES]
+
+
 @pytest.fixture(scope="module")
 def window_schemas(spark, sf_dir):
     # Building the DataFrames is lazy — no jobs run, only analysis.
-    return {name: QUERIES[name](spark, sf_dir).schema for name in _WINDOW}
+    return {
+        name: QUERIES[name](spark, sf_dir).schema for name in _guarded_names()
+    }
 
 
 def test_window_queries_all_registered_and_oracle_checked():
