@@ -66,6 +66,31 @@ HEADLINE = [
     "X1_substring_dedup_spans",
 ]
 
+# Coverage set (non-frozen, versioned): one representative per family that
+# the frozen headline set never measured — DQ audits, SCD2/CDC, image/
+# audio/video codecs, layout keys, warehouse sinks, streaming landings.
+# Timed identically (noop sink, warmup, min-of-2) but reported under
+# separate keys so the headline total stays round-over-round comparable.
+COVERAGE = [
+    "DQ1_profile_orders",            # column profiling audit
+    "DQ5_mad_outliers",              # robust outlier audit
+    "DQ7_uniqueness_audit",
+    "DQ8_volume_drift",
+    "W6_scd2_intervals",             # SCD2 interval build
+    "S15_cdc_apply_roundtrip",       # CDC merge/apply
+    "X5_png_codec_stats",            # real PNG decode path
+    "X5_image_phash_fingerprints",   # RAW codec + fixed-point DCT pHash
+    "X5_wav_codec_stats",            # audio codec
+    "X5_video_codec_stats",          # video frame codec
+    "S17_zorder_key_events",         # Z-order layout keys
+    "S18_hilbert_key_events",        # Hilbert layout keys
+    "S9_partitioned_events_pruned",  # partitioned sink + pruning
+    "X6_streaming_tumbling",         # real readStream micro-batch
+    "X9_streaming_dedup_within_watermark",
+    "S16_streaming_warehouse_landing",
+    "X15_session_anomalies",         # 3-MAD session outlier screen
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,29 +102,40 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup pass (untimed): JVM JIT + whole-stage-codegen compilation
-    # dominate first-run latency by 5-10×; steady-state per-query time is
-    # the meaningful number for a long-lived cluster.
-    for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def run_set(names: list[str]) -> dict[str, float]:
+        # Warmup pass (untimed): JVM JIT + whole-stage-codegen compilation
+        # dominate first-run latency by 5-10×; steady-state per-query time
+        # is the meaningful number for a long-lived cluster.
+        for name in names:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        # Two timed passes, per-query min: the VM shows bursty host-level
+        # CPU steal (one slow burst can inflate a single query 10×);
+        # min-of-2 is a far better steady-state estimator than a single
+        # sample.
+        timings: dict[str, float] = {}
+        for _pass in range(2):
+            for name in names:
+                fn = QUERIES[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+        return timings
 
-    # Two timed passes, per-query min: the VM shows bursty host-level CPU
-    # steal (one slow burst can inflate a single query 10×); min-of-2 is a
-    # far better steady-state estimator than a single sample.
-    timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            fn = QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+    timings = run_set(HEADLINE)
+    coverage = run_set(COVERAGE)
 
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "coverage_queries": coverage,
+        "coverage_total": round(sum(coverage.values()), 3),
         "sf": sf,
     }
     print(json.dumps(out))
