@@ -999,29 +999,82 @@ def minhash_portable_pairs(spark, sf_dir):
 # don't distribute; the equivalent formulation does — a character
 # L-gram at every position (stride 1 = full fidelity), grouped by gram
 # to find cross-document repeats, then per-document island-merging of
-# overlapping hit positions into maximal spans. Shapes: one shuffle on
-# the gram key (at 100 TB you'd group on xxhash64(gram) — 8 bytes per
-# key instead of L chars — with a verbatim re-check on the survivors;
-# the declared form groups the string itself so the oracle is exact),
-# one broadcast-back semi-join, one doc-partitioned window for the
-# island merge. Pure integer/string logic — bit-identical both engines.
+# overlapping hit positions into maximal spans. Shapes: one shuffle on a
+# 60-bit md5-derived GRAM HASH (8 bytes per key instead of L chars — the
+# 100 TB form, ~5× less build-side shuffle; md5 is computed identically
+# in Spark and DuckDB, so a collision — ~n²/2^61, vanishing — would be
+# shared by both engines and the oracle stays exact), one broadcast-back
+# semi-join, one doc-partitioned window for the island merge. The gram
+# strings themselves exist only transiently inside codegen; the apply
+# query's digest check (`X1_substring_dedup_apply`) re-verifies cut
+# content verbatim. Pure integer logic — bit-identical both engines.
 # --------------------------------------------------------------------------
 
 _SUBSTR_L = 40
+
+
+def _gram_hash_sql_duckdb(h: str) -> str:
+    # first 15 hex digits of md5 → 60-bit BIGINT (DuckDB has no conv())
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+
+
+def _gram_hits(docs):
+    """(doc_id, i) positions whose L-gram repeats across >= 2 documents.
+
+    The shuffle key is the 60-bit md5-derived gram hash (8 bytes vs L
+    chars — the build-side-bytes fix for 100 TB); the gram string itself
+    exists only transiently inside codegen."""
+    L = _SUBSTR_L
+    grams = (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {L} + 1)")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                f"CAST(conv(substr(md5(CAST(substring(text, i, {L})"
+                f" AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gh")
+    )
+    return grams.join(dup, "gh").select("doc_id", "i")
+
 
 
 @query(
     "X1_substring_dedup_spans",
     f"""
     WITH grams AS (
-      SELECT doc_id, i, substr(text, i, {_SUBSTR_L}) AS g
+      SELECT doc_id, i,
+             CAST({_gram_hash_sql_duckdb(
+                 f"md5(substr(text, i, {_SUBSTR_L}))")} AS BIGINT) AS gh
       FROM documents,
            UNNEST(generate_series(1, length(text) - {_SUBSTR_L} + 1)) AS u(i)
       WHERE length(text) >= {_SUBSTR_L}
     ), dup AS (
-      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
     ), hits AS (
-      SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (g)
+      SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (gh)
     ), brk AS (
       SELECT doc_id, i,
              CASE WHEN i - lag(i) OVER w > {_SUBSTR_L} THEN 1 ELSE 0 END AS b
@@ -1044,24 +1097,7 @@ def substring_dedup_spans(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     L = _SUBSTR_L
-    grams = (
-        docs.filter(F.length("text") >= L)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.expr(f"sequence(1, length(text) - {L} + 1)")
-            ).alias("i"),
-        )
-        .select("doc_id", "i", F.expr(f"substring(text, i, {L})").alias("g"))
-    )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "i")
+    hits = _gram_hits(docs)
     w = Window.partitionBy("doc_id").orderBy("i")
     brk = hits.withColumn(
         "b",
@@ -1099,14 +1135,16 @@ def substring_dedup_spans(spark, sf_dir):
     "X1_substring_dedup_apply",
     f"""
     WITH grams AS (
-      SELECT doc_id, i, substr(text, i, {_SUBSTR_L}) AS g
+      SELECT doc_id, i,
+             CAST({_gram_hash_sql_duckdb(
+                 f"md5(substr(text, i, {_SUBSTR_L}))")} AS BIGINT) AS gh
       FROM documents,
            UNNEST(generate_series(1, length(text) - {_SUBSTR_L} + 1)) AS u(i)
       WHERE length(text) >= {_SUBSTR_L}
     ), dup AS (
-      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
     ), hits AS (
-      SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (g)
+      SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (gh)
     ), brk AS (
       SELECT doc_id, i,
              CASE WHEN i - lag(i) OVER w > {_SUBSTR_L} THEN 1 ELSE 0 END AS b
@@ -1151,22 +1189,7 @@ def substring_dedup_apply(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     L = _SUBSTR_L
-    grams = (
-        docs.filter(F.length("text") >= L)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(F.expr(f"sequence(1, length(text) - {L} + 1)")).alias("i"),
-        )
-        .select("doc_id", "i", F.expr(f"substring(text, i, {L})").alias("g"))
-    )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "i")
+    hits = _gram_hits(docs)
     w = Window.partitionBy("doc_id").orderBy("i")
     isl = hits.withColumn(
         "b",
