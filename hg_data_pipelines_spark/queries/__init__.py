@@ -52,7 +52,6 @@ _WINDOW = [
     "J8_range_join_banded",         # banded range join
     "J9_skew90_join_salted",        # skew/salting
     "J10_bloom_pruned_join",        # bloom-pruned join
-    "J11_interval_overlap_join",    # interval overlap join
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "A2_value_counts",
     "A8_grouping_sets",
@@ -60,7 +59,6 @@ _WINDOW = [
     "A10_exact_percentiles",
     "DQ8_volume_drift",             # ingest-volume anomaly gate
     "A20_equi_depth_histogram",
-    "A22_regression_aggs",
     "W1_best_order_per_customer",
     "W3_lag_lead_running_sum",
     "W6_scd2_intervals",
@@ -84,6 +82,8 @@ _WINDOW = [
     "X4_quality_score",             # text quality gate
     "X4_sequence_packing",          # LLM-corpus op
     "X5_png_codec_stats",           # multimodal codec (value-level)
+    "X5_image_phash_fingerprints",  # fixed-point DCT pHash (r6 oracle upgrade)
+    "X1_incremental_dedup_portable",  # incremental-store classify twin (r6)
     "X6_tumbling_window_agg",       # event-time windows
     "X8_session_window_agg",        # session windows
     "X11_pagerank_knn",             # iterative graph

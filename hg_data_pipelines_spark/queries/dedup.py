@@ -891,9 +891,11 @@ def _portable_minhash_sql() -> str:
     """
 
 
-@query("X2_minhash_portable_pairs", _portable_minhash_sql())
-def minhash_portable_pairs(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+def _portable_sig(docs):
+    """(doc_id, m0..m{K-1}): md5-polynomial MinHash signature columns —
+    the DuckDB-reproducible twin of operators/dedup.py's xxhash64
+    signatures. Shared by the pair query and the incremental-store
+    classify twin below."""
     sh = (
         docs.select(
             "doc_id",
@@ -922,12 +924,18 @@ def minhash_portable_pairs(spark, sf_dir):
             ).cast("bigint"),
         )
     )
-    sig = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"({a} * h + {b}) % {_MH_P}")).alias(f"m{i}")
             for i, (a, b) in enumerate(_MH_AB)
         ]
     )
+
+
+@query("X2_minhash_portable_pairs", _portable_minhash_sql())
+def minhash_portable_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    sig = _portable_sig(docs)
     r = _MH_K // _MH_BANDS
     bands = sig.select(
         "doc_id",
@@ -987,6 +995,192 @@ def minhash_portable_pairs(spark, sf_dir):
             "id_a",
             "id_b",
             F.round(eq_count.cast("double") / _MH_K, 6).alias("est_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X1 (cont.): PORTABLE incremental-store classify — the oracle-checked
+# twin of X1_incremental_dedup_store's per-document decision. Same
+# contract (history = doc_id % 10 < 8, batch = rest; exact_dup by
+# content hash > near_dup by banded MinHash agreement >= 0.5 with best
+# match on (est DESC, match_id) > new), but the signature is the
+# md5-polynomial MinHash above so DuckDB reproduces every decision.
+# Spark keeps the store shape: batch side BROADCAST into both probes
+# (exact hash join, banded candidate join), history only scanned. The
+# xxhash64 store query remains the production path (warehouse-persisted
+# fingerprints); this twin value-checks the classify semantics.
+# --------------------------------------------------------------------------
+
+
+def _incr_portable_sql() -> str:
+    mins = ",\n".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MH_AB)
+    )
+    r = _MH_K // _MH_BANDS
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"hs.m{k * r + j} = bs.m{k * r + j}" for j in range(r)
+        )
+        + ")"
+        for k in range(_MH_BANDS)
+    )
+    eq_count = " + ".join(
+        f"CASE WHEN hs.m{i} = bs.m{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_K)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks,
+           UNNEST(list_transform(
+               generate_series(1, greatest(len(ts) - 2, 0)),
+               i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS u(s)
+      WHERE s <> ''
+    ), hx AS (
+      SELECT doc_id, ({_MH_H_SQL}) AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, {mins} FROM hx GROUP BY doc_id
+    ), hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+    ), exact AS (
+      SELECT b.doc_id, MIN(h.doc_id) AS match_id
+      FROM batch b JOIN hist h ON md5(h.text) = md5(b.text)
+      GROUP BY b.doc_id
+    ), cand AS (
+      SELECT bs.doc_id, hs.doc_id AS match_id,
+             round(({eq_count}) / {_MH_K}.0, 6) AS est
+      FROM (SELECT s.* FROM sig s JOIN batch USING (doc_id)) bs
+      JOIN (SELECT s.* FROM sig s JOIN hist USING (doc_id)) hs
+        ON ({band_match})
+    ), near AS (
+      SELECT doc_id, match_id, est FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY est DESC, match_id) AS rn
+        FROM cand WHERE est >= 0.5
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.match_id
+                ELSE n.match_id END AS match_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1.0
+                WHEN n.doc_id IS NOT NULL THEN n.est END AS est_jaccard
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    """
+
+
+@query("X1_incremental_dedup_portable", _incr_portable_sql())
+def incremental_dedup_portable(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    exact = (
+        history.select(
+            F.md5(F.col("text").cast("binary")).alias("ch"),
+            F.col("doc_id").alias("match_id"),
+        )
+        .join(
+            F.broadcast(
+                batch.select(
+                    "doc_id", F.md5(F.col("text").cast("binary")).alias("ch")
+                )
+            ),
+            "ch",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .withColumn("status", F.lit("exact_dup"))
+        .withColumn("est_jaccard", F.lit(1.0))
+    )
+
+    r = _MH_K // _MH_BANDS
+
+    def band_rows(sig, id_alias):
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            *[F.col(f"m{i}") for i in range(_MH_K)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            *[
+                                F.col(f"m{k * r + j}").alias(f"b{j}")
+                                for j in range(r)
+                            ],
+                        )
+                        for k in range(_MH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            id_alias,
+            *[F.col(f"m{i}") for i in range(_MH_K)],
+            "band.k",
+            *[F.col(f"band.b{j}") for j in range(r)],
+        )
+
+    hsig = _portable_sig(history)
+    bsig = _portable_sig(batch)
+    h_bands = band_rows(hsig, "match_id").select(
+        "match_id",
+        *[F.col(f"m{i}").alias(f"hm{i}") for i in range(_MH_K)],
+        "k",
+        *[f"b{j}" for j in range(r)],
+    )
+    b_bands = band_rows(bsig, "doc_id")
+    cand = (
+        h_bands.join(F.broadcast(b_bands), ["k"] + [f"b{j}" for j in range(r)])
+        .select(
+            "doc_id",
+            "match_id",
+            *[f"hm{i}" for i in range(_MH_K)],
+            *[f"m{i}" for i in range(_MH_K)],
+        )
+        .dropDuplicates(["doc_id", "match_id"])
+    )
+    eq_count = sum(
+        (
+            F.when(F.col(f"hm{i}") == F.col(f"m{i}"), 1).otherwise(0)
+            for i in range(_MH_K)
+        ),
+        F.lit(0),
+    )
+    scored = cand.withColumn(
+        "est", F.round(eq_count.cast("double") / _MH_K, 6)
+    ).filter(F.col("est") >= 0.5)
+    near = dedup_exact(
+        scored, ["doc_id"], [F.desc("est"), F.asc("match_id")]
+    ).select(
+        "doc_id",
+        "match_id",
+        F.col("est").alias("est_jaccard"),
+    ).withColumn("status", F.lit("near_dup"))
+
+    classified = exact.unionByName(
+        near.join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    return (
+        batch.select("doc_id")
+        .join(classified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("status", F.lit("new")).alias("status"),
+            "match_id",
+            "est_jaccard",
         )
     )
 

@@ -1663,6 +1663,15 @@ def top_session_paths(spark, sf_dir):
 # raw column. Two tiny scalar aggregates broadcast back onto the
 # session table — no window over the full stream beyond the
 # sessionization itself.
+#
+# Scale note (DQ5's footnote applies here too): the two exact
+# `F.percentile` aggregations buffer DISTINCT session sizes, not
+# sessions — event counts are small integers with bounded cardinality
+# (a 10^6-event session is already the anomaly), so the buffer stays
+# KBs even at 100 TB. If session sizes were unbounded-cardinality (e.g.
+# a continuous score), swap both for `approx_percentile` (t-digest,
+# constant memory) — the 3·MAD screen tolerates t-digest error because
+# anomalies sit far outside the band by construction.
 # --------------------------------------------------------------------------
 
 

@@ -87,7 +87,14 @@ QUERIES = [
 ]
 
 
-def build(spark, k: int, out_dir: str) -> None:
+def build(
+    spark, k: int, out_dir: str, src_dir: str = SRC, offset_scale: int = 1
+) -> None:
+    """Write k key-shifted copies of every table in src_dir to out_dir.
+
+    offset_scale widens the per-copy key offsets — required when src_dir
+    is itself a replica (its keys already span k_prev × OFFSET), so a
+    composed build passes offset_scale=k_prev to keep copies disjoint."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -95,7 +102,7 @@ def build(spark, k: int, out_dir: str) -> None:
         dst = os.path.join(out_dir, f"{table}.parquet")
         if os.path.exists(dst):
             continue
-        src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        src = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
         if not keys:  # fixed-cardinality dim: copy through
             src.write.mode("overwrite").parquet(dst)
             continue
@@ -103,17 +110,23 @@ def build(spark, k: int, out_dir: str) -> None:
         for i in range(k):
             c = src
             for col in keys:
-                c = c.withColumn(col, F.col(col) + F.lit(i * OFFSETS[col]))
+                c = c.withColumn(
+                    col, F.col(col) + F.lit(i * OFFSETS[col] * offset_scale)
+                )
             if table == "documents" and i > 0:
                 c = c.withColumn(
-                    "text", F.concat_ws(" ", "text", F.lit(f"copytag{i}"))
+                    "text",
+                    F.concat_ws(
+                        " ", "text", F.lit(f"copytag{offset_scale}x{i}")
+                    ),
                 )
             if table == "embeddings" and i > 0:
                 c = c.withColumn(
                     "embedding",
                     F.expr(
                         f"transform(embedding, (x, j) -> CAST(CASE WHEN j = 0"
-                        f" THEN x + {i} * 0.001 ELSE x END AS FLOAT))"
+                        f" THEN x + {i} * {0.001 * offset_scale}"
+                        f" ELSE x END AS FLOAT))"
                     ),
                 )
             copies.append(c)
@@ -138,14 +151,50 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return times
 
 
+# The worst-ratio queries from the 10× runs (PERFORMANCE.md round-5
+# tables) — the composed 100× step answers "does the dense-bucket
+# penalty COMPOUND with each decade, or saturate?"
+COMPOSE_QUERIES = [
+    "A7_q3_shipping_priority",
+    "X2_simhash_portable_pairs",
+    "X2_minhash_portable_pairs",
+    "X2_minhash_lsh_pairs",
+    "X2_component_representatives",
+]
+
+
+def compose(spark, k: int) -> None:
+    """Composed k×k step: build the k× replica's own k× replica and time
+    the worst-ratio queries at both decades. Ratios near the first
+    decade's mean the penalty saturates; much larger means it compounds."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d1 = os.path.join(repo, ".scale_smoke", f"sf{k}x")
+    d2 = os.path.join(repo, ".scale_smoke", f"sf{k * k}x")
+    build(spark, k, d1)
+    build(spark, k, d2, src_dir=d1, offset_scale=k)
+    mid = run(spark, d1, COMPOSE_QUERIES)
+    big = run(spark, d2, COMPOSE_QUERIES)
+    report = {
+        n: {f"x{k}": mid[n], f"x{k * k}": big[n],
+            "decade2_ratio": round(big[n] / max(mid[n], 1e-9), 2)}
+        for n in COMPOSE_QUERIES
+    }
+    print(json.dumps({"k": k, "composed": k * k, "queries": report}))
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--compose"]
+    k = int(args[0]) if args else 10
     from hg_data_pipelines_spark.session import get_spark
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = os.path.join(repo, ".scale_smoke", f"sf{k}x")
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--compose" in sys.argv[1:]:
+        compose(spark, k)
+        spark.stop()
+        return
     build(spark, k, out_dir)
     small = run(spark, SRC, QUERIES)
     big = run(spark, out_dir, QUERIES)
