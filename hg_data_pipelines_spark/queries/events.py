@@ -1738,3 +1738,49 @@ def session_anomalies(spark, sf_dir):
         .filter(F.abs(F.col("n_events") - F.col("m")) > 3 * F.col("mad"))
         .select("user_id", "session_id", "n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-W12: running COUNT(DISTINCT) — cumulative distinct users by day.
+# Spark windows don't support COUNT(DISTINCT) over a frame; the classic
+# decomposition is exact: attribute each user to their FIRST active day
+# (one hash agg), count first-appearances per day, and prefix-sum those
+# counts over the day order. The prefix sum runs through
+# operators/scale.global_running_sum (range-partitioned partial sums +
+# broadcast offsets), never an unpartitioned window — the day table is
+# small here but the same query shape must survive an order column with
+# billions of distinct values (e.g. cumulative distinct per timestamp).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W12_running_distinct_users",
+    """
+    WITH first_day AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+)
+def running_distinct_users(spark, sf_dir):
+    from ..operators.scale import global_running_sum
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return global_running_sum(
+        per_day, ["day"], "new_users", "cum_users", exclusive=False
+    ).select("day", "new_users", "cum_users")

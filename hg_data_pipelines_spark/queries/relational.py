@@ -1673,3 +1673,41 @@ def interval_overlap_join_query(spark, sf_dir):
             F.least("e", "e2").cast("date"), F.greatest("s", "s2").cast("date")
         ).cast("bigint").alias("overlap_days"),
     )
+
+
+@query(
+    "F_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_extract(p_name, '^[a-z]+ ([a-z]+)', 1) AS second_word,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER)
+               AS n_vowels,
+           CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER)
+               AS brand_num,
+           CAST(regexp_matches(p_name, '^[aeiou]') AS INTEGER)
+               AS vowel_start,
+           regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def regex_funcs(spark, sf_dir):
+    """§2.8 regex surface: extract (group refs), extract-all counting,
+    boolean match, global replace. Patterns stay inside the ASCII class /
+    anchor / group subset where Java regex (Spark) and RE2 (DuckDB) agree
+    — both engines return '' for a non-matching extract (verified), so
+    missing second words hash identically."""
+    part = load(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", "^[a-z]+ ([a-z]+)", 1).alias("second_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0))
+        .cast("int")
+        .alias("n_vowels"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1)
+        .cast("int")
+        .alias("brand_num"),
+        F.col("p_name").rlike("^[aeiou]").cast("int").alias("vowel_start"),
+        F.regexp_replace("p_brand", "[0-9]", "#").alias("brand_masked"),
+    )

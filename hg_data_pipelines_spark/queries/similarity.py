@@ -1278,3 +1278,98 @@ def mmr_rerank(spark, sf_dir):
     for st in out[1:]:
         res = res.unionByName(st)
     return res
+
+
+# --------------------------------------------------------------------------
+# X5 video scene cuts — keyframe selection for a multimodal training
+# pipeline: per label the embeddings render as one RAWVID's frames, the
+# video round-trips the container codec, and consecutive decoded frames
+# score mean-absolute-pixel-delta; frames above the cut threshold are the
+# scene boundaries a frame-sampler would keep. The oracle re-derives
+# every decoded pixel from the quantization closed form (same contract as
+# X5_video_frame_sample_stats), so a hash match proves the
+# encode→decode→frame-delta mapInPandas path bit-preserves frames AND the
+# delta kernel, not merely that rows came back.
+# --------------------------------------------------------------------------
+
+_SCENE_CUT_THRESHOLD = 70.0
+
+
+@query(
+    "X5_video_scene_cuts",
+    f"""
+    WITH v AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1
+                  AS INTEGER) AS idx
+      FROM embeddings
+    ), s AS (
+      SELECT label, idx, e, list_min(e) AS lo,
+             CASE WHEN list_max(e) > list_min(e)
+                  THEN list_max(e) - list_min(e) ELSE 1.0 END AS span
+      FROM v
+    ), q AS (
+      SELECT label, idx,
+             list_transform(e, x -> floor((x - lo) / span * 255.0)) AS px
+      FROM s
+    ), d AS (
+      SELECT label, idx, px,
+             lag(px) OVER (PARTITION BY label ORDER BY idx) AS prev
+      FROM q
+    )
+    SELECT label, idx AS frame_idx,
+           list_sum([abs(px[i+1] - prev[i+1]) for i in range(0, len(px))])
+               / len(px) AS frame_delta,
+           CAST(list_sum([abs(px[i+1] - prev[i+1])
+                          for i in range(0, len(px))]) / len(px)
+                > {_SCENE_CUT_THRESHOLD} AS INTEGER) AS is_cut
+    FROM d WHERE prev IS NOT NULL
+    """,
+)
+def video_scene_cuts(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_video, encode_video
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_delta", T.DoubleType()),
+            T.StructField("is_cut", T.IntegerType()),
+        ]
+    )
+
+    def _per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        frames = []
+        for v in pdf["embedding"]:
+            a = np.asarray(v, dtype=np.float64)
+            lo, hi = a.min(), a.max()
+            span = (hi - lo) if hi > lo else 1.0
+            frames.append(((a - lo) / span * 255.0).astype(np.uint8).reshape(8, 8))
+        video = encode_video(np.stack(frames), fps=(4, 1))
+        decoded, _ = decode_video(video)
+        deltas = np.abs(
+            decoded[1:].astype(np.int16) - decoded[:-1].astype(np.int16)
+        )
+        rows = []
+        for idx in range(1, decoded.shape[0]):
+            # integer sum / integer size: both engines see the exact same
+            # IEEE division operands
+            mad = float(deltas[idx - 1].sum()) / deltas[idx - 1].size
+            rows.append(
+                {
+                    "label": int(pdf["label"].iloc[0]),
+                    "frame_idx": idx,
+                    "frame_delta": mad,
+                    "is_cut": int(mad > _SCENE_CUT_THRESHOLD),
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return emb.groupBy("label").applyInPandas(_per_label, out_schema)
