@@ -1111,3 +1111,68 @@ def upsample_epochs(spark, sf_dir):
             F.explode(F.expr("sequence(1, n_epochs)")).alias("epoch"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X4: GROUP-AWARE dataset split — the leakage guard X4_deterministic_split
+# doesn't give: assignment hashes the GROUP key (user_id), so every event
+# of a user lands in the same split and no entity straddles train/val/test
+# (user-level contamination is the classic eval leak). The declared
+# output carries the audit: n_leaky_users (groups seen in >1 split) is
+# computed, not assumed — the oracle must reproduce 0 from the same
+# assignment closed form. Same md5-bucket primitive (engine- and
+# layout-independent, RNG-free).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_group_leakage_split",
+    """
+    WITH assign AS (
+        SELECT event_id, user_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT event_id, user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS b
+            FROM events
+        )
+    ), leak AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_users FROM (
+            SELECT user_id FROM assign
+            GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (SELECT n_leaky_users FROM leak) AS n_leaky_users
+    FROM assign GROUP BY split
+    """,
+)
+def group_leakage_split(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assign = ev.select("event_id", "user_id", split.alias("split"))
+    leak = (
+        assign.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_users"))
+    )
+    per_split = assign.groupBy("split").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # 1-row audit scalar broadcast onto each split row
+    return per_split.join(F.broadcast(leak))

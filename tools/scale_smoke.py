@@ -114,12 +114,35 @@ def build(
                     col, F.col(col) + F.lit(i * OFFSETS[col] * offset_scale)
                 )
             if table == "documents" and i > 0:
-                c = c.withColumn(
-                    "text",
-                    F.concat_ws(
-                        " ", "text", F.lit(f"copytag{offset_scale}x{i}")
-                    ),
-                )
+                if offset_scale == 1:
+                    # first decade: copies stay NEAR-duplicates (one
+                    # suffix token) — the dense-bucket stress regime
+                    c = c.withColumn(
+                        "text",
+                        F.concat_ws(
+                            " ", "text", F.lit(f"copytag{offset_scale}x{i}")
+                        ),
+                    )
+                else:
+                    # composed decades: replacing every 3rd token makes
+                    # copies NOVEL documents (no shared 3-token shingle
+                    # survives), so duplicate-clique size stays at the
+                    # first decade's 10 while the corpus grows 10× — the
+                    # ORGANIC growth regime. Replicating the suffix trick
+                    # instead would square clique sizes each decade
+                    # (100-way cliques → candidate pairs quadratic BY
+                    # CONSTRUCTION — measured: >78 GB of shuffle at 100×,
+                    # which answers "compound", but for a fixture shape no
+                    # real corpus has).
+                    c = c.withColumn(
+                        "text",
+                        F.expr(
+                            "array_join(transform(split(text, ' '),"
+                            f" (t, j) -> CASE WHEN j % 3 = 2 THEN"
+                            f" concat(t, '_{offset_scale}x{i}')"
+                            " ELSE t END), ' ')"
+                        ),
+                    )
             if table == "embeddings" and i > 0:
                 c = c.withColumn(
                     "embedding",
@@ -164,21 +187,51 @@ COMPOSE_QUERIES = [
 
 
 def compose(spark, k: int) -> None:
-    """Composed k×k step: build the k× replica's own k× replica and time
-    the worst-ratio queries at both decades. Ratios near the first
-    decade's mean the penalty saturates; much larger means it compounds."""
+    """Composed k×k step: build the k× replica's own k× replica (organic
+    decade-2 growth — documents diluted so duplicate cliques do NOT grow;
+    see build()) and time the worst-ratio queries at both decades.
+    Decade-2 ratios near decade-1's mean the dense-bucket penalty
+    saturates; much larger means it compounds. Per-query isolation: a
+    failure records DNF and the rest still measure."""
+    from hg_data_pipelines_spark.queries import QUERIES as REG
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d1 = os.path.join(repo, ".scale_smoke", f"sf{k}x")
     d2 = os.path.join(repo, ".scale_smoke", f"sf{k * k}x")
     build(spark, k, d1)
     build(spark, k, d2, src_dir=d1, offset_scale=k)
-    mid = run(spark, d1, COMPOSE_QUERIES)
-    big = run(spark, d2, COMPOSE_QUERIES)
-    report = {
-        n: {f"x{k}": mid[n], f"x{k * k}": big[n],
-            "decade2_ratio": round(big[n] / max(mid[n], 1e-9), 2)}
-        for n in COMPOSE_QUERIES
-    }
+
+    def timed(sf_dir, name):
+        try:
+            REG[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warmup
+            t0 = time.time()
+            REG[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = round(time.time() - t0, 3)
+            print(f"{sf_dir.split('/')[-1]:>12} {t:7.2f}s {name}", flush=True)
+            return t
+        except Exception as e:  # noqa: BLE001 — DNF is a result here
+            print(f"{sf_dir.split('/')[-1]:>12}     DNF {name}:"
+                  f" {type(e).__name__}", flush=True)
+            return None
+
+    report = {}
+    for n in COMPOSE_QUERIES:
+        mid, big = timed(d1, n), timed(d2, n)
+        report[n] = {
+            f"x{k}": mid, f"x{k * k}": big,
+            "decade2_ratio": round(big / mid, 2) if mid and big else None,
+        }
+        # pair-family queries: record output cardinality per decade so
+        # runtime ratios can be read against actual input growth
+        if "_pairs" in n:
+            report[n]["rows"] = {
+                f"x{k}": REG[n](spark, d1).count(),
+                f"x{k * k}": REG[n](spark, d2).count() if big else None,
+            }
     print(json.dumps({"k": k, "composed": k * k, "queries": report}))
 
 
