@@ -85,6 +85,7 @@ COVERAGE = [
     "S17_zorder_key_events",         # Z-order layout keys
     "S18_hilbert_key_events",        # Hilbert layout keys
     "S9_partitioned_events_pruned",  # partitioned sink + pruning
+    "S19_warehouse_delete_keys",     # GDPR targeted delete + read-back
     "X6_streaming_tumbling",         # real readStream micro-batch
     "X9_streaming_dedup_within_watermark",
     "S16_streaming_warehouse_landing",

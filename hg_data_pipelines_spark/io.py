@@ -341,6 +341,82 @@ def merge_warehouse_table(
     return path
 
 
+def delete_from_warehouse_table(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> tuple[str, int]:
+    """S19: targeted key deletion (GDPR/right-to-erasure) from a Parquet
+    warehouse table — the rewrite is proportional to the partitions that
+    actually CONTAIN the keys, never the table.
+
+    ``keys_df`` holds the delete set (typically small — erasure requests);
+    it is broadcast into both probes. With ``partition_by``:
+
+    1. one broadcast semi-join scan finds the TOUCHED partitions (parquet
+       min/max stats prune files that can't contain the keys; a 100 TB
+       deployment would maintain a key→partition index sidecar to skip
+       this scan entirely — same contract, cheaper discovery);
+    2. only touched partitions are read, anti-joined, and rewritten via
+       dynamic partition overwrite (lineage severed with an eager
+       localCheckpoint so the write can replace the files it read);
+    3. a touched partition whose every row is deleted yields NO output
+       rows, which dynamic overwrite would silently leave in place — its
+       directory is removed explicitly (the "last row of a partition"
+       correctness case).
+
+    Returns ``(path, n_deleted)``. Deletion is idempotent: re-running
+    with the same keys rewrites nothing meaningful and deletes 0 rows.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(warehouse_dir, table)
+    existing = spark.read.option("mergeSchema", "true").parquet(path)
+    kdf = F.broadcast(keys_df.select(*keys).distinct())
+    if not partition_by:
+        remaining = existing.join(kdf, keys, "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_deleted = existing.count() - remaining.count()
+        remaining.write.mode("overwrite").parquet(path)
+        return path, n_deleted
+
+    hits = existing.join(kdf, keys, "left_semi")
+    # partition count bounds this collect (dates, not rows)
+    touched = [tuple(r) for r in hits.select(*partition_by).distinct().collect()]
+    if not touched:
+        return path, 0
+    part_filter = F.struct(*partition_by).isin(
+        [F.struct(*[F.lit(v) for v in t]) for t in touched]
+    )
+    base = existing.filter(part_filter)
+    remaining = base.join(kdf, keys, "left_anti").localCheckpoint(eager=True)
+    n_deleted = base.count() - remaining.count()
+    nonempty = {
+        tuple(r) for r in remaining.select(*partition_by).distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        remaining.write.mode("overwrite").partitionBy(*partition_by).parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for t in set(touched) - nonempty:
+        sub = os.path.join(
+            path, *[f"{c}={v}" for c, v in zip(partition_by, t)]
+        )
+        if os.path.isdir(sub):
+            shutil.rmtree(sub)
+    return path, n_deleted
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False, sep: str = ",") -> None:
     """S7: CSV sink (reference: ``to_csv`` street_level_grouping.py:131,194,228).
 

@@ -433,3 +433,61 @@ def hilbert_key_events(spark, sf_dir):
     return with_hilbert_key(events, ["user_id", "ts_us"], bits=16).select(
         "event_id", F.col("_h").alias("hkey")
     )
+
+
+# --------------------------------------------------------------------------
+# S19: targeted key deletion (GDPR / right-to-erasure) from the
+# partitioned warehouse. The query exercises the full user path: build a
+# date-partitioned events fact, DELETE every row of a deterministic
+# user set (user_id % 37 = 0) via io.delete_from_warehouse_table — the
+# rewrite touches only partitions containing those users, dynamic
+# partition overwrite, empty-partition removal — then aggregate what
+# remains, read back from the table. The oracle computes the same
+# aggregate from raw events with the delete predicate inverted, so the
+# hash match proves the on-disk deletion is exact: nothing extra deleted,
+# nothing left behind. Deletes its OWN fact copy (never the S9/S14
+# shared one).
+# --------------------------------------------------------------------------
+
+_S19_CACHE: dict[str, str] = {}
+
+
+@query(
+    "S19_warehouse_delete_keys",
+    f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    WHERE user_id % 37 <> 0
+    GROUP BY 1
+    """,
+)
+def warehouse_delete_keys(spark, sf_dir):
+    from ..io import delete_from_warehouse_table, write_warehouse_table
+
+    utc(spark)
+    wh = _warehouse_dir(sf_dir)
+    cached = _S19_CACHE.get(wh)
+    if cached is None or not os.path.isdir(cached):
+        ev = load(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_warehouse_table(
+            ev, wh, "events_fact_s19", partition_by=["event_date"]
+        )
+        doomed = ev.filter(F.col("user_id") % 37 == 0).select("user_id")
+        path, _ = delete_from_warehouse_table(
+            spark, wh, "events_fact_s19", doomed, ["user_id"],
+            partition_by=["event_date"],
+        )
+        _S19_CACHE[wh] = path
+    after = spark.read.parquet(_S19_CACHE[wh])
+    return after.groupBy(
+        F.col("event_date").cast("date").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value", "sum_value"),
+    )
