@@ -1784,3 +1784,76 @@ def running_distinct_users(spark, sf_dir):
     return global_running_sum(
         per_day, ["day"], "new_users", "cum_users", exclusive=False
     ).select("day", "new_users", "cum_users")
+
+
+# --------------------------------------------------------------------------
+# X13: Holt linear (double exponential) smoothing per user — level+trend
+# state folded over the time-ordered value sequence; one-step-ahead
+# forecast = level + trend. Same contract as X13_ewma_per_user: the
+# recurrence is order-sensitive, so the sequence is pinned to the
+# (ts, event_id) total order and BOTH engines execute the identical fold
+# (Spark `aggregate` with an array [level, trend] accumulator and
+# explicit init; DuckDB `list_reduce` takes no init, so the init pair
+# rides as the first element of a list-of-pairs). α=0.5 and β=0.3 parse
+# to identical doubles on both engines and the arithmetic is written in
+# the same operation order, so the folds agree to the bit before the
+# final 6dp round. Init convention: level₀ = x₁, trend₀ = x₂ − x₁, fold
+# over x₂..xₙ; a single-event user is (x₁, 0).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X13_holt_linear_per_user",
+    """
+    WITH s AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    ), f AS (
+        SELECT user_id, n_events,
+               CASE WHEN len(v) >= 2 THEN
+                   list_reduce(
+                       [CASE WHEN i = 1 THEN [v[1], v[2] - v[1]]
+                             ELSE [v[i], 0.0] END
+                        for i in range(1, len(v) + 1)],
+                       (acc, e) -> [
+                           0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                           0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                                  - acc[1]) + 0.7 * acc[2]])
+                   ELSE [v[1], 0.0] END AS lb
+        FROM s
+    )
+    SELECT user_id, n_events,
+           round(lb[1], 6) AS level,
+           round(lb[2], 6) AS trend,
+           round(lb[1] + lb[2], 6) AS forecast_1
+    FROM f
+    """,
+)
+def holt_linear_per_user(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_id", "value")).alias("raw"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tv = "transform(sort_array(raw), s -> cast(s.value as double))"
+    lb = (
+        f"CASE WHEN size({tv}) >= 2 THEN"
+        f" aggregate(slice({tv}, 2, size({tv}) - 1),"
+        f" array(element_at({tv}, 1),"
+        f"       element_at({tv}, 2) - element_at({tv}, 1)),"
+        f" (acc, e) -> array("
+        f"   0.5D * e + 0.5D * (acc[0] + acc[1]),"
+        f"   0.3D * ((0.5D * e + 0.5D * (acc[0] + acc[1])) - acc[0])"
+        f"     + 0.7D * acc[1]))"
+        f" ELSE array(element_at({tv}, 1), 0D) END"
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.expr(f"round(({lb})[0], 6)").alias("level"),
+        F.expr(f"round(({lb})[1], 6)").alias("trend"),
+        F.expr(f"round(({lb})[0] + ({lb})[1], 6)").alias("forecast_1"),
+    )
