@@ -39,6 +39,10 @@ from . import warehouse_q  # noqa: E402,F401
 # X5 multimodal, X6/X8 windows, X11 graph, X12 funnels, DQ audits,
 # S sinks, real readStream) appears within the first 50 names, all of
 # them oracle-checked. Remaining queries keep their module order.
+# Round-6 rotation: the vacuous 0-row A9 bounds row and W7 (both still
+# verified by the full mirror) gave their slots to the round's new
+# capabilities — S19 targeted delete and W12 global running-distinct —
+# after passing tools/check_window_safety.py's driver-exact canon.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -55,14 +59,14 @@ _WINDOW = [
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "A2_value_counts",
     "A8_grouping_sets",
-    "A9_approx_distinct_bounds",    # sketch with oracle-checkable bounds
+    "S19_warehouse_delete_keys",    # GDPR targeted delete + read-back (r6)
     "A10_exact_percentiles",
     "DQ8_volume_drift",             # ingest-volume anomaly gate
     "A20_equi_depth_histogram",
     "W1_best_order_per_customer",
     "W3_lag_lead_running_sum",
     "W6_scd2_intervals",
-    "W7_rolling_median",
+    "W12_running_distinct_users",   # global running distinct, prefix-sum (r6)
     "O4_topk_orders",
     "O5_intersect_buyers",
     "F_string_funcs",
