@@ -113,3 +113,86 @@ def asof_join(
         *left_cols,
         *[F.col("_asof_row")[c].alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    left_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join, NEAREST direction: attach the right row minimizing
+    |right.time − left.time|; exact ties prefer the backward (≤) side —
+    pandas ``merge_asof(direction="nearest")`` semantics.
+
+    Same single-shuffle design as ``asof_join``: left and right union
+    into one frame partitioned by key, and TWO windows over that one
+    partitioning (ascending running-last = best backward candidate,
+    descending running-last = best forward candidate) share the exchange
+    — Catalyst plans one Exchange with two Sort+Window passes, never a
+    second shuffle or a join. Distances compare in integer microseconds
+    (``unix_micros``) so tie resolution is exact and engine-portable.
+    """
+    from pyspark.sql import types as T
+
+    left_cols = left_cols if left_cols is not None else left.columns
+    vrow_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [T.StructField("_rt", T.LongType())]
+    )
+    rt_us = F.expr(f"unix_micros(CAST({right_time} AS TIMESTAMP))")
+    lhs = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.expr(f"unix_micros(CAST({left_time} AS TIMESTAMP))").alias("_tus"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(vrow_type).alias("_vrow"),
+    )
+    rhs = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).cast(left.schema[left_time].dataType).alias("_t"),
+        rt_us.alias("_tus"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            rt_us.alias("_rt"),
+        ).alias("_vrow"),
+    )
+    unioned = lhs.unionByName(rhs)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_tus").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_tus").desc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_vrow", ignorenulls=True).over(w_back).alias("_back"),
+        F.last("_vrow", ignorenulls=True).over(w_fwd).alias("_fwd"),
+    )
+    d_back = F.col("_tus") - F.col("_back._rt")
+    d_fwd = F.col("_fwd._rt") - F.col("_tus")
+    nearest = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(d_back <= d_fwd, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .withColumn("_nearest", nearest)
+        .select(
+            *left_cols,
+            *[F.col("_nearest")[c].alias(f"nearest_{c}") for c in value_cols],
+        )
+    )

@@ -1857,3 +1857,116 @@ def holt_linear_per_user(spark, sf_dir):
         F.expr(f"round(({lb})[1], 6)").alias("trend"),
         F.expr(f"round(({lb})[0] + ({lb})[1], 6)").alias("forecast_1"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-J6 (nearest): each event attaches the user's temporally CLOSEST
+# order — |Δt| minimized, exact ties to the backward (≤) side, pandas
+# merge_asof(direction="nearest") semantics. operators/asof.py::
+# asof_join_nearest keeps the single-exchange design: two windows
+# (ascending/descending running-last) share one key partitioning, no
+# second shuffle. DuckDB has no nearest ASOF, so the oracle is the
+# ranked LEFT join over integer-microsecond distances.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J6_asof_nearest_order",
+    """
+    SELECT event_id, user_id, ts, nearest_o_orderkey FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS nearest_o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(e.ts)
+                                - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                            CASE WHEN o.o_orderdate <= e.ts
+                                 THEN 0 ELSE 1 END,
+                            o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        ) o ON e.user_id = o.o_custkey
+    ) WHERE rn = 1
+    """,
+)
+def asof_nearest_order(spark, sf_dir):
+    from ..operators.asof import asof_join_nearest
+
+    utc(spark)
+    ev, orders = load(spark, sf_dir, "events", "orders")
+    orders_d = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    return asof_join_nearest(
+        ev,
+        orders_d,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        left_cols=["event_id", "user_id", "ts"],
+    )
+
+
+# --------------------------------------------------------------------------
+# EXT-W13: gaps-and-islands — longest consecutive-active-day streak per
+# user. The classic island key: day − row_number() over the per-user day
+# order is constant exactly within a run of consecutive days. Two hash
+# aggregations + one user-partitioned window; no self-join, no global
+# window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "W13_longest_streak_per_user",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        FROM days
+    ), streaks AS (
+        SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+        FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MIN(start_day) FILTER (
+               WHERE len = (SELECT MAX(s2.len) FROM streaks s2
+                            WHERE s2.user_id = streaks.user_id)
+           ) AS longest_start
+    FROM streaks GROUP BY user_id
+    """,
+)
+def longest_streak_per_user(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("max_len", F.max("len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("max_len"), F.col("start_day"))
+            ).alias("longest_start"),
+        )
+    )
