@@ -1373,3 +1373,106 @@ def video_scene_cuts(spark, sf_dir):
         return pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return emb.groupBy("label").applyInPandas(_per_label, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X5 image resize — the decode→resize→re-encode interchange path as a
+# DECLARED oracle-checked query (it was pytest-only before): embeddings
+# render to 8×8 RAW images, flow through the REAL
+# multimodal.resize_images operator (nearest-neighbor striding at
+# scale=1/2, the reference's image.resize thumbnailing), and the 4×4
+# results report exact pixel stats. Downscaled pixel (r,c) is original
+# (2r,2c), so the oracle reads the same positions straight out of the
+# quantization closed form — a hash match proves the whole
+# encode→resize→decode chain is bit-exact, including the stride
+# geometry.
+# --------------------------------------------------------------------------
+
+
+def _downscale_sql() -> str:
+    idx = [(r * 16) + (c * 2) + 1 for r in range(4) for c in range(4)]
+    terms = " + ".join(f"px[{i}]" for i in idx)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e, list_min(e) AS lo,
+             CASE WHEN list_max(e) > list_min(e)
+                  THEN list_max(e) - list_min(e) ELSE 1.0 END AS span
+      FROM v
+    ), q AS (
+      SELECT vec_id,
+             list_transform(e,
+                 x -> CAST(floor((x - lo) / span * 255.0) AS BIGINT)) AS px
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(({terms}) AS DOUBLE) / 16 AS mean_px,
+           px[1] AS px00,
+           px[55] AS px33
+    FROM q
+    """
+
+
+@query("X5_image_downscale_stats", _downscale_sql())
+def image_downscale_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_image, encode_image, resize_images
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    img_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _render(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                v = np.asarray(r["embedding"], dtype=np.float64)
+                lo, hi = v.min(), v.max()
+                scale = (hi - lo) if hi > lo else 1.0
+                img = ((v - lo) / scale * 255.0).astype(np.uint8).reshape(8, 8)
+                rows.append(
+                    {"path": str(r["vec_id"]), "content": encode_image(img)}
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    images = emb.select("vec_id", "embedding").mapInPandas(
+        _render, img_schema
+    )
+    small = resize_images(images, scale=0.5)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+            T.StructField("px00", T.LongType()),
+            T.StructField("px33", T.LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = decode_image(bytes(r["content"]))[:, :, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "vec_id": int(r["path"]),
+                        "mean_px": float(p.sum()) / 16,
+                        "px00": int(p[0, 0]),
+                        "px33": int(p[3, 3]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "mean_px", "px00", "px33"]
+            )
+
+    return small.mapInPandas(_stats, out_schema)
