@@ -345,6 +345,49 @@ def global_running_sum(
     )
 
 
+def global_running_min(
+    df: DataFrame,
+    order_by: list,
+    val_col: str,
+    out_col: str,
+    exclusive: bool = True,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Running MIN(val_col) over a GLOBAL total order — distributed
+    prefix-scan, same scheme as ``global_running_sum`` (min is
+    associative, so per-partition mins compose the same way subtotals
+    do). The exclusive identity is NULL, not 0: the first row globally
+    gets NULL ``out_col`` (no strictly-preceding row), and ``F.least``'s
+    null-skipping merges the partition offset with the local prefix.
+
+    ``order_by`` must be a total order (include tiebreak keys) unless
+    the input has one row per order key — with duplicate keys an
+    exclusive ROWS frame would include an arbitrary subset of the
+    equal-key run.
+    """
+    from pyspark.sql import Window
+
+    pinned = _range_pinned(df, order_by, n_parts)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pinned.groupBy("_pid")
+        .agg(F.min(val_col).alias("_pmin"))
+        # window over ≤ n_parts post-aggregation rows — bounded by design
+        .select("_pid", F.min("_pmin").over(w_off).alias("_off"))
+    )
+    upper = -1 if exclusive else 0
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        pinned.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.least(F.min(val_col).over(w_loc), F.col("_off")))
+        .drop("_pid", "_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list,

@@ -588,6 +588,57 @@ def except_never_ordered(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# EXT-O6: Pareto skyline (non-dominated frontier) — the per-brand
+# cheapest-and-smallest parts. Dominance: x dominates y iff x is <= y on
+# both price and size and strictly < on at least one. The naive form is a
+# quadratic NOT EXISTS self-join (the oracle); the distributed form
+# decomposes it: a row survives iff (a) its size is the MIN within its
+# price group, and (b) that group-min is strictly below the running min
+# over all STRICTLY CHEAPER price groups — a grouped aggregation plus a
+# distributed prefix-min scan (operators/scale.global_running_min), no
+# self-join, no unpartitioned window. At 100 TB: one shuffle on price,
+# one range-partitioned scan over the (distinct-price-sized) group
+# table, one equi-join back — linear, vs the O(n²) definitional form.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "O6_pareto_skyline",
+    """
+    SELECT y.p_partkey, y.p_retailprice, y.p_size
+    FROM part y
+    WHERE y.p_brand = 'Brand#23' AND NOT EXISTS (
+        SELECT 1 FROM part x
+        WHERE x.p_brand = 'Brand#23'
+          AND x.p_retailprice <= y.p_retailprice
+          AND x.p_size <= y.p_size
+          AND (x.p_retailprice < y.p_retailprice OR x.p_size < y.p_size)
+    )
+    """,
+)
+def pareto_skyline(spark, sf_dir):
+    from ..operators.scale import global_running_min
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    # one row per distinct price: min size in the group (no ties for the
+    # prefix scan's order key by construction)
+    per_price = part.groupBy("p_retailprice").agg(F.min("p_size").alias("_gmin"))
+    frontier = global_running_min(
+        per_price, ["p_retailprice"], "_gmin", "_pmin", exclusive=True
+    )
+    # survive iff no strictly-cheaper group reaches this size (NULL prefix
+    # = cheapest group overall); within the group, only min-size rows
+    keep = frontier.filter(
+        F.col("_pmin").isNull() | (F.col("_gmin") < F.col("_pmin"))
+    )
+    return (
+        part.join(keep, "p_retailprice")
+        .filter(F.col("p_size") == F.col("_gmin"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
 # O3: union of heterogeneous subsets (reference: pd.concat of per-group
 # results, street_level_grouping.py:129,193).
 # --------------------------------------------------------------------------

@@ -660,3 +660,67 @@ def weighted_percentiles(spark, sf_dir):
             F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("x"))
         ).alias("w_p90"),
     )
+
+
+# --------------------------------------------------------------------------
+# A26: winsorized (clipped-tail) grouped stats — the standard outlier
+# treatment before feeding numeric features to training: clamp values at
+# the global p05/p95 and aggregate the clipped column. Two passes: one
+# aggregation computes the exact cutpoints (percentile interpolation is
+# identical to DuckDB percentile_cont — the A10 contract), a 1-row
+# broadcast cross join carries them into the scan projection, and one
+# grouped aggregation finishes. At 100 TB swap the exact global
+# percentile for approx_percentile (t-digest, algebraic, no single-buffer
+# collect) — the exact form is the oracle-checkable twin (DQ5 pattern).
+# The winsorized mean uses the dsum contract (exact DECIMAL accumulation)
+# so association order can't flip the hash.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A26_winsorized_stats",
+    """
+    WITH cuts AS (
+        SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS qlo,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS qhi
+        FROM lineitem
+    ),
+    w AS (
+        SELECT l_returnflag,
+               GREATEST(qlo, LEAST(qhi, l_extendedprice)) AS wp,
+               CASE WHEN l_extendedprice < qlo THEN 1 ELSE 0 END AS clo,
+               CASE WHEN l_extendedprice > qhi THEN 1 ELSE 0 END AS chi
+        FROM lineitem, cuts
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(wp AS DECIMAL(38,6))) AS DOUBLE) AS sum_w,
+           CAST(SUM(CAST(wp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_w,
+           SUM(clo) AS n_clipped_lo,
+           SUM(chi) AS n_clipped_hi
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def winsorized_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("qlo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("qhi"),
+    )
+    wp = F.greatest("qlo", F.least("qhi", F.col("l_extendedprice")))
+    w = li.crossJoin(F.broadcast(cuts)).select(
+        "l_returnflag",
+        wp.alias("wp"),
+        (F.col("l_extendedprice") < F.col("qlo")).cast("bigint").alias("clo"),
+        (F.col("l_extendedprice") > F.col("qhi")).cast("bigint").alias("chi"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("wp").cast("decimal(38,6)")).cast("double").alias("sum_w"),
+        (
+            F.sum(F.col("wp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_w"),
+        F.sum("clo").alias("n_clipped_lo"),
+        F.sum("chi").alias("n_clipped_hi"),
+    )

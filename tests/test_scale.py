@@ -683,6 +683,92 @@ class TestGlobalOrderPrimitives:
         assert global_row_number(df, [F.col("id")], "rn").count() == 0
         assert global_ntile(df, [F.col("id")], 4, "b").count() == 0
 
+    def test_running_min_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_running_min
+
+        df = self._df(spark)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["id"]: r["m"]
+            for r in df.select("id", F.min("w").over(w).alias("m")).collect()
+        }
+        for n_parts in (1, 4, 32):
+            got = {
+                r["id"]: r["m"]
+                for r in global_running_min(
+                    df, [F.col("id")], "w", "m", n_parts=n_parts
+                ).collect()
+            }
+            assert got == want  # first row NULL in both forms
+
+    def test_running_min_inclusive_and_empty(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.scale import global_running_min
+
+        df = self._df(spark, 200)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["id"]: r["m"]
+            for r in df.select("id", F.min("w").over(w).alias("m")).collect()
+        }
+        got = {
+            r["id"]: r["m"]
+            for r in global_running_min(
+                df, [F.col("id")], "w", "m", exclusive=False, n_parts=7
+            ).collect()
+        }
+        assert got == want
+        empty = df.filter(F.col("id") < 0)
+        assert global_running_min(empty, [F.col("id")], "w", "m").count() == 0
+
+
+class TestParetoSkyline:
+    """O6's prefix-min decomposition must equal the quadratic dominance
+    definition on constructed edge cases: ties on one dim, ties on both
+    dims (co-survivors), and a strictly-sorted chain."""
+
+    def _skyline_bruteforce(self, rows):
+        out = []
+        for i, (_, p, s) in enumerate(rows):
+            dominated = any(
+                xp <= p and xs <= s and (xp < p or xs < s)
+                for j, (_, xp, xs) in enumerate(rows)
+                if j != i
+            )
+            if not dominated:
+                out.append(rows[i])
+        return sorted(out)
+
+    def test_matches_bruteforce_with_ties(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from hg_data_pipelines_spark.queries.relational import pareto_skyline
+
+        rows = [
+            # (partkey, price, size): duplicates on both dims co-survive;
+            # equal-price larger-size is dominated; chain tail survives
+            (1, 10.0, 5), (2, 10.0, 5), (3, 10.0, 7),
+            (4, 20.0, 5), (5, 20.0, 3), (6, 30.0, 3),
+            (7, 40.0, 1), (8, 40.0, 2), (9, 5.0, 50),
+        ]
+        df = spark.createDataFrame(
+            [(k, f"part {k}", "Brand#23", "TYPE", s, p) for k, p, s in rows],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        )
+        # route through the registered query by writing a minimal part table
+        df.write.parquet(f"{tmp_path}/part.parquet")
+        got = sorted(
+            (r["p_partkey"], r["p_retailprice"], r["p_size"])
+            for r in pareto_skyline(spark, str(tmp_path)).collect()
+        )
+        assert got == self._skyline_bruteforce(rows)
+
 
 class TestSaltedJoinHowGuard:
     """Per-`how` soundness: every supported join type must equal the
