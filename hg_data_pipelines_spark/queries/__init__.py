@@ -68,7 +68,7 @@ _WINDOW = [
     "W6_scd2_intervals",
     "W12_running_distinct_users",   # global running distinct, prefix-sum (r6)
     "O4_topk_orders",
-    "O5_intersect_buyers",
+    "O6_pareto_skyline",           # distributed skyline via prefix-min (r6)
     "F_string_funcs",
     "X3_kmeans_fixed_point",       # fixed-point semantic clustering
     "SQL_lateral_topn_per_group",
