@@ -1762,3 +1762,104 @@ def regex_funcs(spark, sf_dir):
         F.col("p_name").rlike("^[aeiou]").cast("int").alias("vowel_start"),
         F.regexp_replace("p_brand", "[0-9]", "#").alias("brand_masked"),
     )
+
+
+# --------------------------------------------------------------------------
+# X20: market-basket co-occurrence with lift — association mining over
+# order baskets (which parts sell together more than chance predicts).
+# The Apriori insight drives the plan: prune to FREQUENT items (support
+# >= minsup) BEFORE forming pairs, so the per-basket self-join fans out
+# only over surviving items — basket size is bounded (<= 7 lines/order
+# here), so the pair step is linear in baskets, not quadratic in items.
+# Counts stay exact integers end to end; lift is ONE IEEE division of
+# exact integers per output row (engine-portable). At 100 TB: two hash
+# aggregations + a per-key bounded self-join + two broadcast count
+# lookups; the total-basket scalar rides a 1-row broadcast, never a
+# driver collect.
+# --------------------------------------------------------------------------
+
+_BASKET_MINSUP = 25
+_BASKET_MINCOOC = 2
+
+
+@query(
+    "X20_basket_cooccurrence_lift",
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    supp AS (
+        SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+    ),
+    freq AS (
+        SELECT i.l_orderkey, i.l_partkey
+        FROM items i JOIN supp s ON i.l_partkey = s.l_partkey
+        WHERE s.c >= {_BASKET_MINSUP}
+    ),
+    cooc AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_cooc
+        FROM freq a JOIN freq b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {_BASKET_MINCOOC}
+    ),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
+    SELECT part_a, part_b, n_cooc, sa.c AS n_a, sb.c AS n_b,
+           CAST(n_cooc * n_baskets AS DOUBLE) / (sa.c * sb.c) AS lift
+    FROM cooc, nb
+    JOIN supp sa ON part_a = sa.l_partkey
+    JOIN supp sb ON part_b = sb.l_partkey
+    """,
+)
+def basket_cooccurrence_lift(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    # pin the shared subplans (items feeds support, pruning, both pair
+    # sides, and the basket total; supp feeds the prune + two lookups) —
+    # without the pin each consumer re-executes the distinct/agg from the
+    # scan: 13 exchanges in the static plan instead of 6
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    supp = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    freq = items.join(
+        F.broadcast(supp.filter(F.col("c") >= _BASKET_MINSUP)), "l_partkey"
+    ).select("l_orderkey", "l_partkey")
+    a = freq.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = freq.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    cooc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= _BASKET_MINCOOC)
+    )
+    nb = items.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        cooc.crossJoin(F.broadcast(nb))
+        .join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_cooc",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_cooc") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
