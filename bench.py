@@ -64,6 +64,10 @@ HEADLINE = [
     "X2_simhash_portable_pairs",
     # round-5 (cont.): ExactSubstr-style char-gram duplicate spans
     "X1_substring_dedup_spans",
+    # round-6: association mining (Apriori-pruned basket pairs) + the
+    # distributed prefix-min Pareto skyline
+    "X20_basket_cooccurrence_lift",
+    "O6_pareto_skyline",
 ]
 
 # Coverage set (non-frozen, versioned): one representative per family that
@@ -90,6 +94,8 @@ COVERAGE = [
     "X9_streaming_dedup_within_watermark",
     "S16_streaming_warehouse_landing",
     "X15_session_anomalies",         # 3-MAD session outlier screen
+    "A26_winsorized_stats",          # clipped-tail grouped stats
+    "W12_running_distinct_users",    # global running distinct, prefix sum
 ]
 
 

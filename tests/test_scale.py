@@ -770,6 +770,46 @@ class TestParetoSkyline:
         assert got == self._skyline_bruteforce(rows)
 
 
+class TestBasketCooccurrence:
+    """X20 on constructed baskets: Apriori prune must keep infrequent
+    items out of pairs, duplicate lines within an order must not inflate
+    counts, and lift must use UNPRUNED supports and the full basket
+    total."""
+
+    def test_counts_and_lift(self, spark, tmp_path, monkeypatch):
+        import datetime
+
+        from hg_data_pipelines_spark.queries import relational
+
+        monkeypatch.setattr(relational, "_BASKET_MINSUP", 2)
+        monkeypatch.setattr(relational, "_BASKET_MINCOOC", 2)
+        # baskets: {1,2} {1,2} {1,2,3} {1,4} — part 3 infrequent (1 basket),
+        # part 4 frequent only via duplicate lines in ONE basket (support 1
+        # after distinct → pruned); order 4 has a dup (partkey 4 twice)
+        baskets = [(1, [1, 2]), (2, [1, 2]), (3, [1, 2, 3]), (4, [1, 4, 4])]
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            (ok, pk, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)
+            for ok, parts in baskets
+            for i, pk in enumerate(parts)
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp_ntz",
+        ).write.parquet(f"{tmp_path}/lineitem.parquet")
+        got = {
+            (r["part_a"], r["part_b"]): (r["n_cooc"], r["n_a"], r["n_b"], r["lift"])
+            for r in relational.basket_cooccurrence_lift(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # only (1,2) survives: cooc 3, supports 4 and 3, N=4 baskets
+        assert got == {(1, 2): (3, 4, 3, 3 * 4 / (4 * 3))}
+
+
 class TestSaltedJoinHowGuard:
     """Per-`how` soundness: every supported join type must equal the
     plain join; right/full raise (unmatched right rows would appear once
