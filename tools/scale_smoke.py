@@ -84,6 +84,11 @@ QUERIES = [
     "S17_zorder_key_events",
     "A24_weighted_percentiles",
     "X2_minhash_portable_pairs",
+    # round-6 additions: Apriori basket pairs, prefix-min skyline,
+    # winsorized stats
+    "X20_basket_cooccurrence_lift",
+    "O6_pareto_skyline",
+    "A26_winsorized_stats",
 ]
 
 
