@@ -74,6 +74,27 @@ def pagerank_knn(spark, sf_dir):
     return pagerank_fixed_point(edges, n_iter=_PR_ITER)
 
 
+@query("X11_pagerank_ann")
+def pagerank_ann(spark, sf_dir):
+    """Scale-path sibling of X11_pagerank_knn: the IDENTICAL fixed-point
+    PageRank over RHP-LSH-bucketed kNN edges (``lsh_topk``) instead of
+    the exact O(n²) graph. The exact sibling exists to give the hash
+    oracle a reproducible edge set; at 100 TB this is the form you run —
+    edge derivation cost is |bucket collisions|, not |V|². Rows-only
+    (xxhash64 hyperplanes aren't reproducible in DuckDB); pytest pins
+    top-rank overlap against the exact sibling on the fixture, and
+    tools/scale_smoke.py measures its 10× ratio next to the exact
+    form's.
+    """
+    from ..operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    edges = lsh_topk(emb, emb, k=_KNN_K, n_planes=4, n_tables=16).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank_fixed_point(edges, n_iter=_PR_ITER)
+
+
 # --------------------------------------------------------------------------
 # SQL surface: Spark 4 recursive CTEs. The SAME recursive shape runs on
 # both engines — bounded-depth BFS reachability from the lowest vec_id

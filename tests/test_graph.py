@@ -193,3 +193,25 @@ class TestKcorePeel:
         a = sorted(map(tuple, kcore_peel(pairs, 2, 4).collect()))
         b = sorted(map(tuple, kcore_peel(pairs, 2, 5).collect()))
         assert a == b
+
+
+class TestPagerankAnnSibling:
+    def test_ann_pagerank_tracks_exact(self, spark):
+        """X11_pagerank_ann (LSH-bucketed edges) must agree with the exact
+        sibling on who the high-rank nodes are — the property corpus
+        curation consumes. Pin top-50 overlap on the fixture."""
+        from hg_data_pipelines_spark.queries.common import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        def top(name, n=50):
+            rows = (
+                QUERIES[name](spark, sf)
+                .orderBy("rank_scaled", "node", ascending=[False, True])
+                .limit(n)
+                .collect()
+            )
+            return {r["node"] for r in rows}
+
+        exact, ann = top("X11_pagerank_knn"), top("X11_pagerank_ann")
+        overlap = len(exact & ann) / 50
+        assert overlap >= 0.8, f"top-50 overlap {overlap}"
