@@ -104,6 +104,27 @@ def _rhp_signature(vec_col: str, dim: int, n_planes: int, seed: int) -> F.Column
     )
 
 
+def auto_planes(n_vectors: int, target_bucket: int = 32, floor: int = 4) -> int:
+    """Hyperplane count that keeps expected RHP bucket size ~constant.
+
+    A FIXED plane count is a scale trap: bucket count is 2^planes per
+    table, so bucket occupancy grows linearly with the corpus and the
+    candidate join's collision pairs grow QUADRATICALLY — measured: the
+    4-plane kNN graph that takes seconds at 2k vectors degenerates to
+    ~400M candidate pairs at 20k (as bad as the exact O(n²) scan it
+    replaces). Scaling planes with log2(n / target_bucket) pins expected
+    occupancy at ``target_bucket``, making collision volume linear in n.
+    Recall per table drops as planes grow (standard LSH tradeoff) — spend
+    ``n_tables`` to buy it back; the pytest overlap pin covers the
+    fixture regime and tools/scale_smoke.py measures the 10× regime.
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -85,11 +85,17 @@ def pagerank_ann(spark, sf_dir):
     top-rank overlap against the exact sibling on the fixture, and
     tools/scale_smoke.py measures its 10× ratio next to the exact
     form's.
+
+    Plane count scales with the corpus (``auto_planes``): a fixed plane
+    count makes bucket occupancy — and the candidate join — grow
+    quadratically with n. The count() is one bounded driver job over an
+    already-required scan.
     """
-    from ..operators.similarity import lsh_topk
+    from ..operators.similarity import auto_planes, lsh_topk
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    edges = lsh_topk(emb, emb, k=_KNN_K, n_planes=4, n_tables=16).select(
+    planes = auto_planes(emb.count())
+    edges = lsh_topk(emb, emb, k=_KNN_K, n_planes=planes, n_tables=16).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank_fixed_point(edges, n_iter=_PR_ITER)

@@ -159,9 +159,14 @@ def knn_graph_exact(spark, sf_dir):
 @query("X3_knn_graph_lsh")
 def knn_graph_lsh(spark, sf_dir):
     """Rows-only LSH twin of X3_knn_graph (xxhash64 planes not in DuckDB);
-    pytest pins recall vs the exact graph."""
+    pytest pins recall vs the exact graph. Plane count scales with the
+    corpus (``auto_planes``) so bucket occupancy — and the candidate
+    join's collision volume — stays constant instead of quadratic."""
+    from ..operators.similarity import auto_planes
+
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    return lsh_topk(emb, emb, k=_KNN_K, n_planes=4, n_tables=16)
+    planes = auto_planes(emb.count())
+    return lsh_topk(emb, emb, k=_KNN_K, n_planes=planes, n_tables=16)
 
 
 # --------------------------------------------------------------------------

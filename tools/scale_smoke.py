@@ -89,6 +89,10 @@ QUERIES = [
     "X20_basket_cooccurrence_lift",
     "O6_pareto_skyline",
     "A26_winsorized_stats",
+    # round-6: the ANN scale path for the kNN-graph family (adaptive
+    # plane count) next to the exact O(n²) oracle twins
+    "X11_pagerank_ann",
+    "X3_knn_graph_lsh",
 ]
 
 
