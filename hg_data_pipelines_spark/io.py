@@ -11,6 +11,7 @@ and the same code scales from sf0.001 to 100 TB.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,7 +314,16 @@ def merge_warehouse_table(
     incoming = df.withColumn("_src", F.lit(1))
     if partition_by:
         touched = df.select(*partition_by).distinct()
-        base = existing.join(F.broadcast(touched), partition_by, "left_semi")
+        # Null-safe semi-join: plain column-name equality never matches a
+        # NULL partition value, so existing rows in the NULL partition
+        # would be LEFT OUT of the merge base while dynamic overwrite
+        # still replaces that partition with incoming rows only — silent
+        # data loss. eqNullSafe keeps the NULL partition in the merge.
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [existing[c].eqNullSafe(touched[c]) for c in partition_by],
+        )
+        base = existing.join(F.broadcast(touched), cond, "left_semi")
     else:
         base = existing
     unioned = base.withColumn("_src", F.lit(0)).unionByName(
@@ -339,6 +349,62 @@ def merge_warehouse_table(
     else:
         writer.parquet(path)
     return path
+
+
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_path_name(name: str) -> str:
+    """Inverse of Spark/Hive partition-path escaping (``%XX`` hex escapes,
+    from ``ExternalCatalogUtils.unescapePathName``)."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _partition_value_str(v) -> str | None:
+    """Canonical string form of a collected partition value, matching how
+    Spark renders it into the directory path (Cast-to-string semantics).
+    ``None`` stays ``None`` (the ``__HIVE_DEFAULT_PARTITION__`` case)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)  # str / int / date / Decimal all match Cast-to-string
+
+
+def _partition_dirs(path: str, partition_by: list[str]):
+    """Yield ``(value_strings, dirpath)`` for every Hive-layout partition
+    directory under ``path``, with ``%XX`` escapes decoded and
+    ``__HIVE_DEFAULT_PARTITION__`` mapped to ``None``. Parsing what is ON
+    DISK (instead of re-deriving escaped names) keeps directory matching
+    correct for values Spark path-escapes (``:`` → ``%3A``) and for NULLs."""
+
+    def walk(cur: str, depth: int, vals: tuple):
+        if depth == len(partition_by):
+            yield vals, cur
+            return
+        prefix = partition_by[depth] + "="
+        for name in os.listdir(cur):
+            sub = os.path.join(cur, name)
+            if not os.path.isdir(sub) or not name.startswith(prefix):
+                continue
+            raw = _unescape_path_name(name[len(prefix) :])
+            val = None if raw == _HIVE_DEFAULT_PARTITION else raw
+            yield from walk(sub, depth + 1, vals + (val,))
+
+    yield from walk(path, 0, ())
 
 
 def delete_from_warehouse_table(
@@ -391,8 +457,23 @@ def delete_from_warehouse_table(
     touched = [tuple(r) for r in hits.select(*partition_by).distinct().collect()]
     if not touched:
         return path, 0
-    part_filter = F.struct(*partition_by).isin(
-        [F.struct(*[F.lit(v) for v in t]) for t in touched]
+    # Null-safe membership: a plain isin()/struct-equality test evaluates
+    # to NULL against a NULL partition value, silently EXCLUDING that
+    # partition's rows from the rewrite — the erasure would never happen.
+    # OR-of-eqNullSafe-conjunctions keeps NULL partitions in scope; the
+    # expression size is bounded by the touched-partition count.
+    part_filter = functools.reduce(
+        lambda a, b: a | b,
+        [
+            functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c).eqNullSafe(F.lit(v))
+                    for c, v in zip(partition_by, t)
+                ],
+            )
+            for t in touched
+        ],
     )
     base = existing.filter(part_filter)
     remaining = base.join(kdf, keys, "left_anti").localCheckpoint(eager=True)
@@ -408,12 +489,20 @@ def delete_from_warehouse_table(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for t in set(touched) - nonempty:
-        sub = os.path.join(
-            path, *[f"{c}={v}" for c, v in zip(partition_by, t)]
-        )
-        if os.path.isdir(sub):
-            shutil.rmtree(sub)
+    # Fully-emptied partitions: dynamic overwrite leaves their directories
+    # in place (no output rows land there), so remove them explicitly.
+    # Directory names come from PARSING the on-disk Hive layout — naive
+    # f"{c}={v}" misses Spark's path escaping (':' → '%3A') and the NULL
+    # partition (__HIVE_DEFAULT_PARTITION__), leaving "deleted" data on
+    # disk and breaking the erasure guarantee.
+    doomed = {
+        tuple(_partition_value_str(v) for v in t)
+        for t in set(touched) - nonempty
+    }
+    if doomed:
+        for vals, sub in _partition_dirs(path, partition_by):
+            if vals in doomed:
+                shutil.rmtree(sub)
     return path, n_deleted
 
 

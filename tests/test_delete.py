@@ -135,3 +135,67 @@ class TestDeleteFromWarehouseTable:
             (r["id"], r["sub"]) for r in spark.read.parquet(path).collect()
         }
         assert got == {(1, "b"), (2, "a")}
+
+    def test_null_partition_rows_are_deleted(self, spark, tmp_path):
+        # ADVICE r6: a NULL partition value made the touched-partition
+        # filter evaluate to NULL, silently excluding those rows from the
+        # rewrite — the "deleted" rows survived.
+        wh = str(tmp_path / "wh")
+        seed = spark.createDataFrame(
+            [(1, 10.0, "d1"), (2, 20.0, None), (3, 30.0, None)],
+            "id long, v double, day string",
+        )
+        path = write_warehouse_table(seed, wh, "t", partition_by=["day"])
+        keys = spark.createDataFrame([(2,)], "id long")
+        _, n = delete_from_warehouse_table(
+            spark, wh, "t", keys, ["id"], partition_by=["day"]
+        )
+        assert n == 1
+        got = {
+            (r["id"], r["day"]) for r in spark.read.parquet(path).collect()
+        }
+        assert got == {(1, "d1"), (3, None)}
+
+    def test_fully_emptied_null_partition_directory_is_removed(
+        self, spark, tmp_path
+    ):
+        wh = str(tmp_path / "wh")
+        seed = spark.createDataFrame(
+            [(1, 10.0, "d1"), (2, 20.0, None)],
+            "id long, v double, day string",
+        )
+        path = write_warehouse_table(seed, wh, "t", partition_by=["day"])
+        null_dir = os.path.join(path, "day=__HIVE_DEFAULT_PARTITION__")
+        assert os.path.isdir(null_dir)  # fixture sanity
+        keys = spark.createDataFrame([(2,)], "id long")
+        delete_from_warehouse_table(
+            spark, wh, "t", keys, ["id"], partition_by=["day"]
+        )
+        assert not os.path.isdir(null_dir)
+        assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
+
+    def test_fully_emptied_escaped_partition_directory_is_removed(
+        self, spark, tmp_path
+    ):
+        # Spark path-escapes ':' to '%3A' in partition directory names; a
+        # naive f"{col}={value}" join never matches, so the emptied
+        # directory (and its parquet bytes) lingered after "deletion".
+        wh = str(tmp_path / "wh")
+        seed = spark.createDataFrame(
+            [(1, 10.0, "t=08:30"), (2, 20.0, "d1")],
+            "id long, v double, day string",
+        )
+        path = write_warehouse_table(seed, wh, "t", partition_by=["day"])
+        escaped = [
+            d for d in os.listdir(path) if d.startswith("day=") and "%" in d
+        ]
+        assert escaped, "fixture must produce an escaped directory name"
+        keys = spark.createDataFrame([(1,)], "id long")
+        _, n = delete_from_warehouse_table(
+            spark, wh, "t", keys, ["id"], partition_by=["day"]
+        )
+        assert n == 1
+        assert not any(
+            d.startswith("day=") and "%" in d for d in os.listdir(path)
+        )
+        assert {r["id"] for r in spark.read.parquet(path).collect()} == {2}

@@ -162,3 +162,37 @@ class TestSchemaEvolution:
             for r in read_warehouse_table(spark, wh, "t").collect()
         }
         assert got == {(1, 1.0, None), (2, 2.0, 9)}
+
+
+def test_merge_preserves_existing_rows_in_null_partition(spark, tmp_path):
+    # Plain column-name semi-join equality never matches NULL partition
+    # values: the existing NULL-partition rows were left out of the merge
+    # base while dynamic overwrite replaced that partition with incoming
+    # rows only — silent data loss. eqNullSafe keeps them.
+    from hg_data_pipelines_spark.io import (
+        merge_warehouse_table,
+        write_warehouse_table,
+    )
+
+    wh = str(tmp_path / "wh")
+    seed = spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, None), (3, 30.0, "d1")],
+        "id long, v double, day string",
+    )
+    write_warehouse_table(seed, wh, "t", partition_by=["day"])
+    delta = spark.createDataFrame(
+        [(2, 21.0, None), (4, 40.0, None)], "id long, v double, day string"
+    )
+    path = merge_warehouse_table(
+        spark, delta, wh, "t", keys=["id"], order=["v"], partition_by=["day"]
+    )
+    got = {
+        (r["id"], r["v"], r["day"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, 10.0, None),   # untouched existing row in NULL partition kept
+        (2, 21.0, None),   # updated
+        (3, 30.0, "d1"),   # other partition untouched
+        (4, 40.0, None),   # inserted
+    }
