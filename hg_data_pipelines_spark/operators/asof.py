@@ -136,6 +136,15 @@ def asof_join_nearest(
     — Catalyst plans one Exchange with two Sort+Window passes, never a
     second shuffle or a join. Distances compare in integer microseconds
     (``unix_micros``) so tie resolution is exact and engine-portable.
+
+    Right rows that DUPLICATE a ``(key, time)`` pair are tie-broken
+    deterministically by ``xxhash64`` of the value row (appended to the
+    window ordering), so repeated runs and different input orderings pick
+    the same row — but WHICH duplicate wins is hash-arbitrary, not
+    semantic. Pre-aggregate the right side to one row per (key, time)
+    (as ``J6_asof_nearest_order`` does with MAX) when the choice matters.
+    Hash ordering requires hashable value columns (no MapType); with map
+    values, dedupe the right side instead.
     """
     from pyspark.sql import types as T
 
@@ -165,14 +174,18 @@ def asof_join_nearest(
         ).alias("_vrow"),
     )
     unioned = lhs.unionByName(rhs)
+    # Final ordering key: deterministic tie-break among right rows that
+    # share (key, time) — without it, last(_vrow) picks whichever
+    # duplicate the shuffle happened to order last (ADVICE r6).
+    tiebreak = F.xxhash64(F.col("_vrow")).asc()
     w_back = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_tus").asc(), F.col("_is_left").asc())
+        .orderBy(F.col("_tus").asc(), F.col("_is_left").asc(), tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_tus").desc(), F.col("_is_left").asc())
+        .orderBy(F.col("_tus").desc(), F.col("_is_left").asc(), tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

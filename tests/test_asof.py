@@ -112,3 +112,32 @@ class TestAsofTolerance:
         }
         assert out[1] == 9.0   # 4 days ahead: inside
         assert out[2] is None  # 96 days ahead: nulled
+
+
+class TestAsofNearestTieDeterminism:
+    def test_duplicate_key_time_right_rows_pick_deterministically(self, spark):
+        # ADVICE r6: with duplicate (key, time) right rows, last(_vrow)
+        # used to pick whichever duplicate the shuffle ordered last. The
+        # xxhash64 tie-break makes the pick input-order-independent.
+        from hg_data_pipelines_spark.operators.asof import asof_join_nearest
+
+        left = spark.createDataFrame([(1, 100)], "k long, lt long")
+        dup_rows = [(1, 100, "a"), (1, 100, "b"), (1, 100, "c")]
+
+        def run(rows):
+            right = spark.createDataFrame(rows, "k long, rt long, v string")
+            out = asof_join_nearest(
+                left,
+                right,
+                left_on="k",
+                right_on="k",
+                left_time="lt",
+                right_time="rt",
+                value_cols=["v"],
+            )
+            return [(r["k"], r["lt"], r["nearest_v"]) for r in out.collect()]
+
+        base = run(dup_rows)
+        assert len(base) == 1 and base[0][2] in {"a", "b", "c"}
+        for perm in (dup_rows[::-1], [dup_rows[1], dup_rows[2], dup_rows[0]]):
+            assert run(perm) == base

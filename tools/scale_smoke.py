@@ -235,11 +235,22 @@ def compose(spark, k: int) -> None:
             "decade2_ratio": round(big / mid, 2) if mid and big else None,
         }
         # pair-family queries: record output cardinality per decade so
-        # runtime ratios can be read against actual input growth
+        # runtime ratios can be read against actual input growth. Same
+        # DNF tolerance as the timed runs: a decade that DNF'd (or a
+        # count that itself blows the budget) must not abort the report.
         if "_pairs" in n:
+
+            def _count(d: str, ok) -> int | None:
+                if ok is None:
+                    return None
+                try:
+                    return REG[n](spark, d).count()
+                except Exception:  # noqa: BLE001 — DNF is a result here
+                    return None
+
             report[n]["rows"] = {
-                f"x{k}": REG[n](spark, d1).count(),
-                f"x{k * k}": REG[n](spark, d2).count() if big else None,
+                f"x{k}": _count(d1, mid),
+                f"x{k * k}": _count(d2, big),
             }
     print(json.dumps({"k": k, "composed": k * k, "queries": report}))
 
