@@ -104,6 +104,41 @@ def _rhp_signature(vec_col: str, dim: int, n_planes: int, seed: int) -> F.Column
     )
 
 
+def _rhp_signature_portable(
+    vec_col: str, dim: int, n_planes: int, seed: int
+) -> F.Column:
+    """Engine-portable RHP sign signature: plane signs from md5 (computed
+    identically by Spark and DuckDB) and the plane dot in FIXED-POINT
+    (component → ``floor(x * 1e6)`` as BIGINT, so the sum is exact integer
+    arithmetic — no FP summation-order hazard between engines). This makes
+    the LSH *bucketing itself* oracle-checkable, the same portable-md5
+    trick as the MinHash/SimHash twins (see ``queries/dedup.py``).
+
+    ``xxhash64`` (the default ``_rhp_signature``) stays the production
+    path — md5-per-(plane, dim) is ~4× more hashing for zero quality gain
+    when no second engine needs to replay the buckets.
+    """
+    qf = (
+        f"transform({vec_col}, x ->"
+        f" CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    sgn = (
+        f"CASE WHEN CAST(conv(substr(md5(CAST(concat("
+        f"'{seed}', ':', CAST(p AS STRING), ':', CAST(d AS STRING)"
+        f") AS BINARY)), 1, 1), 16, 10) AS INT) % 2 = 1"
+        f" THEN 1L ELSE -1L END"
+    )
+    plane_dot = (
+        f"aggregate(zip_with({qf}, sequence(0, {dim - 1}),"
+        f" (x, d) -> x * ({sgn})), 0L, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n_planes - 1}),"
+        f" p -> CASE WHEN ({plane_dot}) >= 0 THEN shiftleft(1L, p) ELSE 0L END),"
+        f" 0L, (acc, v) -> acc | v)"
+    )
+
+
 def auto_planes(n_vectors: int, target_bucket: int = 32, floor: int = 4) -> int:
     """Hyperplane count that keeps expected RHP bucket size ~constant.
 
@@ -135,13 +170,20 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     round_dp: int = 6,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share an RHP bucket in any of
     ``n_tables`` hash tables; exact cosine ranks the candidates.
 
     At 100 TB the bucket join replaces the corpus scan per query: cost is
     |bucket collisions|, not |queries| × |corpus|.
+
+    ``portable=True`` derives plane signs from md5 with fixed-point dots
+    (``_rhp_signature_portable``) so a DuckDB oracle can replay the exact
+    buckets; the default xxhash64 path is the cheaper production form.
     """
+    sig_fn = _rhp_signature_portable if portable else _rhp_signature
+
     def sig_table(df: DataFrame, prefix: str) -> DataFrame:
         out = df.select(
             F.col(id_col).alias(f"{prefix}_id"),
@@ -150,7 +192,7 @@ def lsh_topk(
         )
         tables = F.array(
             *[
-                _rhp_signature(f"{prefix}v", dim, n_planes, seed)
+                sig_fn(f"{prefix}v", dim, n_planes, seed)
                 for seed in range(n_tables)
             ]
         )

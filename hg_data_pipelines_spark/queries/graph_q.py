@@ -25,16 +25,21 @@ from .similarity import _KNN_K, _SQL_COSINE
 _PR_ITER = 4
 
 
-def _pagerank_oracle(n_iter: int = _PR_ITER, k: int = _KNN_K) -> str:
-    parts = [
-        f"""
+def _pagerank_oracle(
+    n_iter: int = _PR_ITER, k: int = _KNN_K, edges_with: str | None = None
+) -> str:
+    if edges_with is None:
+        edges_with = f"""
     WITH edges AS MATERIALIZED (
         SELECT q.vec_id AS src, c.vec_id AS dst
         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
         ) <= {k}
-    ), nodes AS MATERIALIZED (
+    )"""
+    parts = [
+        edges_with
+        + f""", nodes AS MATERIALIZED (
         SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ), nn AS (
         SELECT COUNT(*) AS n FROM nodes
@@ -98,6 +103,48 @@ def pagerank_ann(spark, sf_dir):
     edges = lsh_topk(emb, emb, k=_KNN_K, n_planes=planes, n_tables=16).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
+    return pagerank_fixed_point(edges, n_iter=_PR_ITER)
+
+
+def _pagerank_ann_portable_oracle() -> str:
+    from .similarity import _portable_lsh_cands_sql
+
+    edges_with = f"""
+    WITH {_portable_lsh_cands_sql()}, edges AS MATERIALIZED (
+        SELECT ca.query_id AS src, ca.neighbor_id AS dst
+        FROM cands ca
+        JOIN embeddings q ON q.vec_id = ca.query_id
+        JOIN embeddings c ON c.vec_id = ca.neighbor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY ca.query_id ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+        ) <= {_KNN_K}
+    )"""
+    return _pagerank_oracle(edges_with=edges_with)
+
+
+@query("X11_pagerank_ann_portable", _pagerank_ann_portable_oracle())
+def pagerank_ann_portable(spark, sf_dir):
+    """Fully oracle-checked ANN PageRank: fixed-point PageRank over
+    PORTABLE-LSH kNN edges. The md5/fixed-point RHP bucketing
+    (``_rhp_signature_portable``) lets DuckDB replay the exact buckets →
+    exact candidate set → exact edge set → exact integer PageRank, so the
+    whole approximate pipeline is hash-checked end to end — the edge
+    derivation of X11_pagerank_ann is no longer trust-me. Plane/table
+    counts are FIXED to the static oracle (see
+    ``X3_cosine_topk_lsh_portable``); the production sibling keeps
+    ``auto_planes`` + xxhash64."""
+    from ..operators.similarity import lsh_topk
+    from .similarity import _LSH_PORTABLE_PLANES, _LSH_PORTABLE_TABLES
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    edges = lsh_topk(
+        emb,
+        emb,
+        k=_KNN_K,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
     return pagerank_fixed_point(edges, n_iter=_PR_ITER)
 
 

@@ -46,6 +46,93 @@ def cosine_topk_bruteforce(spark, sf_dir):
     )
 
 
+# Portable-LSH twin: the RHP BUCKETING itself is oracle-checked. Plane
+# signs come from md5 (identical in both engines) and plane dots run in
+# fixed-point (floor(x*1e6) BIGINTs — exact integer sums, no FP
+# summation-order hazard), so DuckDB replays the exact buckets, the exact
+# candidate set, and the exact top-k. Same portable-md5 pattern that made
+# MinHash/SimHash hash-checked (queries/dedup.py); closes the last
+# rows-only family whose *pruning* was unverified. Plane/table counts are
+# FIXED (the oracle is a static string): 6 planes = 64 buckets/table
+# keeps expected occupancy 8-31 across sf0.001-0.1 (500-2000 vectors) —
+# candidate volume stays linear-ish while each query still meets enough
+# candidates for a non-vacuous top-5. Production uses auto_planes + the
+# xxhash64 path (X3_cosine_topk_lsh).
+_LSH_PORTABLE_PLANES = 6
+_LSH_PORTABLE_TABLES = 8
+_EMB_DIM = 64
+
+_SQL_PORTABLE_SGN = (
+    "CASE WHEN (strpos('0123456789abcdef', substr(md5("
+    "CAST(s.seed AS VARCHAR) || ':' || CAST(p.p AS VARCHAR) || ':' ||"
+    " CAST(d.d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END"
+)
+
+
+def _portable_lsh_cands_sql(query_pred: str = "") -> str:
+    """CTE chain (``planes``/``vecs``/``dots``/``sigs``/``cands``) that
+    replays the portable RHP bucketing in DuckDB — exact integer plane
+    dots, md5 plane signs — yielding the IDENTICAL candidate pair set the
+    Spark side produces. ``query_pred``: extra predicate on the query
+    side (e.g. ``f"AND qs.vec_id < {{n}}"``); empty = all-pairs kNN mode.
+    """
+    return f"""planes AS (
+        SELECT s.seed, p.p, d.d, {_SQL_PORTABLE_SGN} AS sgn
+        FROM generate_series(0, {_LSH_PORTABLE_TABLES - 1}) s(seed),
+             generate_series(0, {_LSH_PORTABLE_PLANES - 1}) p(p),
+             generate_series(0, {_EMB_DIM - 1}) d(d)
+    ), vecs AS (
+        SELECT e.vec_id, d.d,
+               CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qf
+        FROM embeddings e, generate_series(0, {_EMB_DIM - 1}) d(d)
+    ), dots AS (
+        SELECT v.vec_id, pl.seed, pl.p, SUM(v.qf * pl.sgn) AS dot
+        FROM vecs v JOIN planes pl ON v.d = pl.d
+        GROUP BY 1, 2, 3
+    ), sigs AS MATERIALIZED (
+        SELECT vec_id, seed,
+               SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2
+    ), cands AS (
+        SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+        FROM sigs qs JOIN sigs cs
+          ON qs.seed = cs.seed AND qs.bucket = cs.bucket
+        WHERE qs.vec_id != cs.vec_id {query_pred}
+    )"""
+
+
+@query(
+    "X3_cosine_topk_lsh_portable",
+    f"""
+    WITH {_portable_lsh_cands_sql(f"AND qs.vec_id < {_N_QUERIES}")}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT ca.query_id, ca.neighbor_id, {_SQL_COSINE} AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY ca.query_id
+                   ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+               ) AS INTEGER) AS rank
+        FROM cands ca
+        JOIN embeddings q ON q.vec_id = ca.query_id
+        JOIN embeddings c ON c.vec_id = ca.neighbor_id
+    ) WHERE rank <= {_K}
+    """,
+)
+def cosine_topk_lsh_portable(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(
+        queries,
+        emb,
+        k=_K,
+        dim=_EMB_DIM,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    )
+
+
 @query("X3_cosine_topk_lsh")
 def cosine_topk_lsh(spark, sf_dir):
     # Plane/table counts are tuned to the fixture's similarity profile:
