@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -193,6 +194,19 @@ def minhash_lsh_pairs(
     exact Jaccard check on candidates removes false positives, so output
     precision is exact and only recall is probabilistic (tuned by
     bands/rows-per-band around the threshold knee).
+
+    ``max_bucket`` is the occupancy guard (standard LSH skew control): a
+    bucket larger than that is a degenerate band key — a verbatim-copy
+    clique, a boilerplate shingle set — whose all-pairs expansion is
+    QUADRATIC in bucket size (measured: the composed 100× fixture with
+    100-way cliques spilled 78 GB and DNF'd). Oversized buckets are
+    STAR-expanded instead (sorted-min member ↔ every other member):
+    output stays linear in bucket size, every member still reaches the
+    exact-Jaccard check, and downstream connected components recover the
+    full clique transitively. The cost is direct edges between
+    non-representative members — only pair CONSUMERS that never cluster
+    (rare) see the difference. ``None`` keeps exact all-pairs expansion
+    (the oracle-twin setting).
     """
     base = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("toks")).select(
         "_id", word_shingles("toks", ngram).alias("shingles")
@@ -214,16 +228,23 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)), y ->"
-                    " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-                )
-            ).alias("p")
+    all_pairs_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+    )
+    if max_bucket is not None:
+        buckets = buckets.withColumn("ids", F.array_sort("ids"))
+        pair_expr = (
+            f"CASE WHEN size(ids) > {int(max_bucket)} THEN"
+            " transform(slice(ids, 2, size(ids) - 1), y ->"
+            " struct(element_at(ids, 1) as id_a, y as id_b))"
+            f" ELSE {all_pairs_expr} END"
         )
+    else:
+        pair_expr = all_pairs_expr
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

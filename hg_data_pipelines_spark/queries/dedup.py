@@ -265,8 +265,18 @@ def component_representatives(spark, sf_dir):
 
 @query("X2_minhash_lsh_pairs")
 def minhash_lsh_query(spark, sf_dir):
+    # max_bucket=64 is the LSH occupancy guard: oversized band buckets
+    # (verbatim-copy cliques) star-expand instead of all-pairs, keeping
+    # candidate volume linear in bucket size — measured on the verbatim
+    # composed clique fixture (PERFORMANCE.md round-7; uncapped, the same
+    # fixture spilled 78 GB and DNF'd). Fixture buckets peak at 4
+    # (sf0.1), so the cap never fires at declared scales; the portable
+    # oracle twins keep max_bucket=None (exact expansion is their
+    # contract).
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
-    return minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    return minhash_lsh_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, max_bucket=64
+    )
 
 
 # --------------------------------------------------------------------------

@@ -114,3 +114,48 @@ class TestPortableMinhashRecall:
             for r in minhash_portable_pairs(spark, sf).collect()
         }
         assert len(got & truth) / len(truth) >= 0.8
+
+
+class TestSubstringSpansJoinStrategy:
+    def test_spans_identical_under_forced_sort_merge_join(self, spark):
+        # The dup-gram join (queries/dedup.py _gram_hits) deliberately
+        # does NOT force broadcast: at real scale the dup set outgrows
+        # the threshold and AQE falls back to sort-merge. Force that
+        # fallback here and prove the scale path is semantics-equal.
+        from hg_data_pipelines_spark.queries.dedup import (
+            substring_dedup_spans,
+        )
+
+        sf = "/root/testdata/sf0.001"
+
+        def spans():
+            return {
+                (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+                for r in substring_dedup_spans(spark, sf).collect()
+            }
+
+        base = spans()
+        assert base, "fixture must contain duplicate spans"
+
+        keys = [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ]
+        prev = {c: spark.conf.get(c, None) for c in keys}
+        for c in keys:
+            spark.conf.set(c, "-1")
+        try:
+            plan = (
+                substring_dedup_spans(spark, sf)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "SortMergeJoin" in plan  # the forced strategy is real
+            assert spans() == base
+        finally:
+            for c, v in prev.items():
+                if v is None:
+                    spark.conf.unset(c)
+                else:
+                    spark.conf.set(c, v)

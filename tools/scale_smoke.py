@@ -97,17 +97,29 @@ QUERIES = [
 
 
 def build(
-    spark, k: int, out_dir: str, src_dir: str = SRC, offset_scale: int = 1
+    spark,
+    k: int,
+    out_dir: str,
+    src_dir: str = SRC,
+    offset_scale: int = 1,
+    tables: list[str] | None = None,
+    verbatim: bool = False,
 ) -> None:
     """Write k key-shifted copies of every table in src_dir to out_dir.
 
     offset_scale widens the per-copy key offsets — required when src_dir
     is itself a replica (its keys already span k_prev × OFFSET), so a
-    composed build passes offset_scale=k_prev to keep copies disjoint."""
+    composed build passes offset_scale=k_prev to keep copies disjoint.
+    ``tables`` restricts the build (e.g. documents-only stress regimes).
+    ``verbatim=True`` keeps the decade-1 suffix trick for documents at
+    composed decades too — duplicate cliques MULTIPLY each decade (the
+    adversarial mega-clique regime; see clique())."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     for table, keys in SHIFTS.items():
+        if tables is not None and table not in tables:
+            continue
         dst = os.path.join(out_dir, f"{table}.parquet")
         if os.path.exists(dst):
             continue
@@ -123,7 +135,7 @@ def build(
                     col, F.col(col) + F.lit(i * OFFSETS[col] * offset_scale)
                 )
             if table == "documents" and i > 0:
-                if offset_scale == 1:
+                if offset_scale == 1 or verbatim:
                     # first decade: copies stay NEAR-duplicates (one
                     # suffix token) — the dense-bucket stress regime
                     c = c.withColumn(
@@ -255,8 +267,45 @@ def compose(spark, k: int) -> None:
     print(json.dumps({"k": k, "composed": k * k, "queries": report}))
 
 
+def clique(spark, k: int, budget_s: float = 600.0) -> None:
+    """Adversarial mega-clique regime: documents-only composed replicas
+    where the decade-1 suffix trick applies at BOTH decades, so duplicate
+    cliques multiply k → k·k (100-way near-copies at k=10). UNCAPPED
+    banded expansion is quadratic in clique size here — the round-6 run
+    recorded 78 GB of shuffle spill and a DNF. The occupancy-capped
+    X2_minhash_lsh_pairs (max_bucket star expansion) must complete under
+    ``budget_s`` and report the pairs delta vs the exact all-pairs
+    expansion (per c-clique: c-1 star edges vs c(c-1)/2; connected
+    components are identical — tests/test_lsh_occupancy.py)."""
+    from hg_data_pipelines_spark.queries import QUERIES as REG
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d1 = os.path.join(repo, ".scale_smoke", f"clique{k}x")
+    d2 = os.path.join(repo, ".scale_smoke", f"clique{k * k}x")
+    build(spark, k, d1, tables=["documents"])
+    build(
+        spark, k, d2, src_dir=d1, offset_scale=k,
+        tables=["documents"], verbatim=True,
+    )
+    name = "X2_minhash_lsh_pairs"
+    report: dict = {"k": k, "budget_s": budget_s, "query": name}
+    for decade, d in ((k, d1), (k * k, d2)):
+        t0 = time.time()
+        try:
+            n_pairs = REG[name](spark, d).count()
+            t = round(time.time() - t0, 3)
+            report[f"x{decade}"] = {
+                "sec": t, "pairs": n_pairs, "within_budget": t <= budget_s,
+            }
+            print(f"clique x{decade}: {t:.1f}s {n_pairs} pairs", flush=True)
+        except Exception as e:  # noqa: BLE001 — DNF is a result here
+            report[f"x{decade}"] = {"sec": None, "err": type(e).__name__}
+            print(f"clique x{decade}: DNF {type(e).__name__}", flush=True)
+    print(json.dumps(report))
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--compose"]
+    args = [a for a in sys.argv[1:] if a not in ("--compose", "--clique")]
     k = int(args[0]) if args else 10
     from hg_data_pipelines_spark.session import get_spark
 
@@ -266,6 +315,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--compose" in sys.argv[1:]:
         compose(spark, k)
+        spark.stop()
+        return
+    if "--clique" in sys.argv[1:]:
+        clique(spark, k)
         spark.stop()
         return
     build(spark, k, out_dir)
