@@ -43,6 +43,11 @@ from . import warehouse_q  # noqa: E402,F401
 # verified by the full mirror) gave their slots to the round's new
 # capabilities — S19 targeted delete and W12 global running-distinct —
 # after passing tools/check_window_safety.py's driver-exact canon.
+# Round-7 rotation: J10 (bloom join — J8/J9 keep the scale-join family
+# represented) and U1 (U3 keeps the geometry-UDF family) gave their
+# slots to the round's portable-LSH twins — the RHP bucketing and the
+# ANN-edge PageRank are now hash-checked inside the driver gate. Both
+# rotated-out queries stay green in the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -55,7 +60,7 @@ _WINDOW = [
     "J6_asof_latest_order",         # as-of join
     "J8_range_join_banded",         # banded range join
     "J9_skew90_join_salted",        # skew/salting
-    "J10_bloom_pruned_join",        # bloom-pruned join
+    "X3_cosine_topk_lsh_portable",  # LSH bucketing itself hash-checked (r7)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "A2_value_counts",
     "A8_grouping_sets",
@@ -73,8 +78,8 @@ _WINDOW = [
     "X3_kmeans_fixed_point",       # fixed-point semantic clustering
     "SQL_lateral_topn_per_group",
     "SQL_recursive_reachability",
-    "U1_pixel_to_ray",              # geometry UDF surface
-    "U3_bbox_inverse",
+    "X11_pagerank_ann_portable",    # ANN edges + PageRank hash-checked (r7)
+    "U3_bbox_inverse",              # geometry UDF surface
     "U9_udtf_char_ngrams",          # UDTF
     "U10_grouped_agg_mean",         # pandas UDAF
     "S17_zorder_key_events",        # Z-order layout key

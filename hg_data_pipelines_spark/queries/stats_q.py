@@ -670,8 +670,15 @@ def weighted_percentiles(spark, sf_dir):
 # identical to DuckDB percentile_cont — the A10 contract), a 1-row
 # broadcast cross join carries them into the scan projection, and one
 # grouped aggregation finishes. At 100 TB swap the exact global
-# percentile for approx_percentile (t-digest, algebraic, no single-buffer
-# collect) — the exact form is the oracle-checkable twin (DQ5 pattern).
+# percentile for approx_percentile (sketch-based, algebraic, constant
+# memory) — the exact form is the oracle-checkable twin (DQ5 pattern).
+# Boundedness of the exact form as written: `F.percentile` buffers
+# DISTINCT (value, count) pairs, and l_extendedprice is a DECIMAL price
+# with bounded domain cardinality (price ladders, not a continuum), so
+# the buffer is domain-bounded, not row-bounded — the same argument as
+# X15/DQ5's session-size percentiles. For a genuinely continuous column
+# use A26_winsorized_stats_approx below (its rank-error invariant is
+# driver-checked, the A9 pattern).
 # The winsorized mean uses the dsum contract (exact DECIMAL accumulation)
 # so association order can't flip the hash.
 # --------------------------------------------------------------------------
@@ -723,4 +730,53 @@ def winsorized_stats(spark, sf_dir):
         ).alias("avg_w"),
         F.sum("clo").alias("n_clipped_lo"),
         F.sum("chi").alias("n_clipped_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A26 scale variant: winsorize from approx_percentile cutpoints — the
+# constant-memory form for genuinely continuous columns (where the exact
+# percentile's distinct-value buffer is row-bounded, not domain-bounded).
+# Sketch values differ per engine, so the DECLARED output is the accuracy
+# INVARIANT instead (the A9 pattern): approx_percentile(p, acc)
+# guarantees rank error <= 1/acc, hence by monotonicity the approx cut
+# must lie within [exact(p - 2/acc), exact(p + 2/acc)]. The Spark side
+# emits violations of that bracket; the oracle states the consequence —
+# the empty relation. A sketch regression (accuracy loss, rank-error
+# drift) makes the Spark side non-empty and fails the driver compare.
+# --------------------------------------------------------------------------
+
+_A26_ACC = 10_000  # rank error 1e-4; bracket at 2e-4 for interpolation slack
+
+
+@query(
+    "A26_winsorized_stats_approx",
+    """
+    SELECT CAST(NULL AS STRING) AS violated_cut WHERE FALSE
+    """,
+)
+def winsorized_stats_approx(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    eps = 2.0 / _A26_ACC
+    cuts = li.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.05, {_A26_ACC})"
+        ).alias("a_lo"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.95, {_A26_ACC})"
+        ).alias("a_hi"),
+        F.percentile("l_extendedprice", F.lit(max(0.0, 0.05 - eps))).alias("lo_min"),
+        F.percentile("l_extendedprice", F.lit(0.05 + eps)).alias("lo_max"),
+        F.percentile("l_extendedprice", F.lit(0.95 - eps)).alias("hi_min"),
+        F.percentile("l_extendedprice", F.lit(min(1.0, 0.95 + eps))).alias("hi_max"),
+    )
+    lo_bad = (F.col("a_lo") < F.col("lo_min")) | (F.col("a_lo") > F.col("lo_max"))
+    hi_bad = (F.col("a_hi") < F.col("hi_min")) | (F.col("a_hi") > F.col("hi_max"))
+    return cuts.select(
+        F.explode(
+            F.concat(
+                F.when(lo_bad, F.array(F.lit("qlo"))).otherwise(F.array().cast("array<string>")),
+                F.when(hi_bad, F.array(F.lit("qhi"))).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("violated_cut")
     )
