@@ -100,6 +100,8 @@ COVERAGE = [
     "X15_session_anomalies",         # 3-MAD session outlier screen
     "A26_winsorized_stats",          # clipped-tail grouped stats
     "W12_running_distinct_users",    # global running distinct, prefix sum
+    "X4_unigram_nll_scores",         # CCNet-style perplexity gate (r7)
+    "X4_dsir_importance_weights",    # DSIR target-domain weighting (r7)
 ]
 
 

@@ -1176,3 +1176,164 @@ def group_leakage_split(spark, sf_dir):
     )
     # 1-row audit scalar broadcast onto each split row
     return per_split.join(F.broadcast(leak))
+
+
+# --------------------------------------------------------------------------
+# X4: unigram-LM negative-log-likelihood scoring — the CCNet-style
+# perplexity gate (Wenzek et al., "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data", arXiv:1911.00359): score
+# every document by its likelihood under a language model and filter the
+# high-perplexity tail. Here the LM is the corpus's own add-one-smoothed
+# unigram model (the SQL-expressible core; a production KenLM swap keeps
+# the identical join/aggregate shape and changes only the lp table's
+# provenance).
+#
+# Determinism contract: each token's log-prob is FIXED-POINTED once
+# (round(ln(p)·1e6) as BIGINT — ln agrees across engines to <1 ulp, far
+# inside the 1e-6 grid), then per-document sums are exact integer
+# arithmetic — no float summation-order hazard, no per-engine drift.
+# The final per-token average uses integer division on the positive
+# (negated) sum so Spark `div` and DuckDB `//` agree (both truncate
+# toward zero for non-negative operands).
+#
+# Scale shape: explode is row-local; token counting is ONE partial-agg'd
+# shuffle on the token key (vocabulary-sized, not corpus-sized); the
+# lp-table join back to tokens is the skew hotspot at 100 TB (stopword
+# posting lists) — AQE skew-join splits hot tokens, and the lp side is
+# vocabulary-sized so it broadcasts outright on most clusters.
+# --------------------------------------------------------------------------
+
+_LP_SCALE = 1_000_000
+
+
+@query(
+    "X4_unigram_nll_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+    lp AS (
+        SELECT token,
+               CAST(round(ln((c + 1.0) / (n + v)) * {_LP_SCALE}.0) AS BIGINT)
+                   AS lp_micro
+        FROM cnt CROSS JOIN tot
+    ),
+    doc AS (
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+               SUM(lp.lp_micro) AS sum_lp_micro
+        FROM tok JOIN lp USING (token) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (-sum_lp_micro) // n_tokens AS nll_micro_avg
+    FROM doc
+    """,
+)
+def unigram_nll_scores(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr(
+            f"CAST(round(ln((c + 1.0) / (n + v)) * {_LP_SCALE}.0) AS BIGINT)"
+        ).alias("lp_micro"),
+    )
+    doc = tok.join(lp, "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(-sum_lp_micro) div n_tokens").alias("nll_micro_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: DSIR importance weights (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", arXiv:2302.03169): weight every
+# document by how much more likely it is under a TARGET-domain LM than
+# under the general-corpus LM — log w(doc) = Σ_tokens [ln p_target(t) −
+# ln p_corpus(t)] — then resample by weight to tilt a 100 TB crawl
+# toward the target distribution. Target here = the `lang = 'en'` slice
+# (any label/seed-corpus predicate slots in); both unigram models share
+# the corpus vocabulary so target-OOV tokens get mass 1/(n_tgt + v).
+#
+# Same determinism contract as X4_unigram_nll_scores: per-token log
+# ratios fixed-pointed once, per-document sums exact integer arithmetic.
+# Same scale shape plus one extra vocabulary-sized aggregation for the
+# target counts (filter pushed to the scan).
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "X4_dsir_importance_weights",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tcnt AS (
+        SELECT token, COUNT(*) AS tc FROM tok
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY token
+    ),
+    tot AS (
+        SELECT (SELECT SUM(c) FROM cnt) AS n,
+               (SELECT COUNT(*) FROM cnt) AS v,
+               (SELECT SUM(tc) FROM tcnt) AS tn
+    ),
+    lr AS (
+        SELECT cnt.token,
+               CAST(round((ln((COALESCE(tcnt.tc, 0) + 1.0) / (tn + v))
+                         - ln((cnt.c + 1.0) / (n + v))) * {_LP_SCALE}.0)
+                    AS BIGINT) AS lr_micro
+        FROM cnt LEFT JOIN tcnt USING (token) CROSS JOIN tot
+    ),
+    doc AS (
+        SELECT tok.doc_id, ANY_VALUE(tok.lang) AS lang,
+               COUNT(*) AS n_tokens, SUM(lr.lr_micro) AS log_w_micro
+        FROM tok JOIN lr USING (token) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_w_micro,
+           lang = '{_DSIR_TARGET_LANG}' AS is_target
+    FROM doc
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tcnt = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = (
+        cnt.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+        .crossJoin(tcnt.agg(F.sum("tc").alias("tn")))
+    )
+    lr = (
+        cnt.join(tcnt, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.expr(
+                f"CAST(round((ln((COALESCE(tc, 0) + 1.0) / (tn + v))"
+                f" - ln((c + 1.0) / (n + v))) * {_LP_SCALE}.0) AS BIGINT)"
+            ).alias("lr_micro"),
+        )
+    )
+    doc = tok.join(lr, "token").groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lr_micro").alias("log_w_micro"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "log_w_micro",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_target"),
+    )

@@ -1,0 +1,69 @@
+"""Semantic pins for the unigram-LM scoring queries (queries/corpus.py).
+
+The DuckDB oracle proves engine agreement; these constructed cases pin
+the DIRECTION of the scores: common text is more likely than rare text
+under the corpus LM, and DSIR weights tilt toward the target domain.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+class TestUnigramNll:
+    def test_rare_token_doc_scores_higher_nll(self, spark, tmp_path):
+        from hg_data_pipelines_spark.queries.corpus import unigram_nll_scores
+
+        common = "alpha beta gamma delta " * 5
+        rows = [(i, common.strip(), "en", "s", 1) for i in range(9)]
+        rows.append((99, "zzz qqq xxx www vvv", "en", "s", 1))
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r["nll_micro_avg"]
+               for r in unigram_nll_scores(spark, sf).collect()}
+        assert all(got[99] > got[i] for i in range(9))
+
+    def test_identical_docs_score_identically(self, spark, tmp_path):
+        from hg_data_pipelines_spark.queries.corpus import unigram_nll_scores
+
+        rows = [(i, "one two three four five", "en", "s", 1) for i in range(4)]
+        sf = _write_docs(spark, tmp_path, rows)
+        vals = {r["nll_micro_avg"]
+                for r in unigram_nll_scores(spark, sf).collect()}
+        assert len(vals) == 1
+
+
+class TestDsirWeights:
+    def test_target_vocab_docs_get_higher_weight(self, spark, tmp_path):
+        from hg_data_pipelines_spark.queries.corpus import (
+            dsir_importance_weights,
+        )
+
+        rows = (
+            [(i, "medical clinical patient dosage", "en", "s", 1)
+             for i in range(5)]
+            + [(10 + i, "voiture maison fromage rue", "fr", "s", 1)
+               for i in range(5)]
+            # the doc to score: pure target vocabulary, labeled non-target
+            + [(100, "medical patient dosage clinical", "fr", "s", 1),
+               (101, "voiture fromage rue maison", "en", "s", 1)]
+        )
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: (r["log_w_micro"], r["is_target"])
+               for r in dsir_importance_weights(spark, sf).collect()}
+        # weight follows the CONTENT distribution, not the label
+        assert got[100][0] > got[101][0]
+        # the label rides along for downstream audits
+        assert got[100][1] is False and got[101][1] is True
