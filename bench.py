@@ -102,6 +102,7 @@ COVERAGE = [
     "W12_running_distinct_users",    # global running distinct, prefix sum
     "X4_unigram_nll_scores",         # CCNet-style perplexity gate (r7)
     "X4_dsir_importance_weights",    # DSIR target-domain weighting (r7)
+    "DQ10_psi_value_drift",          # PSI distribution-drift audit (r7)
 ]
 
 

@@ -480,3 +480,151 @@ def freshness_audit(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# DQ10: distribution drift via Population Stability Index — the standard
+# feature-monitoring metric (banking/scorecard lineage) that DQ8's volume
+# z-score cannot see: the row COUNT can be perfectly normal while the
+# VALUE distribution silently shifts (an upstream unit change, a new
+# client version, a schema default leaking through). PSI compares the
+# per-bin population shares of a current window against a baseline
+# window over baseline-decile bins:
+#
+#     PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base)
+#
+# with add-½ Laplace smoothing so empty bins stay finite. > 0.2 is the
+# conventional "significant shift" gate.
+#
+# Windows: the event history's distinct days split into halves by
+# NTILE(2) (exact, tie-free on distinct days, engine-portable); baseline
+# deciles per event_type come from exact percentile interpolation (the
+# A10 contract) and bucket assignment is the shuffle-free A25 pattern
+# (1 + Σ(value > cutpoint) in the scan projection, cutpoints broadcast).
+#
+# Determinism: bin counts are integers, shares are single IEEE divisions,
+# each bin's PSI term is fixed-pointed once (round(term·1e6) as BIGINT),
+# and the per-type sum is exact integer arithmetic — the X4 LM-scoring
+# contract. Scale: two scans (baseline stats, bucket counts), all
+# aggregations vocabulary-of-bins-sized, no window over raw events.
+# --------------------------------------------------------------------------
+
+_DQ10_BINS = 10
+_DQ10_CUTS = [i / 10 for i in range(1, 10)]
+
+
+# Shares forced to DOUBLE on both engines: Spark parses `cc + 0.5` as
+# DECIMAL arithmetic (scale-rounded at each step) while DuckDB widens to
+# DOUBLE — the same expression text silently computes different numbers
+# (caught by the oracle as an off-by-one psi_micro). One shared fragment,
+# explicit CASTs, identical IEEE expression tree on both sides.
+_DQ10_PC = "((CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0))"
+_DQ10_PB = "((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))"
+_DQ10_TERM = (
+    f"CAST(round(({_DQ10_PC} - {_DQ10_PB})"
+    f" * ln({_DQ10_PC} / {_DQ10_PB}) * 1000000.0) AS BIGINT)"
+)
+
+
+def _dq10_bucket_sql(val: str, pfx: str) -> str:
+    return "1 + " + " + ".join(
+        f"(CASE WHEN {val} > {pfx}c{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    )
+
+
+@query(
+    "DQ10_psi_value_drift",
+    f"""
+    WITH days AS (
+        SELECT day, NTILE(2) OVER (ORDER BY day) AS half
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    ), ev AS (
+        SELECT e.event_type, e.value, d.half
+        FROM events e JOIN days d ON CAST(e.ts AS DATE) = d.day
+    ), cuts AS (
+        SELECT event_type,
+               {", ".join(f"quantile_cont(value, {q}) AS c{i + 1}"
+                          for i, q in enumerate(_DQ10_CUTS))}
+        FROM ev WHERE half = 1 GROUP BY event_type
+    ), bucketed AS (
+        SELECT ev.event_type, ev.half,
+               {_dq10_bucket_sql("ev.value", "cuts.")} AS bin
+        FROM ev JOIN cuts USING (event_type)
+    ), bins AS (
+        SELECT c.event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM cuts) c,
+             generate_series(1, {_DQ10_BINS}) b(bin)
+    ), counts AS (
+        SELECT bins.event_type, bins.bin,
+               CAST(COALESCE(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS cb,
+               CAST(COALESCE(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS cc
+        FROM bins LEFT JOIN bucketed
+          ON bins.event_type = bucketed.event_type AND bins.bin = bucketed.bin
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, SUM(cb) AS nb, SUM(cc) AS nc FROM counts GROUP BY 1
+    ), terms AS (
+        SELECT counts.event_type, {_DQ10_TERM} AS term_micro
+        FROM counts JOIN tot USING (event_type)
+    )
+    SELECT event_type, CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           SUM(term_micro) > 200000 AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def psi_value_drift(spark, sf_dir):
+    utc(spark)
+    ev_raw = load(spark, sf_dir, "events")
+    days = (
+        ev_raw.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            F.ntile(2).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("day")).alias("half"),
+        )
+    )
+    ev = ev_raw.select(
+        "event_type", "value", F.col("ts").cast("date").alias("day")
+    ).join(F.broadcast(days), "day")
+    cuts = (
+        ev.filter(F.col("half") == 1)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", F.lit(q)).alias(f"c{i + 1}")
+                for i, q in enumerate(_DQ10_CUTS)
+            ]
+        )
+    )
+    bucketed = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "half", F.expr(_dq10_bucket_sql("value", "")).alias("bin")
+    )
+    bins = cuts.select("event_type").crossJoin(
+        spark.range(1, _DQ10_BINS + 1).select(F.col("id").cast("int").alias("bin"))
+    )
+    counts = (
+        bins.join(bucketed, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0)), F.lit(0)
+            ).alias("cb"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 2, 1).otherwise(0)), F.lit(0)
+            ).alias("cc"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.expr(_DQ10_TERM).alias("term_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("term_micro").alias("psi_micro"),
+        (F.sum("term_micro") > 200000).alias("drifted"),
+    )

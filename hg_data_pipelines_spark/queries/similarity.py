@@ -92,8 +92,8 @@ def _portable_lsh_cands_sql(query_pred: str = "") -> str:
         GROUP BY 1, 2, 3
     ), sigs AS MATERIALIZED (
         SELECT vec_id, seed,
-               SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
-                        ELSE 0 END) AS bucket
+               CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                             ELSE 0 END) AS BIGINT) AS bucket
         FROM dots GROUP BY 1, 2
     ), cands AS (
         SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id

@@ -40,6 +40,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # post-aggregation calendar (one row per day, bounded by feed age,
     # ~36.5k rows per century), never the raw events table
     "DQ8_volume_drift",
+    # NTILE(2) over the DISTINCT-day calendar (same post-aggregation
+    # boundedness as DQ8) to split baseline/current halves — raw events
+    # never reach the window
+    "DQ10_psi_value_drift",
 }
 
 
