@@ -1337,3 +1337,94 @@ def dsir_importance_weights(spark, sf_dir):
         "log_w_micro",
         (F.col("lang") == _DSIR_TARGET_LANG).alias("is_target"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: bigram-LM NLL — the conditional-likelihood upgrade of
+# X4_unigram_nll_scores (perplexity filters in production use 5-gram
+# KenLM; the bigram form is the smallest model where CONTEXT matters, so
+# scrambled/boilerplate text that unigram stats cannot see scores
+# visibly worse). p(t_i | t_{i-1}) = (c(t_{i-1}, t_i) + 1) /
+# (h(t_{i-1}) + V) with history counts h(·) over transition positions
+# and the shared unigram vocabulary V. Same fixed-point determinism
+# contract (round(ln·1e6) once, exact integer per-doc sums, truncating
+# division on the negated sum); the transition join shuffles on the
+# (t1, t2) pair key — bigram vocabulary-sized, with far lighter skew
+# than the unigram join (stopword mass splits across successors).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_bigram_nll_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bi AS (
+        SELECT doc_id, b['t1'] AS t1, b['t2'] AS t2 FROM (
+            SELECT doc_id,
+                   unnest([{{'t1': toks[i], 't2': toks[i + 1]}}
+                           for i in range(1, len(toks))]) AS b
+            FROM t
+        )
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT token) AS v
+        FROM (SELECT unnest(toks) AS token FROM t)
+    ),
+    hist AS (SELECT t1, COUNT(*) AS h FROM bi GROUP BY t1),
+    bcnt AS (SELECT t1, t2, COUNT(*) AS c FROM bi GROUP BY t1, t2),
+    lp AS (
+        SELECT bcnt.t1, bcnt.t2,
+               CAST(round(ln((c + 1.0) / (h + v)) * {_LP_SCALE}.0) AS BIGINT)
+                   AS lp_micro
+        FROM bcnt JOIN hist USING (t1) CROSS JOIN vocab
+    ),
+    doc AS (
+        SELECT bi.doc_id, COUNT(*) AS n_transitions,
+               SUM(lp.lp_micro) AS sum_lp_micro
+        FROM bi JOIN lp ON bi.t1 = lp.t1 AND bi.t2 = lp.t2
+        GROUP BY bi.doc_id
+    )
+    SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+           (-sum_lp_micro) // n_transitions AS nll_micro_avg
+    FROM doc
+    """,
+)
+def bigram_nll_scores(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    t = docs.select("doc_id", _toks().alias("toks"))
+    bi = t.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(toks) - 1)")).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.expr("element_at(toks, i)").alias("t1"),
+        F.expr("element_at(toks, i + 1)").alias("t2"),
+    )
+    vocab = (
+        t.select(F.explode("toks").alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    hist = bi.groupBy("t1").agg(F.count(F.lit(1)).alias("h"))
+    bcnt = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c"))
+    lp = (
+        bcnt.join(hist, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "t1",
+            "t2",
+            F.expr(
+                f"CAST(round(ln((c + 1.0) / (h + v)) * {_LP_SCALE}.0)"
+                f" AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    doc = bi.join(lp, ["t1", "t2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_transitions",
+        F.expr("(-sum_lp_micro) div n_transitions").alias("nll_micro_avg"),
+    )

@@ -460,3 +460,68 @@ def kcore_neardup(spark, sf_dir):
         "id_a", "id_b"
     )
     return kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# X11: triangle counting over the k-NN similarity graph — the graph-motif
+# census (local clustering signal): a document whose neighbors are also
+# neighbors of EACH OTHER sits inside a dense semantic cluster, while
+# triangle-free nodes are bridges/outliers. Standard distributed shape:
+# canonicalize the directed kNN edges to undirected a<b pairs, then the
+# two-join ordered-wedge closure (a<b<c: (a,b)⋈(b,c) probe (a,c)) — each
+# triangle is produced exactly once, join keys are node ids, no motif
+# enumerated twice. At 100 TB the canonical refinement is degree-ordered
+# orientation (order by (degree, id) instead of raw id) which bounds
+# wedge fan-out by arboricity; id order is the fixture-faithful oracle
+# form on the bounded-degree kNN graph (out-degree = k).
+# Per-node participation counts via one explode + hash aggregation.
+# --------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH dir_edges AS MATERIALIZED (
+        SELECT q.vec_id AS src, c.vec_id AS dst
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+        ) <= {_KNN_K}
+    ), und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM dir_edges
+    ), tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), member AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY node
+    """
+
+
+@query("X11_triangle_counts", _triangle_oracle())
+def triangle_counts(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    dir_edges = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    und = (
+        dir_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2a"))
+        .join(e3, (F.col("e3a") == F.col("a")) & (F.col("e3b") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

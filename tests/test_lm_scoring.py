@@ -67,3 +67,20 @@ class TestDsirWeights:
         assert got[100][0] > got[101][0]
         # the label rides along for downstream audits
         assert got[100][1] is False and got[101][1] is True
+
+
+class TestBigramNll:
+    def test_scrambled_text_scores_worse_than_natural(self, spark, tmp_path):
+        # The property unigram stats cannot see: same token multiset,
+        # different order. Docs repeating a fixed phrase have predictable
+        # transitions; a scrambled permutation of the same tokens does not.
+        from hg_data_pipelines_spark.queries.corpus import bigram_nll_scores
+
+        phrase = "the cat sat on the mat"
+        rows = [(i, phrase, "en", "s", 1) for i in range(8)]
+        rows.append((98, phrase, "en", "s", 1))
+        rows.append((99, "mat the on sat the cat", "en", "s", 1))  # scrambled
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r["nll_micro_avg"]
+               for r in bigram_nll_scores(spark, sf).collect()}
+        assert got[99] > got[98]
