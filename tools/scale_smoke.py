@@ -93,6 +93,13 @@ QUERIES = [
     # plane count) next to the exact O(n²) oracle twins
     "X11_pagerank_ann",
     "X3_knn_graph_lsh",
+    # round-7: corpus LM scoring (token-join shapes), PSI drift audit,
+    # and the graph-motif census
+    "X4_unigram_nll_scores",
+    "X4_bigram_nll_scores",
+    "X4_dsir_importance_weights",
+    "DQ10_psi_value_drift",
+    "X11_triangle_counts",
 ]
 
 
