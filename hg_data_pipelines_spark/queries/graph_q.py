@@ -525,3 +525,37 @@ def triangle_counts(spark, sf_dir):
     )
     member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query("X11_triangle_counts_ann")
+def triangle_counts_ann(spark, sf_dir):
+    """Scale-path sibling of X11_triangle_counts: the identical
+    ordered-wedge triangle census over RHP-LSH-bucketed kNN edges
+    (``lsh_topk`` + ``auto_planes``) instead of the exact O(n²) graph —
+    the same exact-twin/ANN-sibling split as X11_pagerank_knn /
+    X11_pagerank_ann. Rows-only (xxhash64 hyperplanes aren't DuckDB-
+    reproducible); pytest pins participant-node overlap against the
+    exact census on the fixture, and tools/scale_smoke.py measures the
+    10× ratio next to the exact form's."""
+    from ..operators.similarity import auto_planes, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    planes = auto_planes(emb.count())
+    dir_edges = lsh_topk(
+        emb, emb, k=_KNN_K, n_planes=planes, n_tables=16
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    und = (
+        dir_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
+    tri = (
+        und.join(e2, F.col("b") == F.col("b2a"))
+        .join(e3, (F.col("e3a") == F.col("a")) & (F.col("e3b") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

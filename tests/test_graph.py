@@ -215,3 +215,16 @@ class TestPagerankAnnSibling:
         exact, ann = top("X11_pagerank_knn"), top("X11_pagerank_ann")
         overlap = len(exact & ann) / 50
         assert overlap >= 0.8, f"top-50 overlap {overlap}"
+
+
+class TestTriangleAnnOverlap:
+    def test_ann_census_recovers_most_exact_participants(self, spark):
+        from hg_data_pipelines_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["node"] for r in QUERIES["X11_triangle_counts"](spark, sf).collect()}
+        ann = {r["node"] for r in QUERIES["X11_triangle_counts_ann"](spark, sf).collect()}
+        assert exact, "fixture graph must contain triangles"
+        # every ANN edge passes exact cosine ranking, so ANN triangles are
+        # plausible motifs; recall of participant nodes is the pinned signal
+        assert len(ann & exact) / len(exact) >= 0.5

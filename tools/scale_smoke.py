@@ -100,6 +100,7 @@ QUERIES = [
     "X4_dsir_importance_weights",
     "DQ10_psi_value_drift",
     "X11_triangle_counts",
+    "X11_triangle_counts_ann",
 ]
 
 
