@@ -1428,3 +1428,127 @@ def bigram_nll_scores(spark, sf_dir):
         "n_transitions",
         F.expr("(-sum_lp_micro) div n_transitions").alias("nll_micro_avg"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: vocabulary drift — Population Stability Index of each SOURCE's token
+# distribution against the rest of the corpus, over fixed bins = the
+# corpus's top-100 tokens + __OTHER__. The crawl-snapshot health check a
+# 100 TB ingest runs per feed: a scraper change, an encoding regression,
+# or a new boilerplate template shifts a source's token mass long before
+# any row-level gate fires (DQ10 is the same metric over a NUMERIC
+# column; this is the text-distribution sibling). Top-100 selection is
+# deterministic (count DESC, token ASC — token is unique so the order is
+# total); bins are corpus-global so every source is scored on the same
+# axis. Same fixed-point PSI contract as DQ10 (DOUBLE-forced shares,
+# round(term·1e6) BIGINT, exact integer per-source sums).
+# Scale shape: one vocabulary-sized aggregation, a broadcast top-100
+# membership join, then bins×sources-sized arithmetic (tiny).
+# --------------------------------------------------------------------------
+
+_VD_TOP = 100
+_VD_EPS = (_VD_TOP + 1) * 0.5  # add-1/2 smoothing over 101 bins
+
+_VD_P_SRC = "((CAST(n_sb AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + {eps}))"
+_VD_P_REST = (
+    "((CAST(n_b - n_sb AS DOUBLE) + 0.5)"
+    " / (CAST(n_tot - n_s AS DOUBLE) + {eps}))"
+)
+
+
+def _vd_term() -> str:
+    ps = _VD_P_SRC.format(eps=_VD_EPS)
+    pr = _VD_P_REST.format(eps=_VD_EPS)
+    return (
+        f"CAST(round(({ps} - {pr}) * ln({ps} / {pr}) * 1000000.0) AS BIGINT)"
+    )
+
+
+@query(
+    "X4_vocab_drift_by_source",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({_SQL_TOKS}) AS token FROM documents
+    ), gcnt AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), top AS (
+        SELECT token FROM gcnt ORDER BY c DESC, token LIMIT {_VD_TOP}
+    ), binned AS (
+        SELECT tok.source,
+               CASE WHEN top.token IS NOT NULL THEN tok.token
+                    ELSE '__OTHER__' END AS bin
+        FROM tok LEFT JOIN top ON tok.token = top.token
+    ), sb AS (
+        SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_sb
+        FROM binned GROUP BY 1, 2
+    ), bins AS (
+        SELECT token AS bin FROM top UNION ALL SELECT '__OTHER__'
+    ), grid AS (
+        SELECT s.source, bins.bin,
+               CAST(COALESCE(sb.n_sb, 0) AS BIGINT) AS n_sb
+        FROM (SELECT DISTINCT source FROM sb) s
+        CROSS JOIN bins
+        LEFT JOIN sb ON sb.source = s.source AND sb.bin = bins.bin
+    ), btot AS (
+        SELECT bin, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM grid GROUP BY bin
+    ), stot AS (
+        SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM grid GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_sb) AS BIGINT) AS n_tot FROM grid
+    ), terms AS (
+        SELECT grid.source, {_vd_term()} AS term_micro
+        FROM grid
+        JOIN btot USING (bin)
+        JOIN stot ON stot.source = grid.source
+        CROSS JOIN tot
+    )
+    SELECT source, CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           SUM(term_micro) > 200000 AS drifted
+    FROM terms GROUP BY source
+    """,
+)
+def vocab_drift_by_source(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    tok = docs.select("source", F.explode(_toks()).alias("token"))
+    glob = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = glob.orderBy(F.desc("c"), "token").limit(_VD_TOP).select("token")
+    binned = tok.join(
+        F.broadcast(top.withColumn("_is_top", F.lit(1))), "token", "left"
+    ).select(
+        "source",
+        F.when(F.col("_is_top").isNotNull(), F.col("token"))
+        .otherwise(F.lit("__OTHER__"))
+        .alias("bin"),
+    )
+    sb = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sb")
+    )
+    bins = top.select(F.col("token").alias("bin")).unionAll(
+        spark.createDataFrame([("__OTHER__",)], "bin string")
+    )
+    grid = (
+        sb.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(bins))
+        .join(sb, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce("n_sb", F.lit(0)).cast("bigint").alias("n_sb"),
+        )
+    )
+    btot = grid.groupBy("bin").agg(F.sum("n_sb").cast("bigint").alias("n_b"))
+    stot = grid.groupBy("source").agg(
+        F.sum("n_sb").cast("bigint").alias("n_s")
+    )
+    tot = grid.agg(F.sum("n_sb").cast("bigint").alias("n_tot"))
+    terms = (
+        grid.join(F.broadcast(btot), "bin")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", F.expr(_vd_term()).alias("term_micro"))
+    )
+    return terms.groupBy("source").agg(
+        F.sum("term_micro").cast("bigint").alias("psi_micro"),
+        (F.sum("term_micro") > 200000).alias("drifted"),
+    )

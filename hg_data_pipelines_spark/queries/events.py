@@ -1970,3 +1970,105 @@ def longest_streak_per_user(spark, sf_dir):
             ).alias("longest_start"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X12: multi-touch attribution — the revenue-credit assignment every
+# growth/marketing pipeline runs over the event log: each purchase is
+# attributed to the touch events (click/view) that preceded it within a
+# 7-day lookback, under BOTH standard models at once — last-touch (the
+# most recent touch takes full credit; deterministic tiebreak on
+# (ts, event_id)) and linear (credit split equally across the
+# conversion's touches). Shapes: one per-user time-banded join (the J7
+# interval-join shape — equi user key + time-range residual, so the
+# shuffle is user-keyed and candidates are lookback-bounded), two
+# conversion-partitioned windows sharing that join's output, one final
+# channel aggregation.
+#
+# Determinism: last-touch revenue uses the dsum DECIMAL contract; linear
+# credit is fixed-pointed BEFORE the split (round(value·1e6) BIGINT,
+# then truncating integer division by n_touches) so the per-channel sums
+# are exact integer arithmetic — engine- and order-independent, the X4
+# LM-scoring contract. Conversions with no touch in the window simply
+# don't appear (an untouched purchase has no channel to credit).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_attribution_models",
+    f"""
+    WITH touches AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'view')
+    ), conv AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'
+    ), cand AS (
+        SELECT c.event_id AS conv_id, c.value, t.event_type AS channel,
+               t.ts AS t_ts, t.event_id AS touch_id,
+               COUNT(*) OVER (PARTITION BY c.event_id) AS n_touches,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY t.ts DESC, t.event_id DESC
+               ) AS rn
+        FROM conv c JOIN touches t
+          ON t.user_id = c.user_id
+         AND t.ts < c.ts
+         AND t.ts >= c.ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last_touch,
+           {sql_dsum("CASE WHEN rn = 1 THEN value END", "last_touch_value")},
+           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT) // n_touches)
+                AS BIGINT) AS linear_credit_micro
+    FROM cand GROUP BY channel
+    """,
+)
+def attribution_models(spark, sf_dir):
+    from pyspark.sql import Window
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("conv_id"),
+        F.col("value"),
+    )
+    cand = conv.join(
+        touches,
+        (F.col("t_user_id") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w_n = Window.partitionBy("conv_id")
+    w_rn = Window.partitionBy("conv_id").orderBy(
+        F.desc("t_ts"), F.desc("touch_id")
+    )
+    scored = cand.select(
+        "conv_id",
+        "value",
+        "channel",
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return scored.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_last_touch"),
+        dsum(F.when(F.col("rn") == 1, F.col("value")), "last_touch_value"),
+        F.sum(
+            F.expr(
+                "CAST(round(value * 1000000.0) AS BIGINT) div n_touches"
+            )
+        )
+        .cast("bigint")
+        .alias("linear_credit_micro"),
+    )
