@@ -2072,3 +2072,80 @@ def attribution_models(spark, sf_dir):
         .cast("bigint")
         .alias("linear_credit_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X12: entry-channel bounce rate — the landing-quality staple: per entry
+# event type (the session's first event), how many sessions started
+# there and what share ended after that single event. Reuses the
+# sessionization fragment (30-min gap, (ts, event_id) order) plus one
+# equi-join back to events for the entry type; the rate is exact integer
+# micro-units (truncating division), so no float discipline needed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_bounce_rate_by_entry",
+    _SESSIONIZE_SQL
+    + """
+    , entry AS (
+        SELECT e.event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.user_id, n.session_id
+                   ORDER BY n.ts, n.event_id
+               ) AS rn,
+               COUNT(*) OVER (
+                   PARTITION BY n.user_id, n.session_id
+               ) AS n_events
+        FROM numbered n JOIN events e ON n.event_id = e.event_id
+    )
+    SELECT event_type AS entry_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_rate_micro
+    FROM entry WHERE rn = 1 GROUP BY 1
+    """,
+)
+def bounce_rate_by_entry(spark, sf_dir):
+    from pyspark.sql import Window
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            _epoch_us("ts")
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    entry = numbered.select(
+        "event_type",
+        F.row_number().over(ws.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n_events"),
+    ).filter(F.col("rn") == 1)
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return entry.groupBy(F.col("event_type").alias("entry_channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("bounce_rate_micro"),
+    )

@@ -1568,3 +1568,80 @@ def image_downscale_stats(spark, sf_dir):
             )
 
     return small.mapInPandas(_stats, out_schema)
+
+
+# --------------------------------------------------------------------------
+# X3: ANN recall report — the IR-evaluation op itself as an oracle-checked
+# query: portable-LSH top-k joined against the exact top-k ground truth,
+# per-query hit counts and recall@k in exact integer micro-units. This is
+# how an ANN index is actually qualified before production (recall\@k vs
+# brute force on a held-out query set); because BOTH sides are
+# engine-portable (fixed-point exact ranking, md5 plane signs), the
+# recall measurement itself hash-matches — the eval harness cannot
+# silently drift. Scale: the ground-truth arm is the fenced fixture-scale
+# brute force (that's inherent to recall eval — the ground truth IS
+# exact); the report is |queries|-sized.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X3_lsh_recall_report",
+    f"""
+    WITH {_portable_lsh_cands_sql(f"AND qs.vec_id < {_N_QUERIES}")}, lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT ca.query_id, ca.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ca.query_id
+                       ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+                   ) AS rank
+            FROM cands ca
+            JOIN embeddings q ON q.vec_id = ca.query_id
+            JOIN embeddings c ON c.vec_id = ca.neighbor_id
+        ) WHERE rank <= {_K}
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COSINE} DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rank <= {_K}
+    )
+    SELECT e.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) * 1000000 // {_K} AS BIGINT)
+               AS recall_micro
+    FROM exact e LEFT JOIN lsh l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def lsh_recall_report(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    lsh = lsh_topk(
+        queries,
+        emb,
+        k=_K,
+        dim=_EMB_DIM,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    ).select(
+        F.col("query_id").alias("l_query_id"),
+        F.col("neighbor_id").alias("l_neighbor_id"),
+    )
+    joined = exact.join(
+        lsh,
+        (F.col("l_query_id") == F.col("query_id"))
+        & (F.col("l_neighbor_id") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("l_neighbor_id").cast("bigint").alias("n_hits"),
+        F.expr(
+            f"CAST(COUNT(l_neighbor_id) * 1000000 div {_K} AS BIGINT)"
+        ).alias("recall_micro"),
+    )
