@@ -2149,3 +2149,87 @@ def bounce_rate_by_entry(spark, sf_dir):
             " div COUNT(*) AS BIGINT)"
         ).alias("bounce_rate_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X12: RFM customer segmentation — the canonical lifecycle scoring
+# (Recency / Frequency / Monetary quintiles) over the orders fact:
+# per-customer aggregates first (recency = days since epoch of the last
+# order — pure integers; frequency = order count; monetary = exact
+# DECIMAL revenue), then quintile cutpoints from exact percentile
+# interpolation over the CUSTOMER-SIZED aggregate (the A10 contract,
+# post-aggregation bounded), assigned with the shuffle-free A25 bucket
+# projection (1 + Σ(v > cutpoint), broadcast cutpoints — no ntile, no
+# global sort). Ties land deterministically on both engines because the
+# comparisons run on identical integers/doubles.
+# --------------------------------------------------------------------------
+
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+
+
+def _rfm_bucket(val: str, pfx: str) -> str:
+    return "1 + " + " + ".join(
+        f"(CASE WHEN {val} > {pfx}{i} THEN 1 ELSE 0 END)" for i in range(1, 5)
+    )
+
+
+@query(
+    "X12_rfm_segments",
+    f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1970-01-01', MAX(o_orderdate))
+                   AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS f_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS m_val
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT
+            {", ".join(f"quantile_cont(r_days, {q}) AS r{i + 1}" for i, q in enumerate(_RFM_QS))},
+            {", ".join(f"quantile_cont(f_cnt, {q}) AS f{i + 1}" for i, q in enumerate(_RFM_QS))},
+            {", ".join(f"quantile_cont(m_val, {q}) AS m{i + 1}" for i, q in enumerate(_RFM_QS))}
+        FROM cust
+    )
+    SELECT o_custkey,
+           CAST({_rfm_bucket("r_days", "r")} AS INTEGER) AS r_score,
+           CAST({_rfm_bucket("f_cnt", "f")} AS INTEGER) AS f_score,
+           CAST({_rfm_bucket("m_val", "m")} AS INTEGER) AS m_score,
+           CAST({_rfm_bucket("r_days", "r")} AS VARCHAR) || '-' ||
+           CAST({_rfm_bucket("f_cnt", "f")} AS VARCHAR) || '-' ||
+           CAST({_rfm_bucket("m_val", "m")} AS VARCHAR) AS rfm_segment
+    FROM cust CROSS JOIN cuts
+    """,
+)
+def rfm_segments(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("bigint").alias("f_cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("m_val"),
+    )
+    cuts = cust.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{p}{i + 1}")
+            for p, c in (("r", "r_days"), ("f", "f_cnt"), ("m", "m_val"))
+            for i, q in enumerate(_RFM_QS)
+        ]
+    )
+    r_s = F.expr(_rfm_bucket("r_days", "r"))
+    f_s = F.expr(_rfm_bucket("f_cnt", "f"))
+    m_s = F.expr(_rfm_bucket("m_val", "m"))
+    return cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        r_s.cast("int").alias("r_score"),
+        f_s.cast("int").alias("f_score"),
+        m_s.cast("int").alias("m_score"),
+        F.concat_ws(
+            "-",
+            r_s.cast("string"),
+            f_s.cast("string"),
+            m_s.cast("string"),
+        ).alias("rfm_segment"),
+    )
