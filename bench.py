@@ -129,6 +129,28 @@ def _calibration_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+# The frozen round-1 headline subset: the only total comparable across ALL
+# rounds. HEADLINE/COVERAGE grow per round, so their totals are set-growth,
+# not performance drift — compare rounds on this subset (or per-query).
+FROZEN_R1_SUBSET = HEADLINE[:13]
+
+# Bump when HEADLINE or COVERAGE membership changes, so cross-round total
+# comparisons are gated on matching set_version (judge advice, round 7).
+SET_VERSION = 8
+
+
+def _next_round_number(repo_dir: str) -> int:
+    """Infer the current round from the driver-recorded BENCH_r{N}.json."""
+    import re
+
+    best = 0
+    for f in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -136,7 +158,13 @@ def main() -> None:
     from hg_data_pipelines_spark.queries import QUERIES
     from hg_data_pipelines_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Console progress bars write \r-spam to stdout between our prints; in
+    # round 7 they pushed the head of the result JSON line out of the
+    # driver's tail-capture buffer ("parsed": null). Bench sessions run
+    # silent.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def run_set(names: list[str]) -> dict[str, float]:
@@ -171,6 +199,7 @@ def main() -> None:
     coverage = run_set(COVERAGE)
     probes.append(_calibration_probe())
 
+    probe_min = min(probes)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -178,10 +207,24 @@ def main() -> None:
         "queries": timings,
         "coverage_queries": coverage,
         "coverage_total": round(sum(coverage.values()), 3),
+        # Cross-round comparability (judge advice r7): totals are only
+        # comparable when set_version matches; frozen_r1_total is the
+        # stable 13-query subset comparable against every round since r1.
+        "set_version": SET_VERSION,
+        "headline_set": HEADLINE,
+        "coverage_set": COVERAGE,
+        "frozen_r1_total": round(
+            sum(timings[n] for n in FROZEN_R1_SUBSET), 3
+        ),
+        # Machine-speed-normalized per-query times (sec / probe sec): the
+        # probe cancels host CPU-steal drift out of cross-round deltas.
+        "queries_normalized": {
+            n: round(t / probe_min, 3) for n, t in timings.items()
+        },
         "calibration": {
             "kernel": "numpy elementwise 2000x2000 x8, single-threaded",
             "probe_runs_sec": probes,
-            "probe_min_sec": min(probes),
+            "probe_min_sec": probe_min,
             "note": (
                 "machine-speed probe: compare probe_min_sec across "
                 "BENCH_r{N}.json before reading query drift as regression"
@@ -189,8 +232,29 @@ def main() -> None:
         },
         "sf": sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+
+    # Durable local record: the driver's tail capture truncated the r7
+    # JSON line; BENCH_LOCAL_r{N}.json keeps the full record in-repo
+    # regardless of what the capture buffer sees.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    local_path = os.path.join(
+        repo_dir, f"BENCH_LOCAL_r{_next_round_number(repo_dir)}.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+    # Stop Spark BEFORE printing so no JVM shutdown chatter lands after
+    # (or interleaved with) the result line, then emit the JSON on a
+    # fresh line as the final stdout content.
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
