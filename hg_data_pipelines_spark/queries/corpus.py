@@ -1206,6 +1206,19 @@ def group_leakage_split(spark, sf_dir):
 _LP_SCALE = 1_000_000
 
 
+def _lp(c: str, d: str) -> str:
+    """Add-one-smoothed log-prob fragment, shared by Spark AND the oracle.
+
+    Both operands are forced to DOUBLE *before* the division: without the
+    casts, Spark folds the ``1.0`` literal into a scale-capped DECIMAL
+    quotient while DuckDB divides in DOUBLE, and boundary values on the
+    round(·1e6) fixed-point grid can flip between engines as corpus /
+    vocabulary size grows (the same decimal-division trap documented and
+    fixed for DQ10 and ``_vd_term``).
+    """
+    return f"ln(CAST({c} + 1 AS DOUBLE) / CAST({d} AS DOUBLE))"
+
+
 @query(
     "X4_unigram_nll_scores",
     f"""
@@ -1215,7 +1228,7 @@ _LP_SCALE = 1_000_000
     tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
     lp AS (
         SELECT token,
-               CAST(round(ln((c + 1.0) / (n + v)) * {_LP_SCALE}.0) AS BIGINT)
+               CAST(round({_lp("c", "n + v")} * {_LP_SCALE}.0) AS BIGINT)
                    AS lp_micro
         FROM cnt CROSS JOIN tot
     ),
@@ -1237,7 +1250,7 @@ def unigram_nll_scores(spark, sf_dir):
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "token",
         F.expr(
-            f"CAST(round(ln((c + 1.0) / (n + v)) * {_LP_SCALE}.0) AS BIGINT)"
+            f"CAST(round({_lp('c', 'n + v')} * {_LP_SCALE}.0) AS BIGINT)"
         ).alias("lp_micro"),
     )
     doc = tok.join(lp, "token").groupBy("doc_id").agg(
@@ -1287,8 +1300,8 @@ _DSIR_TARGET_LANG = "en"
     ),
     lr AS (
         SELECT cnt.token,
-               CAST(round((ln((COALESCE(tcnt.tc, 0) + 1.0) / (tn + v))
-                         - ln((cnt.c + 1.0) / (n + v))) * {_LP_SCALE}.0)
+               CAST(round(({_lp("COALESCE(tcnt.tc, 0)", "tn + v")}
+                         - {_lp("cnt.c", "n + v")}) * {_LP_SCALE}.0)
                     AS BIGINT) AS lr_micro
         FROM cnt LEFT JOIN tcnt USING (token) CROSS JOIN tot
     ),
@@ -1321,8 +1334,8 @@ def dsir_importance_weights(spark, sf_dir):
         .select(
             "token",
             F.expr(
-                f"CAST(round((ln((COALESCE(tc, 0) + 1.0) / (tn + v))"
-                f" - ln((c + 1.0) / (n + v))) * {_LP_SCALE}.0) AS BIGINT)"
+                f"CAST(round(({_lp('COALESCE(tc, 0)', 'tn + v')}"
+                f" - {_lp('c', 'n + v')}) * {_LP_SCALE}.0) AS BIGINT)"
             ).alias("lr_micro"),
         )
     )
@@ -1374,7 +1387,7 @@ def dsir_importance_weights(spark, sf_dir):
     bcnt AS (SELECT t1, t2, COUNT(*) AS c FROM bi GROUP BY t1, t2),
     lp AS (
         SELECT bcnt.t1, bcnt.t2,
-               CAST(round(ln((c + 1.0) / (h + v)) * {_LP_SCALE}.0) AS BIGINT)
+               CAST(round({_lp("c", "h + v")} * {_LP_SCALE}.0) AS BIGINT)
                    AS lp_micro
         FROM bcnt JOIN hist USING (t1) CROSS JOIN vocab
     ),
@@ -1392,9 +1405,19 @@ def dsir_importance_weights(spark, sf_dir):
 def bigram_nll_scores(spark, sf_dir):
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     t = docs.select("doc_id", _toks().alias("toks"))
+    # Guard short documents: for size(toks) = 1 Spark's sequence(1, 0) is
+    # DESCENDING [1, 0], so element_at(toks, 0) / element_at(toks, 2)
+    # would throw — emit no transition positions instead, matching the
+    # oracle's empty list comprehension (same guard pattern as
+    # operators/bpe.py and functions/text.py).
     bi = t.select(
         "doc_id",
-        F.explode(F.expr("sequence(1, size(toks) - 1)")).alias("i"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)"
+                " ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+        ).alias("i"),
         "toks",
     ).select(
         "doc_id",
@@ -1414,7 +1437,7 @@ def bigram_nll_scores(spark, sf_dir):
             "t1",
             "t2",
             F.expr(
-                f"CAST(round(ln((c + 1.0) / (h + v)) * {_LP_SCALE}.0)"
+                f"CAST(round({_lp('c', 'h + v')} * {_LP_SCALE}.0)"
                 f" AS BIGINT)"
             ).alias("lp_micro"),
         )

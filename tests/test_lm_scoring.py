@@ -84,3 +84,25 @@ class TestBigramNll:
         got = {r["doc_id"]: r["nll_micro_avg"]
                for r in bigram_nll_scores(spark, sf).collect()}
         assert got[99] > got[98]
+
+    def test_short_docs_do_not_crash(self, spark, tmp_path):
+        # Regression (round-8 advice): size(toks) = 1 made Spark's
+        # sequence(1, 0) DESCENDING [1, 0] and element_at(toks, 0) threw
+        # ArrayIndexOutOfBoundsException, killing the whole job on any
+        # empty/one-word document. Guarded: short docs emit no
+        # transitions and simply drop out, matching the DuckDB oracle's
+        # empty list comprehension.
+        from hg_data_pipelines_spark.queries.corpus import bigram_nll_scores
+
+        rows = [
+            (0, "the cat sat on the mat", "en", "s", 1),
+            (1, "single", "en", "s", 1),   # one token -> no transitions
+            (2, "", "en", "s", 0),          # split('') -> [''] one token
+            (3, "   ", "en", "s", 3),       # whitespace-only
+            (4, "two tokens", "en", "s", 1),
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r["n_transitions"]
+               for r in bigram_nll_scores(spark, sf).collect()}
+        assert got[0] == 5 and got[4] == 1
+        assert 1 not in got and 2 not in got and 3 not in got
