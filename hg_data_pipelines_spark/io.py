@@ -269,6 +269,76 @@ def read_warehouse_table(
     )
 
 
+# Above this many touched partition tuples the merge base falls back from
+# a collected literal predicate (planning-time pruning, zero joins) to a
+# broadcast semi-join — a Catalyst expression tree with millions of
+# disjuncts would dominate planning time.
+_MERGE_STATIC_PRUNE_MAX = 10_000
+
+
+def _merge_base(
+    spark: SparkSession,
+    existing: DataFrame,
+    df: DataFrame,
+    partition_by: list[str],
+) -> DataFrame:
+    """Existing rows belonging to partitions the incoming batch touches.
+
+    The touched partition-tuple list is tiny by the merge's own cost
+    model (a delta touches few partitions), so collect it and push a
+    LITERAL eqNullSafe disjunction into the scan: planning-time partition
+    pruning (``PartitionFilters`` in the plan, asserted in
+    tests/test_merge.py), no join, no full-table scan. eqNullSafe
+    literals handle NULL partitions uniformly (``col <=> NULL`` folds to
+    ``isnull(col)``) — the earlier single eqNullSafe SEMI-JOIN was
+    NULL-correct but not pruning-eligible, scanning every partition of a
+    100 TB table per merge; plain equality alone silently drops existing
+    rows in a touched NULL partition (regression-tested below).
+
+    Past ``_MERGE_STATIC_PRUNE_MAX`` touched tuples, fall back to a
+    broadcast semi-join: plain equality on the non-null tuples (dynamic
+    partition pruning-eligible) unioned with an eqNullSafe branch only if
+    a NULL partition is actually touched.
+    """
+    from pyspark.sql import functions as F
+
+    # Materialized once (tiny: the delta's partition list); limit+1 so the
+    # fallback decision never collects an unbounded list.
+    touched = df.select(*partition_by).distinct().localCheckpoint(eager=True)
+    rows = touched.limit(_MERGE_STATIC_PRUNE_MAX + 1).collect()
+
+    if len(rows) <= _MERGE_STATIC_PRUNE_MAX:
+        pred = F.lit(False)
+        for r in rows:
+            tup = functools.reduce(
+                lambda a, b: a & b,
+                [existing[c].eqNullSafe(F.lit(r[c])) for c in partition_by],
+            )
+            pred = pred | tup
+        return existing.filter(pred)
+
+    any_null = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in partition_by]
+    )
+    touched_nn = touched.filter(~any_null)
+    eq_cond = functools.reduce(
+        lambda a, b: a & b,
+        [existing[c] == touched_nn[c] for c in partition_by],
+    )
+    base = existing.join(F.broadcast(touched_nn), eq_cond, "left_semi")
+    null_rows = touched.filter(any_null).collect()
+    if null_rows:
+        touched_null = spark.createDataFrame(null_rows, touched.schema)
+        ns_cond = functools.reduce(
+            lambda a, b: a & b,
+            [existing[c].eqNullSafe(touched_null[c]) for c in partition_by],
+        )
+        base = base.unionByName(
+            existing.join(F.broadcast(touched_null), ns_cond, "left_semi")
+        )
+    return base
+
+
 def merge_warehouse_table(
     spark: SparkSession,
     df: DataFrame,
@@ -313,17 +383,7 @@ def merge_warehouse_table(
     existing = spark.read.option("mergeSchema", "true").parquet(path)
     incoming = df.withColumn("_src", F.lit(1))
     if partition_by:
-        touched = df.select(*partition_by).distinct()
-        # Null-safe semi-join: plain column-name equality never matches a
-        # NULL partition value, so existing rows in the NULL partition
-        # would be LEFT OUT of the merge base while dynamic overwrite
-        # still replaces that partition with incoming rows only — silent
-        # data loss. eqNullSafe keeps the NULL partition in the merge.
-        cond = functools.reduce(
-            lambda a, b: a & b,
-            [existing[c].eqNullSafe(touched[c]) for c in partition_by],
-        )
-        base = existing.join(F.broadcast(touched), cond, "left_semi")
+        base = _merge_base(spark, existing, df, partition_by)
     else:
         base = existing
     unioned = base.withColumn("_src", F.lit(0)).unionByName(

@@ -196,3 +196,39 @@ def test_merge_preserves_existing_rows_in_null_partition(spark, tmp_path):
         (3, 30.0, "d1"),   # other partition untouched
         (4, 40.0, None),   # inserted
     }
+
+
+def test_merge_base_prunes_partitions(spark, tmp_path):
+    # Round-8 advice: the NULL-safe fix must not cost partition pruning —
+    # a single eqNullSafe semi-join scans EVERY partition of the existing
+    # table (the dominant cost at 100 TB). The literal-predicate design
+    # prunes at planning time (PartitionFilters on the scan, no join) and
+    # stays NULL-partition correct.
+    from hg_data_pipelines_spark.io import _merge_base, write_warehouse_table
+
+    wh = str(tmp_path / "wh")
+    seed = spark.createDataFrame(
+        [(1, 10.0, "d1"), (2, 20.0, "d2"), (3, 30.0, None)],
+        "id long, v double, day string",
+    )
+    path = write_warehouse_table(seed, wh, "t", partition_by=["day"])
+    existing = spark.read.parquet(path)
+
+    delta = spark.createDataFrame(
+        [(9, 9.0, "d1")], "id long, v double, day string"
+    )
+    base = _merge_base(spark, existing, delta, ["day"])
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    # planning-time pruning: partition filter on the scan, no join at all
+    assert "PartitionFilters: [" in plan and "<=> d1" in plan
+    assert "Join" not in plan
+    assert {(r["id"], r["day"]) for r in base.collect()} == {(1, "d1")}
+
+    # NULL partition touched: pruning keeps only the NULL partition's rows
+    delta_null = spark.createDataFrame(
+        [(9, 9.0, None)], "id long, v double, day string"
+    )
+    base_null = _merge_base(spark, existing, delta_null, ["day"])
+    plan_null = base_null._jdf.queryExecution().executedPlan().toString()
+    assert "isnull(day" in plan_null
+    assert {(r["id"], r["day"]) for r in base_null.collect()} == {(3, None)}
