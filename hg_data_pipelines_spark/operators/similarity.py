@@ -409,13 +409,45 @@ def knn_graph_exact(
     )
 
 
-def _cent_df(spark, cmap):
-    return F.broadcast(
-        spark.createDataFrame(
-            sorted((c, v) for c, v in cmap.items()),
-            "cid long, cvec array<double>",
+def _cell_sims(vcol: str, centroids: dict[int, list[float]]) -> F.Column:
+    """``array<struct<negsim, cid>>`` of the row's rounded cosine against
+    every centroid LITERAL, sorted best-first — the kmeans fixed-point
+    layout (operators/clustering.py `_assign`): centroids travel inside
+    the expression tree, so cell assignment/probing is pure map-side
+    work with NO join, NO window, NO exchange. ``element_at(.., 1)`` is
+    argmax; ``slice(.., 1, n)`` is top-n probing. The cosine expression
+    tree matches ``_cosine`` op-for-op (same fold order, same casts,
+    same round(·, 9)), so assignments are bit-equal to the former
+    crossJoin + row_number form; ties break on min cid as before.
+    """
+    na = F.expr(_DOT.format(a=vcol, b=vcol))
+    entries = []
+    for cid in sorted(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in centroids[cid]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vcol),
+                arr,
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
         )
-    )
+        nb = F.aggregate(
+            F.zip_with(
+                arr, arr, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        sim = F.round(dot / F.sqrt(na * nb), 9)
+        entries.append(
+            F.struct(
+                (-sim).alias("negsim"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+        )
+    return F.sort_array(F.array(*entries))
 
 
 def ivf_train(
@@ -437,7 +469,6 @@ def ivf_train(
     ``save_ivf_model`` — a real deployment trains ONCE and serves many
     queries from the stored model.
     """
-    spark = corpus.sparkSession
     cvecs = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
@@ -451,14 +482,15 @@ def ivf_train(
     # re-key cells 0..n_lists-1 so cell ids are independent of seed doc ids
     centroids = {i: v for i, (_, v) in enumerate(sorted(centroids.items()))}
 
-    cent_df = _cent_df(spark, centroids)
     for _ in range(max(0, n_iter)):
-        w_assign = Window.partitionBy("_id").orderBy(F.desc("_sim"), "cid")
-        assigned = (
-            cvecs.crossJoin(cent_df)
-            .select("_id", "_v", "cid", F.round(_cosine("_v", "cvec"), 9).alias("_sim"))
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .filter(F.col("_rn") == 1)
+        # Map-side argmax over centroid literals (see _cell_sims): the
+        # assignment step has no join and no exchange — the former
+        # corpus×n_lists crossJoin + row_number window materialized
+        # n_lists candidate rows per vector just to keep one.
+        assigned = cvecs.select(
+            "_id",
+            "_v",
+            F.element_at(_cell_sims("_v", centroids), 1)["cid"].alias("cid"),
         )
         norm = _DOT.format(a="_v", b="_v")
         sums = (
@@ -481,7 +513,6 @@ def ivf_train(
                 round(dims[d], 9) for d in range(len(dims))
             ]
         centroids = new_centroids
-        cent_df = _cent_df(spark, centroids)
     return centroids
 
 
@@ -527,27 +558,25 @@ def ivf_topk(
     what matters at 100 TB: each query joins |corpus|/n_lists × n_probe
     rows instead of scanning the corpus.
     """
-    spark = corpus.sparkSession
     centroids = model if model is not None else ivf_train(
         corpus, id_col, vec_col, n_lists=n_lists, n_iter=n_iter
     )
-    cent_df = _cent_df(spark, centroids)
 
     def nearest_cells(df: DataFrame, prefix: str, n: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}v")
-        ).crossJoin(cent_df).select(
+        # Top-n probed cells, map-side (see _cell_sims): slice the sorted
+        # per-row centroid scores instead of crossJoin×n_lists + a
+        # row_number window — cell keying costs zero exchanges, so the
+        # only shuffle in the serving plan is the cell-key equi-join.
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}v"),
+        ).select(
             f"{prefix}_id",
             f"{prefix}v",
-            "cid",
-            F.round(_cosine(f"{prefix}v", "cvec"), 9).alias("_sim"),
-        )
-        w = Window.partitionBy(f"{prefix}_id").orderBy(F.desc("_sim"), "cid")
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .drop("_rn", "_sim")
-        )
+            F.explode(
+                F.slice(_cell_sims(f"{prefix}v", centroids), 1, n)
+            ).alias("_c"),
+        ).select(f"{prefix}_id", f"{prefix}v", F.col("_c.cid").alias("cid"))
 
     corpus_cells = nearest_cells(corpus, "neighbor", 1)
     query_cells = nearest_cells(queries, "query", n_probe)
