@@ -765,37 +765,137 @@ def sequence_packing(spark, sf_dir):
 # restated for Spark (operators/bpe.py): corpus → distinct word-freq
 # table (all later cost ∝ |word vocab|, not corpus size), per round one
 # map-combinable pair aggregation + a single-row driver collect, merges
-# as JVM-side aggregate folds. Rows-only (iterative argmax is not
-# SQL-expressible); tests/test_bpe.py pins the merge sequence against a
-# pure-Python reference on fixture text.
+# as JVM-side aggregate folds. tests/test_bpe.py pins the merge sequence
+# against a pure-Python reference on fixture text, and the ORACLE unrolls
+# the deterministic n_merges=8 fold as chained CTE stages (the
+# X3_kmeans_fixed_point pattern): per round, weighted pair counts via a
+# lead() window, top-1 by (n DESC, left, right), then the leftmost-
+# non-overlapping merge applied POSITIONALLY — a merged token is strictly
+# longer than `left`, so it can never cascade within a pass, and
+# overlapping candidates (only possible when left = right) chain into
+# gaps-and-islands runs where exactly the even offsets merge. That parity
+# rule is provably equivalent to the Spark side's aggregate fold
+# (tests/test_bpe.py property-checks it), so the hash oracle is exact.
 # --------------------------------------------------------------------------
 
+_BPE_MERGES = 8
+_BPE_MIN_COUNT = 2
 
-@query("X4_bpe_merges")
+
+def _bpe_vocab_sql(n_merges: int = _BPE_MERGES, mc: int = _BPE_MIN_COUNT) -> str:
+    """Shared CTE chain: w0 (word freq) → v0 (positional symbols) →
+    v{n} (symbols after n merge rounds), with t{r} = round r's winner."""
+    q = f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT word, COUNT(*) AS weight FROM (
+            SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, weight, CAST(i AS BIGINT) AS i, substr(word, i, 1) AS sym
+        FROM w0, UNNEST(generate_series(1, length(word))) AS s(i)
+    ),
+    """
+    for r in range(n_merges):
+        q += f"""
+    pc{r} AS (
+        SELECT lft, rgt, CAST(SUM(weight) AS BIGINT) AS n FROM (
+            SELECT weight, sym AS lft,
+                   lead(sym) OVER (PARTITION BY word ORDER BY i) AS rgt
+            FROM v{r})
+        WHERE rgt IS NOT NULL GROUP BY lft, rgt
+    ),
+    t{r} AS MATERIALIZED (
+        SELECT lft, rgt, n FROM pc{r} ORDER BY n DESC, lft, rgt LIMIT 1
+    ),
+    c{r} AS (
+        SELECT v.word, v.weight, v.i, v.sym,
+               lead(v.sym) OVER (PARTITION BY v.word ORDER BY v.i) AS nxt,
+               COALESCE(
+                   v.sym = t.lft
+                   AND lead(v.sym) OVER (PARTITION BY v.word ORDER BY v.i)
+                       = t.rgt
+                   AND t.n >= {mc}, FALSE) AS cand
+        FROM v{r} v CROSS JOIN t{r} t
+    ),
+    g{r} AS (
+        SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY i)
+                  AS isl
+        FROM c{r}
+    ),
+    k{r} AS (
+        SELECT *, cand AND (ROW_NUMBER() OVER (
+                      PARTITION BY word, cand, isl ORDER BY i) % 2 = 1)
+                  AS do_merge
+        FROM g{r}
+    ),
+    v{r + 1} AS MATERIALIZED (
+        SELECT word, weight,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS i,
+               CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+        FROM (SELECT *, COALESCE(lag(do_merge) OVER (
+                            PARTITION BY word ORDER BY i), FALSE) AS consumed
+              FROM k{r})
+        WHERE NOT consumed
+    ),
+    """
+    return q.rstrip().rstrip(",")
+
+
+def _bpe_merges_sql(n_merges: int = _BPE_MERGES, mc: int = _BPE_MIN_COUNT) -> str:
+    selects = " UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS "rank", lft AS "left",'
+        f' rgt AS "right", lft || rgt AS merged, n'
+        f" FROM t{r} WHERE n >= {mc}"
+        for r in range(n_merges)
+    )
+    return _bpe_vocab_sql(n_merges, mc) + " " + selects
+
+
+@query("X4_bpe_merges", _bpe_merges_sql())
 def bpe_merges(spark, sf_dir):
     from ..operators.bpe import bpe_train
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
-    return bpe_train(docs, n_merges=8)
+    return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
 # --------------------------------------------------------------------------
 # X4: BPE token counts — the trained merges (X4_bpe_merges) applied to
 # the corpus as chained row-local folds; the realistic "how many tokens
 # is my corpus under the actual tokenizer" number, no Python in the
-# plan. Rows-only (merge training is iterative); tests/test_bpe.py pins
-# encode against the reference implementation.
+# plan. The oracle reuses the unrolled merge-round CTE chain: after
+# n_merges rounds the per-word token count is just the surviving
+# positional-symbol row count, joined back to the corpus word stream.
 # --------------------------------------------------------------------------
 
 
-@query("X4_bpe_token_counts")
+def _bpe_token_counts_sql() -> str:
+    return (
+        _bpe_vocab_sql()
+        + f""",
+    wordtok AS (
+        SELECT word, COUNT(*) AS n_sym FROM v{_BPE_MERGES} GROUP BY word
+    ),
+    docw AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN wordtok USING (word)
+    WHERE word <> '' GROUP BY doc_id
+    """
+    )
+
+
+@query("X4_bpe_token_counts", _bpe_token_counts_sql())
 def bpe_token_counts(spark, sf_dir):
     from ..operators.bpe import bpe_encode, bpe_train
 
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     merges = [
         (r["left"], r["right"])
-        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+        for r in bpe_train(docs, n_merges=_BPE_MERGES).orderBy("rank").collect()
     ]
     return bpe_encode(docs, merges)
 

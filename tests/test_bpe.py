@@ -159,3 +159,33 @@ class TestBpePacking:
             for r in QUERIES["X4_bpe_sequence_packing"](spark, sf).collect()
         }
         assert got == want
+
+
+class TestBpeSqlOracle:
+    def test_positional_parity_rule_matches_fold_on_adversarial_words(self):
+        # The DuckDB oracle (queries/corpus.py _bpe_merges_sql) applies
+        # each merge POSITIONALLY: candidate runs (only possible when
+        # left = right) merge at even offsets. This pins that rule
+        # against the sequential fold reference on the worst cases —
+        # same-char runs, alternating patterns, chains through merged
+        # tokens — across every merge round.
+        import duckdb
+
+        from hg_data_pipelines_spark.queries.corpus import _bpe_merges_sql
+
+        texts = [
+            "aaaa aaaaa aa a",           # odd/even same-char runs
+            "ababab abab ab ba",         # alternating, pair chaining
+            "aab aabb abba baab",        # merged-token boundaries
+            "xxyy xyxy yxyx",            # competing pairs
+            "zzz zzz zzz",               # heavy weight on a run
+        ] * 3
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+            + ") AS t(doc_id, text)"
+        )
+        got = con.execute(_bpe_merges_sql()).fetchall()
+        want = bpe_train_reference(texts, n_merges=8)
+        assert [tuple(r) for r in got] == [tuple(m) for m in want]
