@@ -267,3 +267,109 @@ def kcore_peel(
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def triangle_census(und: DataFrame, degree_ordered: bool = True) -> DataFrame:
+    """Per-node triangle participation counts over undirected edges
+    ``(a, b)`` with ``a < b`` (one row per edge, no duplicates).
+
+    Two-join ordered-wedge closure: orient every edge by a total order on
+    nodes, build wedges u→v, u→w (v before w), probe for the closing edge
+    v→w. Each triangle is produced exactly once under ANY total order, so
+    per-node counts are orientation-invariant (pinned by test) — but the
+    wedge count is Σ C(outdeg(u), 2), and the ORDER controls outdeg:
+
+    - ``degree_ordered=True`` (the 100 TB default): orient low→high by
+      (degree, id). Out-degrees are bounded by O(sqrt(m)) (arboricity
+      bound), so a hub of degree d contributes O(m) wedges instead of
+      O(d²) — a node that is the nearest neighbor of millions of
+      documents would otherwise make the wedge join quadratic in its
+      in-degree.
+    - ``degree_ordered=False``: raw id order — the fixture-faithful
+      oracle form (matches the DuckDB recursive SQL in
+      queries/graph_q.py), quadratic in hub degree.
+
+    Cost: one degree aggregation + two edge-degree joins (degree mode),
+    then the wedge self-join (shuffle on u) and the closure probe
+    (shuffle on (v, w)) — all node-id-keyed, skew-bounded by the
+    orientation itself.
+    """
+    if degree_ordered:
+        deg = (
+            und.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        withdeg = und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        a_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+        )
+        oriented = withdeg.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("key_dst"),
+        )
+    else:
+        oriented = und.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.col("b").alias("key_dst"),
+        )
+    w1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("key_dst").alias("kv"), F.col("dst").alias("iv"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("key_dst").alias("kw"), F.col("dst").alias("iw"),
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("kv") < F.col("kw"))
+        | ((F.col("kv") == F.col("kw")) & (F.col("iv") < F.col("iw")))
+    )
+    probe = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(probe, ["v", "w"]).select("u", "v", "w")
+    member = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def wedge_count(und: DataFrame, degree_ordered: bool = True) -> int:
+    """Σ C(outdeg(u), 2) under the chosen orientation — the wedge join's
+    exact intermediate cardinality, the number degree ordering bounds.
+    Diagnostic (used by tests and scale smokes), one aggregation."""
+    if degree_ordered:
+        deg = (
+            und.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        withdeg = und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        a_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+        )
+        srcs = withdeg.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src")
+        )
+    else:
+        srcs = und.select(F.col("a").alias("src"))
+    row = (
+        srcs.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) / 2")).alias("w"))
+        .collect()[0]
+    )
+    return int(row["w"] or 0)

@@ -505,6 +505,8 @@ def _triangle_oracle() -> str:
 
 @query("X11_triangle_counts", _triangle_oracle())
 def triangle_counts(spark, sf_dir):
+    from ..operators.graph import triangle_census
+
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     dir_edges = knn_graph_exact(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
@@ -515,28 +517,28 @@ def triangle_counts(spark, sf_dir):
         )
         .distinct()
     )
-    e1 = und.select(F.col("a"), F.col("b"))
-    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2a"))
-        .join(e3, (F.col("e3a") == F.col("a")) & (F.col("e3b") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    # id order keeps the census literally the oracle SQL's shape; the
+    # ANN sibling below runs the degree-ordered production form.
+    return triangle_census(und, degree_ordered=False)
 
 
 @query("X11_triangle_counts_ann")
 def triangle_counts_ann(spark, sf_dir):
-    """Scale-path sibling of X11_triangle_counts: the identical
-    ordered-wedge triangle census over RHP-LSH-bucketed kNN edges
-    (``lsh_topk`` + ``auto_planes``) instead of the exact O(n²) graph —
-    the same exact-twin/ANN-sibling split as X11_pagerank_knn /
-    X11_pagerank_ann. Rows-only (xxhash64 hyperplanes aren't DuckDB-
-    reproducible); pytest pins participant-node overlap against the
-    exact census on the fixture, and tools/scale_smoke.py measures the
-    10× ratio next to the exact form's."""
+    """Scale-path sibling of X11_triangle_counts: the triangle census
+    over RHP-LSH-bucketed kNN edges (``lsh_topk`` + ``auto_planes``)
+    instead of the exact O(n²) graph — the same exact-twin/ANN-sibling
+    split as X11_pagerank_knn / X11_pagerank_ann. Unlike the id-ordered
+    exact twin, edges here are DEGREE-ordered before the wedge join
+    (orient low→high by (degree, id)): a hub of degree d contributes
+    wedges quadratic in its OUT-degree, which degree orientation bounds
+    by O(sqrt(m)) (arboricity) instead of d — the 100 TB refinement the
+    exact twin's docstring notes. Per-node participation counts are
+    orientation-invariant, so the output is identical. Rows-only
+    (xxhash64 hyperplanes aren't DuckDB-reproducible); pytest pins
+    participant-node overlap against the exact census on the fixture,
+    and tools/scale_smoke.py measures the 10× ratio next to the exact
+    form's."""
+    from ..operators.graph import triangle_census
     from ..operators.similarity import auto_planes, lsh_topk
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
@@ -550,12 +552,4 @@ def triangle_counts_ann(spark, sf_dir):
         )
         .distinct()
     )
-    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
-    tri = (
-        und.join(e2, F.col("b") == F.col("b2a"))
-        .join(e3, (F.col("e3a") == F.col("a")) & (F.col("e3b") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return triangle_census(und, degree_ordered=True)

@@ -228,3 +228,42 @@ class TestTriangleAnnOverlap:
         # every ANN edge passes exact cosine ranking, so ANN triangles are
         # plausible motifs; recall of participant nodes is the pinned signal
         assert len(ann & exact) / len(exact) >= 0.5
+
+
+class TestTriangleCensusOrientation:
+    def _hub_graph(self, spark, m=60):
+        # star hub 0—i for i in 1..m, plus closing edges (i, i+1) for
+        # every even i: each closing edge forms one triangle with the hub.
+        edges = [(0, i) for i in range(1, m + 1)]
+        edges += [(i, i + 1) for i in range(1, m, 2)]
+        return spark.createDataFrame(edges, "a long, b long")
+
+    def test_counts_are_orientation_invariant_on_hub_graph(self, spark):
+        from hg_data_pipelines_spark.operators.graph import triangle_census
+
+        und = self._hub_graph(spark)
+        by_id = {
+            (r["node"], r["n_triangles"])
+            for r in triangle_census(und, degree_ordered=False).collect()
+        }
+        by_deg = {
+            (r["node"], r["n_triangles"])
+            for r in triangle_census(und, degree_ordered=True).collect()
+        }
+        assert by_id == by_deg
+        # hub participates in all 30 triangles; each leaf in exactly 1
+        assert (0, 30) in by_id and (1, 1) in by_id
+
+    def test_degree_order_bounds_hub_wedge_fanout(self, spark):
+        # The point of the refinement: on a hub of degree d, id-ordered
+        # orientation gives the hub out-degree ~d (node 0 is minimal), so
+        # the wedge join materializes C(d, 2) rows from it alone;
+        # degree ordering points every star edge INTO the hub, so its
+        # out-degree is 0 and total wedges collapse to the leaf chains.
+        from hg_data_pipelines_spark.operators.graph import wedge_count
+
+        und = self._hub_graph(spark, m=60)
+        w_id = wedge_count(und, degree_ordered=False)
+        w_deg = wedge_count(und, degree_ordered=True)
+        assert w_id >= 60 * 59 // 2          # hub alone: C(60, 2)
+        assert w_deg <= 90                   # bounded by the edge count
