@@ -294,6 +294,12 @@ def triangle_census(und: DataFrame, degree_ordered: bool = True) -> DataFrame:
     (shuffle on (v, w)) — all node-id-keyed, skew-bounded by the
     orientation itself.
     """
+    # The census references the edge set up to 6 times (degree, two
+    # degree joins, both wedge sides, closure probe); without lineage
+    # truncation each reference re-embeds the caller's whole
+    # edge-derivation subtree (for the ANN census, the full LSH
+    # pipeline) into the plan — same hazard kcore_peel documents.
+    und = und.localCheckpoint(eager=False)
     if degree_ordered:
         deg = (
             und.select(F.explode(F.array("a", "b")).alias("node"))
@@ -323,6 +329,8 @@ def triangle_census(und: DataFrame, degree_ordered: bool = True) -> DataFrame:
             F.col("b").alias("dst"),
             F.col("b").alias("key_dst"),
         )
+    # referenced 3× below (both wedge sides + probe)
+    oriented = oriented.localCheckpoint(eager=False)
     w1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
         F.col("key_dst").alias("kv"), F.col("dst").alias("iv"),
