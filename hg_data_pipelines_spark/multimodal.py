@@ -461,18 +461,171 @@ def encode_video(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
     return _VID_MAGIC + header + frames.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: a REAL interchange container (RIFF, the same chunk
+# grammar as the WAV reader in audio.py) whose frames are baseline JPEGs
+# from the repo's own codec (functions/jpeg.py) — no external decoder.
+# Other AVI codecs (DivX/XviD/h264-in-AVI) stay behind the explicit seam.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """fourcc + length + payload, word-aligned (odd sizes carry a pad)."""
+    return (
+        fourcc
+        + struct.pack("<I", len(payload))
+        + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: tuple[int, int] = (30, 1), quality: int = 90
+) -> bytes:
+    """(F, H, W[, C]) uint8 frames → MJPEG-in-AVI bytes (hdrl + movi +
+    idx1), each frame one '00dc' chunk holding a baseline JPEG."""
+    from .functions.jpeg import encode_jpeg
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = frames[:, :, :, None]
+    f, h, w, c = frames.shape
+    num, den = fps
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(f)]
+
+    movi_payload = b""
+    idx_entries = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc (list-type word)
+        idx_entries += b"00dc" + struct.pack(
+            "<III", 0x10, 4 + len(movi_payload), len(j)
+        )
+        movi_payload += _riff_chunk(b"00dc", j)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 * den // num,  # dwMicroSecPerFrame
+        0, 0, 0x10,              # maxbytes, padding, AVIF_HASINDEX
+        f, 0, 1, 0, w, h,        # totalframes, initial, streams, bufsize, w, h
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, den, num, 0, f, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 8 * c, b"MJPG", w * h * c, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    body = (
+        b"AVI "
+        + hdrl
+        + _riff_list(b"movi", movi_payload)
+        + _riff_chunk(b"idx1", idx_entries)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_walk(data: bytes) -> dict:
+    """RIFF chunk walk (the WAV reader's loop, recursing into LISTs):
+    returns {"avih": bytes, "strh": bytes, "strf": bytes,
+    "frames": [bytes, ...]} without decoding any pixels."""
+    out: dict = {"frames": []}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            clen = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            payload_start = pos + 8
+            if cid == b"LIST":
+                walk(payload_start + 4, payload_start + clen)
+            elif cid in (b"avih", b"strf") or (
+                cid == b"strh" and "strh" not in out
+            ):
+                out[cid.decode()] = data[payload_start : payload_start + clen]
+            elif cid[2:4] in (b"dc", b"db") and clen > 0:
+                out["frames"].append(data[payload_start : payload_start + clen])
+            pos = payload_start + clen + (clen & 1)
+
+    walk(12, 8 + struct.unpack("<I", data[4:8])[0])
+    return out
+
+
+def avi_info(data: bytes) -> dict:
+    """AVI bytes → header metadata dict (header walk only, no pixel
+    decode): n_frames, fps_num, fps_den, width, height, channels."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not RIFF/AVI bytes")
+    parsed = _avi_walk(data)
+    if "avih" not in parsed:
+        raise ValueError("AVI missing avih header")
+    avih = struct.unpack("<14I", parsed["avih"][:56])
+    n_frames, width, height = avih[4], avih[8], avih[9]
+    num, den = 30, 1
+    if "strh" in parsed and len(parsed["strh"]) >= 32:
+        scale, rate = struct.unpack_from("<II", parsed["strh"], 20)
+        if scale and rate:
+            num, den = rate, scale
+    channels = 3
+    compression = b""
+    if "strf" in parsed and len(parsed["strf"]) >= 20:
+        bitcount = struct.unpack_from("<H", parsed["strf"], 14)[0]
+        compression = parsed["strf"][16:20]
+        channels = max(bitcount // 8, 1)
+    if compression not in (b"MJPG", b"mjpg", b"dmb1"):
+        raise NotImplementedError(
+            f"AVI codec {compression!r} detected: only MJPEG decodes"
+            " natively; other codecs require pyav/ffmpeg (seam)"
+        )
+    return {
+        "n_frames": n_frames,
+        "fps_num": num,
+        "fps_den": den,
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_chunks": len(parsed["frames"]),
+    }
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """MJPEG-in-AVI bytes → ((F, H, W, C) uint8, (fps_num, fps_den)),
+    every '00dc'/'00db' chunk decoded by the repo's own JPEG decoder."""
+    from .functions.jpeg import decode_jpeg
+
+    info = avi_info(data)  # validates container + codec seam
+    frames = [decode_jpeg(j) for j in _avi_walk(data)["frames"]]
+    if not frames:
+        raise ValueError("AVI contains no video chunks")
+    return np.stack(frames), (info["fps_num"], info["fps_den"])
+
+
 def decode_video(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     """Video bytes → ((F, H, W, C) uint8, (fps_num, fps_den)).
 
-    Real-container seam: MP4 (ftyp) and Matroska/WebM (EBML) blobs are
-    recognized but require an external demuxer/decoder (pyav or ffmpeg),
-    which this container does not ship.
+    Containers: RAWVID (synthetic test path) and MJPEG-in-AVI (real
+    interchange format, decoded end-to-end by the repo's own RIFF walk +
+    JPEG codec). Real-container seam: MP4 (ftyp) and Matroska/WebM
+    (EBML) blobs — and AVIs carrying non-MJPEG codecs — are recognized
+    but require an external demuxer/decoder (pyav or ffmpeg), which this
+    container does not ship.
     """
     if data.startswith(_VID_MAGIC):
         f, num, den, h, w, c = struct.unpack_from("<IIIIII", data, len(_VID_MAGIC))
         off = len(_VID_MAGIC) + 24
         arr = np.frombuffer(data, dtype=np.uint8, count=f * h * w * c, offset=off)
         return arr.reshape(f, h, w, c), (num, den)
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)
     if len(data) > 11 and data[4:8] == b"ftyp":
         raise NotImplementedError(
             "MP4 container detected: decoding requires pyav/ffmpeg (seam)"
@@ -481,7 +634,7 @@ def decode_video(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         raise NotImplementedError(
             "Matroska/WebM container detected: decoding requires pyav/ffmpeg (seam)"
         )
-    raise ValueError("unsupported video bytes (RAWVID, MP4, Matroska)")
+    raise ValueError("unsupported video bytes (RAWVID, AVI, MP4, Matroska)")
 
 
 def video_metadata(binary_df: DataFrame) -> DataFrame:
@@ -493,6 +646,29 @@ def video_metadata(binary_df: DataFrame) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r["content"])
+                if (
+                    len(data) >= 12
+                    and data[:4] == b"RIFF"
+                    and data[8:12] == b"AVI "
+                ):
+                    # header-only RIFF walk — no pixel decode
+                    info = avi_info(data)
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "length": len(data),
+                            "n_frames": info["n_frames"],
+                            "fps_num": info["fps_num"],
+                            "fps_den": info["fps_den"],
+                            "width": info["width"],
+                            "height": info["height"],
+                            "channels": info["channels"],
+                            "duration_s": info["n_frames"]
+                            * info["fps_den"]
+                            / info["fps_num"],
+                        }
+                    )
+                    continue
                 if not data.startswith(_VID_MAGIC):
                     # Same container routing as decode_video: an MP4 or
                     # Matroska blob must hit the explicit pyav seam, not

@@ -1054,6 +1054,86 @@ def video_codec_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X5: MJPEG-in-AVI codec check — the video modality decoding a REAL
+# interchange container (RIFF + per-frame baseline JPEG, both the repo's
+# own codecs; multimodal.py encode_avi_mjpeg/decode_avi_mjpeg). JPEG is
+# lossy, so pixel sums are not SQL-derivable — instead the oracle checks
+# the VERIFIED INVARIANTS: header metadata is closed-form (frames/dims/
+# channels survive the container round-trip exactly) and smooth-gradient
+# frames must reconstruct within the pinned ±12 tolerance
+# (roundtrip_ok), so a codec regression flips booleans and fails the
+# hash. Same 200-doc cap as the RAWVID twin.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X5_avi_mjpeg_codec_stats",
+    """
+    SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels, TRUE AS roundtrip_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def avi_mjpeg_codec_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import avi_info, decode_avi_mjpeg, encode_avi_mjpeg
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
+        F.col("doc_id") < 200
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+        ]
+    )
+
+    def _stats(batches):
+        f = np.arange(4)[:, None, None]
+        r = np.arange(16)[None, :, None]
+        c = np.arange(16)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                base = ((int(doc_id) * 7 + f * 9 + r * 4 + c * 3) % 200 + 20)
+                frames = np.stack([base, base, base], axis=-1).astype(np.uint8)
+                data = encode_avi_mjpeg(frames, fps=(25, 1), quality=95)
+                info = avi_info(data)
+                got, _fps = decode_avi_mjpeg(data)
+                err = int(np.abs(got.astype(int) - frames.astype(int)).max())
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": info["n_frames"],
+                        "width": info["width"],
+                        "height": info["height"],
+                        "channels": info["channels"],
+                        "roundtrip_ok": bool(
+                            got.shape == frames.shape and err <= 12
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height", "channels",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(_stats, out_schema)
+
+
+# --------------------------------------------------------------------------
 # X3: fixed-point k-means — semantic clustering for SemDeDup-style curation
 # and cluster-balanced sampling. The scaled-integer grid (operators/
 # clustering.py) makes 3 Lloyd iterations bit-identical across engines, so
