@@ -48,6 +48,13 @@ from . import warehouse_q  # noqa: E402,F401
 # slots to the round's portable-LSH twins — the RHP bucketing and the
 # ANN-edge PageRank are now hash-checked inside the driver gate. Both
 # rotated-out queries stay green in the full mirror.
+# Round-8 rotation: X4_sequence_packing (prefix-sum machinery stays
+# driver-covered by W12 and A20) and X5_image_phash_fingerprints (X5
+# codecs stay covered by the PNG twin) gave their slots to the round's
+# new oracle-checked capabilities — X4_bpe_merges (BPE training itself
+# hash-checked via the unrolled CTE oracle) and X5_avi_mjpeg_codec_stats
+# (real AVI container + own JPEG codec, invariant-hash-checked). Both
+# rotated-out queries stay green in the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -89,9 +96,9 @@ _WINDOW = [
     "X3_cosine_topk_bruteforce",    # similarity search baseline
     "X3_bm25_topk",                 # lexical retrieval
     "X4_quality_score",             # text quality gate
-    "X4_sequence_packing",          # LLM-corpus op
+    "X4_bpe_merges",                # BPE training, unrolled-CTE oracle (r8)
     "X5_png_codec_stats",           # multimodal codec (value-level)
-    "X5_image_phash_fingerprints",  # fixed-point DCT pHash (r6 oracle upgrade)
+    "X5_avi_mjpeg_codec_stats",     # real AVI container + own JPEG (r8)
     "X1_incremental_dedup_portable",  # incremental-store classify twin (r6)
     "X6_tumbling_window_agg",       # event-time windows
     "X8_session_window_agg",        # session windows
