@@ -295,6 +295,95 @@ def heavy_hitter_terms(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X4: Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+# mergeable frequency sketch: a d×w counter grid where every token
+# increments one counter per hash row, and the estimate is the MIN over
+# its d counters (never under-estimates, overestimates bounded by
+# n/w per row). The 100 TB story is MERGEABILITY: the grid is built by
+# ONE map-side-combinable aggregation to d×w = 1024 rows, and grids from
+# different shards/days/streams merge by elementwise addition — the
+# warehouse-rollup / streaming-state form of frequency tracking, unlike
+# the exact vocabulary-sized count. Hashes are the repo's portable-md5
+# pattern (first 8 hex chars of md5, mod w), so every counter, estimate,
+# and the never-underestimates invariant hash-match DuckDB exactly.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 8))"
+    f" AS UBIGINT) % {_CMS_W}"
+)
+
+
+@query(
+    "X4_cms_heavy_hitters_portable",
+    f"""
+    WITH terms AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    truec AS (SELECT term, COUNT(*) AS true_n FROM terms GROUP BY term),
+    hrows AS (SELECT j FROM (VALUES (0), (1), (2), (3)) AS t(j)),
+    cms AS (
+        SELECT j, {_CMS_SQL_BUCKET.format(j="j", term="term")} AS bucket,
+               CAST(SUM(true_n) AS BIGINT) AS counter
+        FROM truec CROSS JOIN hrows GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT t.term, t.true_n, MIN(c.counter) AS cms_estimate
+        FROM truec t CROSS JOIN hrows r
+        JOIN cms c ON c.j = r.j AND c.bucket =
+            {_CMS_SQL_BUCKET.format(j="r.j", term="t.term")}
+        GROUP BY t.term, t.true_n
+    )
+    SELECT term, CAST(true_n AS BIGINT) AS true_n, cms_estimate,
+           CAST(cms_estimate - true_n AS BIGINT) AS overestimate,
+           cms_estimate >= true_n AS never_underestimates
+    FROM est ORDER BY true_n DESC, term LIMIT 20
+    """,
+)
+def cms_heavy_hitters_portable(spark, sf_dir):
+    def bucket(jcol: F.Column, termcol: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(jcol.cast("string"), F.lit(":"), termcol)),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    terms = docs.select(F.explode(_toks()).alias("term"))
+    truec = terms.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
+    hrows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    keyed = truec.crossJoin(F.broadcast(hrows)).withColumn(
+        "bucket", bucket(F.col("j"), F.col("term"))
+    )
+    cms = keyed.groupBy("j", "bucket").agg(F.sum("true_n").alias("counter"))
+    est = (
+        keyed.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("term", "true_n")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("true_n"), F.asc("term"))
+        .limit(20)
+        .select(
+            "term",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_n"))
+            .cast("bigint")
+            .alias("overestimate"),
+            (F.col("cms_estimate") >= F.col("true_n")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X4: deterministic dataset split — hash-bucket assignment (train/val/test)
 # that is reproducible on any engine and any cluster layout: bucket =
 # first 8 hex chars of md5(doc_id) mod 100. The held-out-split primitive;

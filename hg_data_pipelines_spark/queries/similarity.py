@@ -1246,6 +1246,92 @@ def cluster_balanced_sample_query(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X2: SemDeDup — semantic deduplication (Abbas et al., "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication",
+# arXiv:2303.09540): k-means-cluster the embedding space, then prune
+# within-cluster near-duplicates above a cosine threshold. Pairwise
+# comparison happens ONLY inside a cluster — the clustering IS the
+# blocking structure, so at 100 TB k grows with n (the paper uses ~100k
+# clusters) and per-cluster work stays bounded; no global all-pairs ever
+# exists. Keep-first semantics: a vector is pruned iff some LOWER-id
+# same-cluster vector is ≥ tau similar (shadowing is deliberately
+# non-transitive — one shuffle-free pass, the same contract as X1
+# keep-first and the MinHash star expansion). Fully hash-checked: the
+# oracle reuses the unrolled fixed-point kmeans CTE (bit-identical
+# assignments) + the 6dp-rounded cosine both engines agree on.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35  # prunes the extreme same-cluster tail (p99.9 ≈ 0.38
+# on the synthetic near-orthogonal embeddings; real corpora use ~0.95+)
+
+
+@query(
+    "X2_semdedup_prune",
+    _kmeans_sql().replace(
+        f"SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist"
+        f" FROM a{_KMEANS_ITERS - 1}",
+        f"""
+    SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+           sh.kept_by, sh.kept_by IS NULL AS kept
+    FROM (
+        SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS ve
+        FROM a{_KMEANS_ITERS - 1} a JOIN embeddings e USING (vec_id)
+    ) asg
+    LEFT JOIN (
+        SELECT b.vec_id AS b_id, MIN(a.vec_id) AS kept_by
+        FROM (SELECT a.vec_id, a.cluster,
+                     CAST(e.embedding AS DOUBLE[]) AS ve
+              FROM a{_KMEANS_ITERS - 1} a
+              JOIN embeddings e USING (vec_id)) a
+        JOIN (SELECT a.vec_id, a.cluster,
+                     CAST(e.embedding AS DOUBLE[]) AS ve
+              FROM a{_KMEANS_ITERS - 1} a
+              JOIN embeddings e USING (vec_id)) b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.ve, b.ve)
+                    / sqrt(list_dot_product(a.ve, a.ve)
+                         * list_dot_product(b.ve, b.ve)), 6)
+              >= {_SEMDEDUP_TAU}
+        GROUP BY b.vec_id
+    ) sh ON asg.vec_id = sh.b_id
+    """,
+    ),
+)
+def semdedup_prune(spark, sf_dir):
+    from ..operators.clustering import kmeans_fixed_point
+    from ..operators.similarity import _cosine
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    labels = kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS).select(
+        "vec_id", "cluster"
+    )
+    v = emb.join(labels, "vec_id").select("vec_id", "cluster", "embedding")
+    a = v.select(
+        F.col("vec_id").alias("a_id"), "cluster",
+        F.col("embedding").alias("a_v"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"), "cluster",
+        F.col("embedding").alias("b_v"),
+    )
+    shadow = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(_cosine("a_v", "b_v"), 6) >= _SEMDEDUP_TAU)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("kept_by"))
+    )
+    return (
+        v.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+        .join(shadow, v["vec_id"] == shadow["b_id"], "left")
+        .select(
+            "vec_id", "cluster", "kept_by",
+            F.col("kept_by").isNull().alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # F: vector function surface — norms, dot products, cosine, elementwise
 # combine over the embedding arrays. Both engines fold dimensions in
 # index order with a 0.0 seed (Spark aggregate(zip_with(...)),
