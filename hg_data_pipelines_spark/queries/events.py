@@ -2233,3 +2233,57 @@ def rfm_segments(spark, sf_dir):
             m_s.cast("string"),
         ).alias("rfm_segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# X12: first-order event transition matrix — the Markov-chain view of
+# user behavior (what follows what): per-user event sequences ordered by
+# (ts, event_id), adjacent pairs counted, row-normalized to transition
+# probabilities. Probabilities are exact scaled integers
+# (n·1e6 div row_total — both operands non-negative, so Spark's
+# truncating div and DuckDB's flooring // agree), fully hash-checked.
+# Scale shape: the lead() window shuffles once on user_id (bounded
+# per-user state), the pair count is one map-side-combinable aggregation
+# to |types|² rows, and the row-total join is a broadcast.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    tr AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT from_type, SUM(n) AS rn FROM tr GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           CAST((t.n * 1000000) // r.rn AS BIGINT) AS p_micro
+    FROM tr t JOIN rowtot r USING (from_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    utc(spark)
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    tr = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rowtot = tr.groupBy("from_type").agg(F.sum("n").alias("rn"))
+    return tr.join(F.broadcast(rowtot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST((n * 1000000) div rn AS BIGINT)").alias("p_micro"),
+    )

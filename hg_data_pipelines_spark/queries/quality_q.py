@@ -628,3 +628,93 @@ def psi_value_drift(spark, sf_dir):
         F.sum("term_micro").alias("psi_micro"),
         (F.sum("term_micro") > 200000).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# DQ11: CUSUM changepoint screen over daily ingest volume — the
+# sequential-detection complement to DQ8's rolling z-score: a z-score
+# sees one bad day; CUSUM accumulates small persistent shifts (a scraper
+# quietly losing 5% of a feed) until they cross the decision threshold.
+# The recursive form S_t = max(0, S_{t-1} + dev_t - slack) is re-expressed
+# as the CLOSED identity S_t = P_t - min(0, min_{i<=t} P_i) over prefix
+# sums, so both engines compute it with two window passes — no recursion,
+# no UDF. Everything stays in exact scaled integers (dev scaled by
+# n_days to avoid the mean's division; slack = 5% of mean, threshold =
+# 25% of mean, same scale), so the oracle hash-matches bit-for-bit.
+# Scale shape: one daily aggregation (map-side combinable), then windows
+# over the DAY-level series — bounded input, same contract as DQ8.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ11_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS d FROM daily),
+    u AS (
+        SELECT day, n, t,
+               (d * n - t) - (t // 20) AS up_u,
+               (t - d * n) - (t // 20) AS dn_u
+        FROM daily CROSS JOIN tot
+    ),
+    p AS (
+        SELECT day, n, t,
+               SUM(up_u) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+               SUM(dn_u) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+        FROM u
+    ),
+    s AS (
+        SELECT day, n, t,
+               pu - LEAST(MIN(pu) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cu,
+               pd - LEAST(MIN(pd) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cd
+        FROM p
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           CAST(cu AS BIGINT) AS cusum_up, CAST(cd AS BIGINT) AS cusum_down,
+           cu > t // 4 OR cd > t // 4 AS changepoint
+    FROM s
+    """,
+)
+def cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    utc(spark)
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("d"))
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "n", "t",
+        F.expr("(d * n - t) - (t div 20)").alias("up_u"),
+        F.expr("(t - d * n) - (t div 20)").alias("dn_u"),
+    )
+    win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = u.select(
+        "day", "n", "t",
+        F.sum("up_u").over(win).alias("pu"),
+        F.sum("dn_u").over(win).alias("pd"),
+    )
+    s = p.select(
+        "day", "n", "t",
+        (F.col("pu") - F.least(F.min("pu").over(win), F.lit(0))).alias("cu"),
+        (F.col("pd") - F.least(F.min("pd").over(win), F.lit(0))).alias("cd"),
+    )
+    return s.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("cu").cast("bigint").alias("cusum_up"),
+        F.col("cd").cast("bigint").alias("cusum_down"),
+        (
+            (F.col("cu") > F.expr("t div 4"))
+            | (F.col("cd") > F.expr("t div 4"))
+        ).alias("changepoint"),
+    )

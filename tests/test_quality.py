@@ -167,3 +167,63 @@ class TestUniqueness:
             check_uniqueness([])
         with pytest.raises(ValueError, match="no relations"):
             referential_integrity([])
+
+
+class TestCusumChangepoint:
+    def test_level_shift_fires_and_math_matches_recursive_reference(
+        self, spark, tmp_path
+    ):
+        # 20 quiet days at ~100/day, then a persistent +30% shift: a
+        # rolling z-score barely notices any single day, but CUSUM
+        # accumulates the shift. Also re-derives the closed
+        # prefix-sum/min identity against the literal recursive fold.
+        import os
+        from datetime import datetime, timedelta
+
+        from hg_data_pipelines_spark.queries.quality_q import cusum_changepoint
+
+        rows = []
+        eid = 0
+        for d in range(30):
+            n = 100 + (d % 3) if d < 20 else 130 + (d % 3)
+            for i in range(n):
+                rows.append(
+                    (
+                        eid,
+                        datetime(2024, 1, 1) + timedelta(days=d, seconds=i),
+                        eid % 7,
+                        "view",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+
+        out = {
+            str(r["day"]): r for r in cusum_changepoint(spark, sf).collect()
+        }
+        # recursive reference fold in exact scaled integers
+        daily = sorted(
+            (str(r["day"]), r["n_events"]) for r in out.values()
+        )
+        t = sum(n for _, n in daily)
+        d_cnt = len(daily)
+        slack = t // 20
+        su = sd = 0
+        fired = False
+        for day, n in daily:
+            su = max(0, su + (d_cnt * n - t) - slack)
+            sd = max(0, sd + (t - d_cnt * n) - slack)
+            assert out[day]["cusum_up"] == su and out[day]["cusum_down"] == sd
+            if su > t // 4 or sd > t // 4:
+                assert out[day]["changepoint"]
+                fired = True
+        assert fired, "persistent +30% shift must trip the CUSUM threshold"
