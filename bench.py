@@ -72,6 +72,11 @@ HEADLINE = [
     # ANN-edge PageRank pipelines that are now oracle-checked end to end
     "X3_cosine_topk_lsh_portable",
     "X11_pagerank_ann_portable",
+    # round-8: SemDeDup semantic pruning (kmeans-blocked within-cluster
+    # cosine) and BPE merge training (now hash-checked via the unrolled
+    # CTE oracle)
+    "X2_semdedup_prune",
+    "X4_bpe_merges",
 ]
 
 # Coverage set (non-frozen, versioned): one representative per family that
@@ -103,6 +108,11 @@ COVERAGE = [
     "X4_unigram_nll_scores",         # CCNet-style perplexity gate (r7)
     "X4_dsir_importance_weights",    # DSIR target-domain weighting (r7)
     "DQ10_psi_value_drift",          # PSI distribution-drift audit (r7)
+    "X4_cms_heavy_hitters_portable", # mergeable Count-Min sketch (r8)
+    "DQ11_cusum_changepoint",        # sequential volume-shift audit (r8)
+    "X12_event_transition_matrix",   # Markov behavior matrix (r8)
+    "X5_avi_mjpeg_codec_stats",      # real AVI container decode (r8)
+    "X11_triangle_counts_ann",       # degree-ordered motif census (r8)
 ]
 
 

@@ -305,7 +305,11 @@ def heavy_hitter_terms(spark, sf_dir):
 # warehouse-rollup / streaming-state form of frequency tracking, unlike
 # the exact vocabulary-sized count. Hashes are the repo's portable-md5
 # pattern (first 8 hex chars of md5, mod w), so every counter, estimate,
-# and the never-underestimates invariant hash-match DuckDB exactly.
+# and the never-underestimates invariant hash-match DuckDB exactly —
+# the portable twin of A18_countmin_no_underestimate (xxhash64 CMS over
+# event types, invariant-checked), the same exact-twin/portable split
+# as the MinHash and SimHash families. Mergeability is pinned by
+# tests/test_stats_sketches.py (per-shard grids sum to the global grid).
 # --------------------------------------------------------------------------
 
 _CMS_D = 4

@@ -300,3 +300,76 @@ class TestAnnModelPersistence:
             S, "ivf_train", side_effect=AssertionError("trained on warm path")
         ):
             S.ivf_topk(q, emb, k=3, model=model).collect()
+
+
+class TestIvfMapSideAssignment:
+    def test_cell_assignment_plan_has_no_join_or_exchange(self, spark):
+        # Round-8 advice: the IVF trainer's assignment step must be the
+        # kmeans layout — centroids as literals inside the expression
+        # tree, argmin map-side. A crossJoin+window assignment would put
+        # BroadcastNestedLoopJoin/Exchange nodes in this plan.
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.similarity import _cell_sims
+
+        v = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.5]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        centroids = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+        assigned = v.select(
+            "vec_id",
+            F.element_at(_cell_sims("embedding", centroids), 1)["cid"].alias(
+                "cid"
+            ),
+        )
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Exchange" not in plan
+        got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+        assert got[0] in centroids and len(set(got.values())) >= 2
+
+    def test_cell_sims_matches_windowed_reference(self, spark):
+        # the sorted-struct layout must pick the same (desc rounded-sim,
+        # asc cid) winner the former crossJoin + row_number form picked
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.operators.similarity import (
+            _cell_sims,
+            _cosine,
+        )
+
+        rng_rows = [
+            (i, [((i * 7 + j * 3) % 11) / 10.0 + 0.1 for j in range(4)])
+            for i in range(40)
+        ]
+        v = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+        centroids = {
+            c: [((c * 5 + j) % 7) / 6.0 + 0.05 for j in range(4)]
+            for c in range(5)
+        }
+        fast = {
+            r["vec_id"]: r["cid"]
+            for r in v.select(
+                "vec_id",
+                F.element_at(_cell_sims("embedding", centroids), 1)[
+                    "cid"
+                ].alias("cid"),
+            ).collect()
+        }
+        cent = spark.createDataFrame(
+            sorted(centroids.items()), "cid long, cvec array<double>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), "cid")
+        ref = {
+            r["vec_id"]: r["cid"]
+            for r in v.crossJoin(cent)
+            .select(
+                "vec_id", "cid",
+                F.round(_cosine("embedding", "cvec"), 9).alias("_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        assert fast == ref

@@ -121,3 +121,68 @@ class TestCountMinBloom:
         assert surviving_true == true_hits
         # and the filter actually prunes (not a pass-through)
         assert pruned.count() < orders.count()
+
+
+class TestCountMinSketch:
+    def test_per_shard_grids_merge_to_global_estimates(self, spark, tmp_path):
+        # THE Count-Min property worth a test: grids built per shard
+        # (here per source) merge by elementwise addition into exactly
+        # the grid a global build produces — the warehouse-rollup /
+        # streaming-state contract. Verified end to end: merged-grid
+        # estimates == global-grid estimates, and neither underestimates.
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.queries.corpus import (
+            _CMS_W,
+            cms_heavy_hitters_portable,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        from hg_data_pipelines_spark.queries.common import load
+
+        docs = load(spark, sf, "documents")
+
+        def bucket(jcol, termcol):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(jcol.cast("string"), F.lit(":"), termcol)),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+                % _CMS_W
+            )
+
+        terms = docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim("text"), r"\s+")
+            ).alias("term"),
+        )
+        hrows = spark.range(4).select(F.col("id").cast("int").alias("j"))
+        keyed = terms.crossJoin(hrows).withColumn(
+            "bucket", bucket(F.col("j"), F.col("term"))
+        )
+        per_shard = keyed.groupBy("source", "j", "bucket").agg(
+            F.count(F.lit(1)).alias("counter")
+        )
+        merged = {
+            (r["j"], r["bucket"]): r["c"]
+            for r in per_shard.groupBy("j", "bucket")
+            .agg(F.sum("counter").alias("c"))
+            .collect()
+        }
+        global_grid = {
+            (r["j"], r["bucket"]): r["c"]
+            for r in keyed.groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert merged == global_grid
+
+        out = cms_heavy_hitters_portable(spark, sf).collect()
+        assert out and all(r["never_underestimates"] for r in out)
+        assert all(r["overestimate"] >= 0 for r in out)
