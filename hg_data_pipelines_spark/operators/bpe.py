@@ -157,24 +157,27 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply trained merges → per-document BPE token counts.
 
-    Encoding applies every merge in rank order to each word's symbol
-    array — here as ``len(merges)`` chained aggregate folds in ONE
-    projection (no shuffle at all: the whole encode is row-local, the
-    ideal Spark shape for a corpus-wide tokenize). Output:
-    (id, n_words, n_bpe_tokens).
+    Encoding applies every merge in rank order as ``len(merges)`` chained
+    aggregate folds — over the DISTINCT word table, not per occurrence:
+    the fold cost is ∝ |word vocabulary| (the same compression that makes
+    training 100 TB-trainable), and per-document counts come from one
+    equi-join of the corpus word stream against the vocabulary-sized
+    (word → n_sym) map (broadcast on most clusters; AQE splits the
+    stopword skew otherwise). Output: (id, n_words, n_bpe_tokens).
     """
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    enc = words.withColumn(
+    enc = words.select("word").distinct().withColumn(
         "symbols", F.expr("filter(split(word, ''), s -> s != '')")
     )
     for left, right in merges:
         enc = enc.withColumn("symbols", _merge_expr(left, right))
-    return enc.groupBy(id_col).agg(
+    wordtok = enc.select("word", F.size("symbols").alias("n_sym"))
+    return words.join(wordtok, "word").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.size("symbols")).cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
     )
 
 

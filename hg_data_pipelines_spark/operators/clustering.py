@@ -152,3 +152,52 @@ def cluster_balanced_sample(
         .filter(F.col("_rn") <= per_cluster)
         .drop("_rn")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-duplicate
+    pruning with k-means clusters as the blocking structure.
+
+    Pairwise cosine comparison happens ONLY inside a cluster — at 100 TB
+    k grows with n (the paper uses ~100k clusters) so per-cluster work
+    stays bounded and no global all-pairs ever exists. Keep-first
+    semantics: a vector is pruned iff some LOWER-id same-cluster vector
+    is ≥ tau similar (6dp-rounded cosine); shadowing is deliberately
+    non-transitive — one shuffle-free pass after the cluster join, the
+    same contract as exact-dedup keep-first and the MinHash star
+    expansion. Returns (id, cluster BIGINT, kept_by nullable, kept).
+    """
+    from .similarity import _cosine
+
+    labels = kmeans_fixed_point(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    v = vectors.join(labels, id_col).select(id_col, "cluster", vec_col)
+    a = v.select(
+        F.col(id_col).alias("a_id"), "cluster", F.col(vec_col).alias("a_v")
+    )
+    b = v.select(
+        F.col(id_col).alias("b_id"), "cluster", F.col(vec_col).alias("b_v")
+    )
+    shadow = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(_cosine("a_v", "b_v"), 6) >= tau)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("kept_by"))
+    )
+    return (
+        v.select(id_col, F.col("cluster").cast("bigint").alias("cluster"))
+        .join(shadow, v[id_col] == shadow["b_id"], "left")
+        .select(
+            id_col, "cluster", "kept_by",
+            F.col("kept_by").isNull().alias("kept"),
+        )
+    )

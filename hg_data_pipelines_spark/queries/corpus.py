@@ -1144,7 +1144,43 @@ def temperature_mixture_sample(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("X4_bpe_sequence_packing")
+def _bpe_sequence_packing_sql() -> str:
+    """Prefix-sum packing over the unrolled-BPE token counts — the last
+    BPE-family query to gain a hash oracle (round 8): the merge rounds
+    come from the shared CTE chain, per-word symbol counts from the final
+    vocab, and the bin assignment is X4_sequence_packing's exact
+    exclusive-prefix fragment."""
+    return (
+        _bpe_vocab_sql()
+        + f""",
+    wordtok AS (
+        SELECT word, COUNT(*) AS n_sym FROM v{_BPE_MERGES} GROUP BY word
+    ),
+    docw AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+    ),
+    enc AS (
+        SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM docw JOIN wordtok USING (word)
+        WHERE word <> '' GROUP BY doc_id
+    ),
+    packed AS (
+        SELECT doc_id, n_bpe_tokens,
+               CAST(FLOOR(
+                   CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM enc
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin_id
+    """
+    )
+
+
+@query("X4_bpe_sequence_packing", _bpe_sequence_packing_sql())
 def bpe_sequence_packing(spark, sf_dir):
     from ..operators.bpe import bpe_encode, bpe_train
     from ..operators.scale import global_running_sum

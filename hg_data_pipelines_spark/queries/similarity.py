@@ -1298,36 +1298,11 @@ _SEMDEDUP_TAU = 0.35  # prunes the extreme same-cluster tail (p99.9 ≈ 0.38
     ),
 )
 def semdedup_prune(spark, sf_dir):
-    from ..operators.clustering import kmeans_fixed_point
-    from ..operators.similarity import _cosine
+    from ..operators.clustering import semdedup
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    labels = kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS).select(
-        "vec_id", "cluster"
-    )
-    v = emb.join(labels, "vec_id").select("vec_id", "cluster", "embedding")
-    a = v.select(
-        F.col("vec_id").alias("a_id"), "cluster",
-        F.col("embedding").alias("a_v"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("b_id"), "cluster",
-        F.col("embedding").alias("b_v"),
-    )
-    shadow = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(_cosine("a_v", "b_v"), 6) >= _SEMDEDUP_TAU)
-        .groupBy("b_id")
-        .agg(F.min("a_id").alias("kept_by"))
-    )
-    return (
-        v.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
-        .join(shadow, v["vec_id"] == shadow["b_id"], "left")
-        .select(
-            "vec_id", "cluster", "kept_by",
-            F.col("kept_by").isNull().alias("kept"),
-        )
+    return semdedup(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU
     )
 
 

@@ -73,7 +73,13 @@ class TestBpeEncode:
         chars = {i: sum(len(w) for w in t.split()) for i, t in texts.items()}
         assert all(got[i][1] < chars[i] for i in texts)
 
-    def test_encode_no_shuffle_before_the_count(self, spark):
+    def test_encode_folds_run_on_the_distinct_vocabulary_side(self, spark):
+        # Round-8 contract: the chained merge folds cost ∝ |word vocab|,
+        # not corpus size — the fold expression must sit ABOVE the
+        # distinct-word aggregate, never on the corpus word stream, and
+        # the plan carries exactly the three expected exchanges (distinct
+        # vocabulary, word-key join co-partition [AQE broadcasts it at
+        # runtime for real vocab sizes], final per-doc aggregation).
         from hg_data_pipelines_spark.operators.bpe import bpe_encode
 
         df = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
@@ -83,8 +89,11 @@ class TestBpeEncode:
             .executedPlan()
             .toString()
         )
-        # exactly one exchange: the final per-doc aggregation
-        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Exchange hashpartitioning") == 3
+        # the corpus-stream side of the join carries NO fold: its subtree
+        # is scan → explode → filter → exchange only
+        corpus_side = plan.split("SortMergeJoin")[1].split("Sort ")[1]
+        assert "aggregate(" not in corpus_side.split("HashAggregate")[0]
 
 
 class TestBpeMetacharacterTokens:

@@ -74,3 +74,34 @@ class TestClusterBalancedSample:
             [(1, 0), (2, 0), (3, 1)], "vec_id bigint, cluster int"
         )
         assert cluster_balanced_sample(df, per_cluster=5).count() == 3
+
+
+class TestSemDeDup:
+    def test_near_identical_vectors_pruned_keep_first(self, spark):
+        from hg_data_pipelines_spark.operators.clustering import semdedup
+
+        # ids 0..7 seed the 8 clusters; 100/101/102 are near-copies of a
+        # seed direction (cosine ~1), 200 is orthogonal-ish and kept.
+        import math
+
+        rows = []
+        for i in range(8):
+            v = [0.0] * 8
+            v[i] = 1.0
+            rows.append((i, v))
+        for j, eps in ((100, 0.001), (101, 0.002), (102, 0.003)):
+            v = [eps] * 8
+            v[3] = 1.0
+            rows.append((j, v))
+        rows.append((200, [1.0 / math.sqrt(8)] * 8))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in semdedup(df, k=8, iters=3, tau=0.95).collect()}
+        assert len(out) == 12
+        # near-copies of seed 3 share its cluster and are shadowed by the
+        # lowest id among their ≥tau neighbors
+        assert out[100]["kept_by"] == 3 and not out[100]["kept"]
+        assert out[101]["kept_by"] == 3 and not out[101]["kept"]
+        assert out[102]["kept_by"] == 3 and not out[102]["kept"]
+        assert out[3]["kept"] and out[200]["kept"]
+        # seeds are mutually orthogonal: never pruned
+        assert all(out[i]["kept"] for i in range(8))

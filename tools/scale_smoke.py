@@ -101,6 +101,14 @@ QUERIES = [
     "DQ10_psi_value_drift",
     "X11_triangle_counts",
     "X11_triangle_counts_ann",
+    # round-8: SemDeDup (cluster-blocked pairs), portable CMS, CUSUM,
+    # Markov matrix, BPE tokenize, AVI codec
+    "X2_semdedup_prune",
+    "X4_cms_heavy_hitters_portable",
+    "DQ11_cusum_changepoint",
+    "X12_event_transition_matrix",
+    "X4_bpe_token_counts",
+    "X5_avi_mjpeg_codec_stats",
 ]
 
 
