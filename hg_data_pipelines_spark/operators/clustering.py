@@ -174,22 +174,34 @@ def semdedup(
     same contract as exact-dedup keep-first and the MinHash star
     expansion. Returns (id, cluster BIGINT, kept_by nullable, kept).
     """
-    from .similarity import _cosine
+    from .similarity import _cosine_pre, _self_dot
 
     labels = kmeans_fixed_point(
         vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cluster")
-    v = vectors.join(labels, id_col).select(id_col, "cluster", vec_col)
+    # referenced 3× below (both pair sides + the final keep join) —
+    # truncate lineage so the kmeans subtree computes once, not thrice
+    # (the triangle_census hazard).
+    v = (
+        vectors.join(labels, id_col)
+        .select(id_col, "cluster", vec_col)
+        .localCheckpoint(eager=False)
+    )
+    # squared norms once per ROW, not once per pair: the per-pair cosine
+    # is then a single fold (_cosine_pre — the identical float expression
+    # tree as _cosine, so results stay bit-exact)
     a = v.select(
-        F.col(id_col).alias("a_id"), "cluster", F.col(vec_col).alias("a_v")
+        F.col(id_col).alias("a_id"), "cluster",
+        F.col(vec_col).alias("a_v"), _self_dot(vec_col).alias("an"),
     )
     b = v.select(
-        F.col(id_col).alias("b_id"), "cluster", F.col(vec_col).alias("b_v")
+        F.col(id_col).alias("b_id"), "cluster",
+        F.col(vec_col).alias("b_v"), _self_dot(vec_col).alias("bn"),
     )
     shadow = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(_cosine("a_v", "b_v"), 6) >= tau)
+        .filter(F.round(_cosine_pre("a_v", "b_v", "an", "bn"), 6) >= tau)
         .groupBy("b_id")
         .agg(F.min("a_id").alias("kept_by"))
     )
