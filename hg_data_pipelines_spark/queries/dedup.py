@@ -1505,3 +1505,148 @@ def novelty_score(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X1: winnowing fingerprint matches (Schleimer, Wilkerson & Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+# the MOSS algorithm): per-document char-8-gram rolling hashes, a
+# 4-gram sliding window selecting each window's MIN hash, distinct
+# selected hashes = the document's fingerprint set. The winnowing
+# guarantee: any shared substring of ≥ w+k−1 = 11 chars shares at least
+# one selected fingerprint, at ~1/w the storage of every gram —
+# positioned between exact content-hash dedup (whole-doc only) and
+# ExactSubstr (exact spans, heavier): cheap plagiarism/overlap-candidate
+# detection. Hot fingerprints (df > 50 docs, i.e. boilerplate/common
+# English) are cut before pairing — the same occupancy discipline as the
+# MinHash max_bucket guard, keeping posting lists bounded. A pair is
+# reported on CONTAINMENT (shared / min fingerprint-set size) ≥ 0.5 with
+# both sets ≥ 20 fingerprints — scale-free, unlike an absolute
+# shared-count threshold (document-length distributions shift it across
+# corpora; measured on the fixtures). Hashes are the portable polynomial
+# rolling hash (X4_doc_fingerprint's fold, exact int64 arithmetic), so
+# the whole pipeline hash-matches DuckDB. Scale shape: gram hashing is
+# row-local, window selection is one doc-partitioned window, the df cut
+# and pairing shuffle on the fingerprint key with df-bounded fan-out.
+# Production swaps the portable polynomial hash for xxhash64 and
+# normalizes text first; the plan shape is identical.
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 8       # gram length
+_WINNOW_W = 4       # window size (guarantee threshold = W + K - 1 chars)
+_WINNOW_DF = 50     # boilerplate cut: fingerprints in more docs dropped
+_WINNOW_CONT = 0.5  # containment threshold for a reported pair
+_WINNOW_MINSET = 20  # both fingerprint sets must be at least this large
+
+
+@query(
+    "X1_winnowing_matches",
+    f"""
+    WITH g AS (
+        SELECT doc_id, i,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT)
+                    for c in string_split(substr(text, i, {_WINNOW_K}), '')]),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h,
+               length(text) - {_WINNOW_K - 1} AS n_grams
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - {_WINNOW_K - 1})) AS s(i)
+        WHERE length(text) >= {_WINNOW_K}
+    ),
+    m AS (
+        SELECT doc_id, i, n_grams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                   AS mh
+        FROM g
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, mh FROM m
+        WHERE i + {_WINNOW_W - 1} <= n_grams
+    ),
+    dfc AS (SELECT mh, COUNT(*) AS ndocs FROM sel GROUP BY mh),
+    keep AS (
+        SELECT s.doc_id, s.mh FROM sel s JOIN dfc USING (mh)
+        WHERE ndocs <= {_WINNOW_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS nf FROM keep GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM keep a JOIN keep b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf), 6)
+               AS containment
+    FROM prs p JOIN sizes sa ON sa.doc_id = p.doc_a
+               JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE LEAST(sa.nf, sb.nf) >= {_WINNOW_MINSET}
+      AND CAST(p.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) >= {_WINNOW_CONT}
+    """,
+)
+def winnowing_matches(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
+        F.length("text") >= _WINNOW_K
+    )
+    g = docs.select(
+        "doc_id",
+        (F.length("text") - (_WINNOW_K - 1)).alias("n_grams"),
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {_WINNOW_K - 1})")
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id", "n_grams", "i",
+        F.expr(
+            f"aggregate(split(substr(text, i, {_WINNOW_K}), ''), 0L,"
+            " (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+        ).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        0, _WINNOW_W - 1
+    )
+    m = g.select(
+        "doc_id", "i", "n_grams", F.min("h").over(win).alias("mh")
+    )
+    sel = (
+        m.filter(F.col("i") + (_WINNOW_W - 1) <= F.col("n_grams"))
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    dfc = sel.groupBy("mh").agg(F.count(F.lit(1)).alias("ndocs"))
+    keep = (
+        sel.join(dfc, "mh")
+        .filter(F.col("ndocs") <= _WINNOW_DF)
+        .select("doc_id", "mh")
+        # referenced twice by the pair self-join
+        .localCheckpoint(eager=False)
+    )
+    sizes = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "mh")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "mh")
+    prs = (
+        a.join(b, "mh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    joined = prs.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+        "doc_b",
+    )
+    mn = F.least("na", "nb")
+    cont = F.col("n_shared").cast("double") / mn
+    return (
+        joined.filter((mn >= _WINNOW_MINSET) & (cont >= _WINNOW_CONT))
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -189,3 +189,36 @@ class TestIncrementalComponents:
         assert folded[1] == 1 and folded[2] == 1
         assert folded[10] == 10 and folded[11] == 10
         assert folded[50] == 50 and folded[51] == 50
+
+
+class TestWinnowingMatches:
+    def test_guarantee_and_thresholds(self, spark, tmp_path):
+        # Winnowing guarantee: docs sharing a substring of >= W+K-1 = 11
+        # chars share a selected fingerprint; with most of the text
+        # shared, containment crosses 0.5 and the pair is reported.
+        # Disjoint-alphabet docs never pair.
+        import os
+
+        from hg_data_pipelines_spark.queries.dedup import winnowing_matches
+
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, "alpha prefix one " + shared, "en", "s", 1),
+            (2, "beta prefix two " + shared, "en", "s", 1),
+            (3, "zzzz " * 30, "en", "s", 1),       # repeated, tiny set
+            (4, "qqqq " * 30, "en", "s", 1),       # disjoint alphabet
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in winnowing_matches(spark, sf).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] >= 0.5
+        assert all(3 not in p and 4 not in p for p in got)
