@@ -44,6 +44,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # boundedness as DQ8) to split baseline/current halves — raw events
     # never reach the window
     "DQ10_psi_value_drift",
+    # CUSUM prefix-sum/running-min windows over the same post-aggregation
+    # daily calendar as DQ8 — raw events never reach the window
+    "DQ11_cusum_changepoint",
 }
 
 
