@@ -113,6 +113,7 @@ COVERAGE = [
     "X12_event_transition_matrix",   # Markov behavior matrix (r8)
     "X5_avi_mjpeg_codec_stats",      # real AVI container decode (r8)
     "X11_triangle_counts_ann",       # degree-ordered motif census (r8)
+    "X1_winnowing_matches",          # MOSS winnowing fingerprints (r8)
 ]
 
 

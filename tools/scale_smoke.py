@@ -109,6 +109,7 @@ QUERIES = [
     "X12_event_transition_matrix",
     "X4_bpe_token_counts",
     "X5_avi_mjpeg_codec_stats",
+    "X1_winnowing_matches",
 ]
 
 
