@@ -2287,3 +2287,96 @@ def event_transition_matrix(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.expr("CAST((n * 1000000) div rn AS BIGINT)").alias("p_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# J13: point-in-time feature join — the feature-store correctness staple:
+# each observation (a lineitem at its ship date) joins the customer's
+# dimension state AS OF that date, never a later one (label leakage).
+# The dimension is the W6-style SCD2 order history, deduped to one state
+# per (customer, date) — max orderkey wins, matching W6's (date, key)
+# order — so the as-of match is unique and deterministic. Spark side
+# runs the declared as-of machinery (operators/asof.py: ONE key shuffle,
+# one window pass, |L|+|R| cardinality — no interval fan-out join); the
+# oracle expresses the same semantics as a ranked interval join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J13_point_in_time_features",
+    """
+    WITH obs AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+               l.l_shipdate AS obs_ts
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    states AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey, o_orderdate
+                  ORDER BY o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+    ),
+    dobs AS (SELECT DISTINCT * FROM obs),
+    best AS (
+        SELECT * FROM (
+            SELECT d.l_orderkey, d.l_linenumber, d.o_custkey, d.obs_ts,
+                   s.o_orderkey AS state_orderkey,
+                   s.o_totalprice AS state_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.l_orderkey, d.l_linenumber,
+                                    d.o_custkey, d.obs_ts
+                       ORDER BY s.o_orderdate DESC) AS rn
+            FROM dobs d JOIN states s
+              ON s.o_custkey = d.o_custkey AND s.o_orderdate <= d.obs_ts
+        ) WHERE rn = 1
+    )
+    -- LEFT join: observations predating every dimension state keep NULL
+    -- features (as-of semantics), and exact-duplicate observation rows
+    -- (they exist in the fixture) each carry the shared state
+    SELECT o.l_orderkey, o.l_linenumber, o.o_custkey, o.obs_ts,
+           b.state_orderkey, b.state_totalprice
+    FROM obs o LEFT JOIN best b
+      USING (l_orderkey, l_linenumber, o_custkey, obs_ts)
+    """,
+)
+def point_in_time_features(spark, sf_dir):
+    lineitem, orders = load(spark, sf_dir, "lineitem", "orders")
+    obs = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        "l_orderkey", "l_linenumber", "o_custkey",
+        F.col("l_shipdate").alias("obs_ts"),
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    states = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderdate",
+            F.col("o_orderkey").alias("state_orderkey"),
+            F.col("o_totalprice").alias("state_totalprice"),
+        )
+    )
+    from ..operators.asof import asof_join
+
+    out = asof_join(
+        obs,
+        states,
+        left_on="o_custkey",
+        right_on="o_custkey",
+        left_time="obs_ts",
+        right_time="o_orderdate",
+        value_cols=["state_orderkey", "state_totalprice"],
+        left_cols=["l_orderkey", "l_linenumber", "o_custkey", "obs_ts"],
+        direction="backward",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "o_custkey", "obs_ts",
+        F.col("asof_state_orderkey").alias("state_orderkey"),
+        F.col("asof_state_totalprice").alias("state_totalprice"),
+    )
