@@ -47,6 +47,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # CUSUM prefix-sum/running-min windows over the same post-aggregation
     # daily calendar as DQ8 — raw events never reach the window
     "DQ11_cusum_changepoint",
+    # lag() over the per-FILE range table (one row per written file,
+    # bounded by the layout's file count) — raw events never reach it
+    "S20_range_sorted_write",
 }
 
 
