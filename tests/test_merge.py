@@ -232,3 +232,32 @@ def test_merge_base_prunes_partitions(spark, tmp_path):
     plan_null = base_null._jdf.queryExecution().executedPlan().toString()
     assert "isnull(day" in plan_null
     assert {(r["id"], r["day"]) for r in base_null.collect()} == {(3, None)}
+
+
+def test_merge_base_semi_join_fallback_stays_null_correct(
+    spark, tmp_path, monkeypatch
+):
+    # Above _MERGE_STATIC_PRUNE_MAX touched tuples the literal predicate
+    # gives way to the broadcast semi-join (plain equality + eqNullSafe
+    # branch only when a NULL partition is touched). Force the fallback
+    # and verify both branches.
+    from hg_data_pipelines_spark import io as io_mod
+    from hg_data_pipelines_spark.io import _merge_base, write_warehouse_table
+
+    monkeypatch.setattr(io_mod, "_MERGE_STATIC_PRUNE_MAX", 1)
+    wh = str(tmp_path / "wh")
+    seed = spark.createDataFrame(
+        [(1, 10.0, "d1"), (2, 20.0, "d2"), (3, 30.0, None), (4, 40.0, "d3")],
+        "id long, v double, day string",
+    )
+    path = write_warehouse_table(seed, wh, "t", partition_by=["day"])
+    existing = spark.read.parquet(path)
+
+    delta = spark.createDataFrame(
+        [(9, 9.0, "d1"), (8, 8.0, None)], "id long, v double, day string"
+    )
+    base = _merge_base(spark, existing, delta, ["day"])
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {(r["id"], r["day"]) for r in base.collect()}
+    assert got == {(1, "d1"), (3, None)}  # d2/d3 untouched, NULL kept
