@@ -162,6 +162,21 @@ def _next_round_number(repo_dir: str) -> int:
     return best + 1
 
 
+def _local_record_path(repo_dir: str, round_no: int) -> str:
+    """First free BENCH_LOCAL_r{N}[_k].json — successive local runs within
+    one round each get their own file instead of clobbering the previous
+    record (judge advice, round 8)."""
+    base = os.path.join(repo_dir, f"BENCH_LOCAL_r{round_no}.json")
+    if not os.path.exists(base):
+        return base
+    k = 2
+    while os.path.exists(
+        os.path.join(repo_dir, f"BENCH_LOCAL_r{round_no}_{k}.json")
+    ):
+        k += 1
+    return os.path.join(repo_dir, f"BENCH_LOCAL_r{round_no}_{k}.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -245,18 +260,39 @@ def main() -> None:
     }
     line = json.dumps(out)
 
-    # Durable local record: the driver's tail capture truncated the r7
-    # JSON line; BENCH_LOCAL_r{N}.json keeps the full record in-repo
-    # regardless of what the capture buffer sees.
+    # Durable local record: the driver's tail capture truncated the r7/r8
+    # JSON lines; BENCH_LOCAL_r{N}[_k].json keeps the FULL record in-repo
+    # regardless of what the capture buffer sees (non-clobbering: each run
+    # within a round gets its own file).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    local_path = os.path.join(
-        repo_dir, f"BENCH_LOCAL_r{_next_round_number(repo_dir)}.json"
-    )
+    local_path = _local_record_path(repo_dir, _next_round_number(repo_dir))
     try:
         with open(local_path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass
+
+    # The driver's tail buffer is ~2 KB and keeps the END of stdout, so a
+    # long final line loses its HEAD (r7/r8: "parsed": null). The final
+    # stdout line is therefore a COMPACT summary (<1 KB): the headline
+    # total, the cross-round-comparable frozen_r1_total, set_version,
+    # the calibration probe, and the frozen 13-query per-query timings
+    # (the only per-query numbers comparable across every round). Full
+    # 60+-query detail lives in BENCH_LOCAL (path included below).
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "set_version": SET_VERSION,
+        "frozen_r1_total": out["frozen_r1_total"],
+        "coverage_total": out["coverage_total"],
+        "probe_min_sec": probe_min,
+        "queries": {n: timings[n] for n in FROZEN_R1_SUBSET},
+        "full_record": os.path.basename(local_path),
+    }
+    summary_line = json.dumps(summary)
+    assert len(summary_line) < 1024, len(summary_line)
 
     # Stop Spark BEFORE printing so no JVM shutdown chatter lands after
     # (or interleaved with) the result line, then emit the JSON on a
@@ -264,7 +300,7 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
-    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.write("\n" + summary_line + "\n")
     sys.stdout.flush()
 
 

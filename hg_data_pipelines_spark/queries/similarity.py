@@ -1150,7 +1150,11 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+def _kmeans_sql(k: int | str = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled fixed-point Lloyd CTE. ``k`` may be an int literal or a
+    SQL scalar-subquery string (the SemDeDup auto-k oracle passes
+    ``GREATEST(8, (COUNT(*) + 249) // 250)`` over embeddings — the exact
+    integer formula ``resolve_semdedup_k`` uses Spark-side)."""
     from ..operators.clustering import KMEANS_SCALE
 
     q = f"""
@@ -1264,10 +1268,18 @@ def cluster_balanced_sample_query(spark, sf_dir):
 _SEMDEDUP_TAU = 0.35  # prunes the extreme same-cluster tail (p99.9 ≈ 0.38
 # on the synthetic near-orthogonal embeddings; real corpora use ~0.95+)
 
+# Auto-resolved k mirroring operators.clustering.resolve_semdedup_k —
+# exact integer arithmetic on both engines (no float ceil): at the
+# fixtures (n=500/2000) this resolves to the floor k=8; at the 10× smoke
+# (n=20000) to k=80, the measured linear-runtime regime.
+_SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(8, (COUNT(*) + 249) // 250) FROM embeddings)"
+)
+
 
 @query(
     "X2_semdedup_prune",
-    _kmeans_sql().replace(
+    _kmeans_sql(k=_SEMDEDUP_K_SQL).replace(
         f"SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist"
         f" FROM a{_KMEANS_ITERS - 1}",
         f"""
@@ -1298,12 +1310,13 @@ _SEMDEDUP_TAU = 0.35  # prunes the extreme same-cluster tail (p99.9 ≈ 0.38
     ),
 )
 def semdedup_prune(spark, sf_dir):
+    # k=None → auto-resolved max(8, ceil(n/250)) — the paper's k ∝ n
+    # regime as default; the oracle's seed CTE computes the identical
+    # integer formula over the same table (_SEMDEDUP_K_SQL).
     from ..operators.clustering import semdedup
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    return semdedup(
-        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU
-    )
+    return semdedup(emb, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU)
 
 
 # --------------------------------------------------------------------------
