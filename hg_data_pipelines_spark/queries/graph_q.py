@@ -246,6 +246,13 @@ _TRI_SQL = f"""
 
 @query("X11_triangle_count", _TRI_SQL)
 def triangle_count(spark, sf_dir):
+    # triangle_total lineage-truncates the k-NN edge derivation so the
+    # O(n²) top-k subtree computes once, not once per edge reference
+    # (the census pair got the same fix in round 8; this collapses the
+    # plan from 16 shuffles to the census's ~5). The total is
+    # orientation-invariant, so the raw-id-order oracle still matches.
+    from ..operators.graph import triangle_total
+
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     knn = knn_graph_exact(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
@@ -253,15 +260,7 @@ def triangle_count(spark, sf_dir):
     und = knn.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
-    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
-    wedges = und.join(e2, und["b"] == e2["b2a"]).select("a", "b", "c")
-    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
-    tri = wedges.join(
-        closing,
-        (wedges["a"] == closing["ca"]) & (wedges["c"] == closing["cb"]),
-        "left_semi",
-    )
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return triangle_total(und, degree_ordered=True)
 
 
 # --------------------------------------------------------------------------
