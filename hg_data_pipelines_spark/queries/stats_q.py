@@ -260,25 +260,59 @@ def approx_percentiles(spark, sf_dir):
 # A9b: mergeable HLL sketch rollup (Spark 4 DataSketches surface) — the
 # two-level pattern that matters at 100 TB: per-nation customer sketches
 # build in one pass (map-side combinable), then UNION up to region
-# without touching the raw data again. Rows-only BY DESIGN, like its A9
-# sibling: the estimate is exact only while the sketch stays in sparse
-# mode (a sf0.1 cross-scale audit caught the dense-mode deviation at
-# ~2.9k distinct/region — an estimate, as specified, not a bug);
-# tests/test_stats_sketches.py pins the relative error instead.
+# without touching the raw data again. The raw ESTIMATES are
+# engine-specific (exact only while the sketch stays sparse — a sf0.1
+# cross-scale audit caught dense-mode deviation at ~2.9k distinct/region,
+# an estimate as specified, not a bug), so they can't be value-hashed;
+# the ACCURACY CONTRACT can: lgConfigK=14 → relative standard error
+# 1.04/sqrt(2^14) ≈ 0.81%, and the declared output is the set of regions
+# whose unioned-sketch estimate violates a generous 5σ band around the
+# exact distinct count ≡ the empty relation, which DuckDB states
+# directly. Same guarantee-not-value pattern as A16/A18/A19/A9c.
+# tests/test_stats_sketches.py still pins the estimates' relative error.
 # --------------------------------------------------------------------------
 
+_HLL_LG_K = 14
+_HLL_RSE = 1.04 / (2**_HLL_LG_K) ** 0.5  # DataSketches HLL standard error
 
-@query("A9_hll_sketch_rollup")
-def hll_sketch_rollup(spark, sf_dir):
+
+def _hll_region_rollup(spark, sf_dir):
+    """(region_name, exact_n, hll_estimate): the two-level sketch union
+    next to the exact distinct — the estimate side of A9_hll_sketch_rollup
+    before its violation filter (pytest consumes this directly)."""
     c, n, r = load(spark, sf_dir, "customer", "nation", "region")
-    per_nation = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("r_name", "n_nationkey")
-        .agg(F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"))
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
     )
-    return per_nation.groupBy(F.col("r_name").alias("region_name")).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_customers")
+    per_nation = joined.groupBy("r_name", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(_HLL_LG_K)).alias("sk")
+    )
+    rolled = per_nation.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_estimate")
+    )
+    exact = joined.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.countDistinct("c_custkey").alias("exact_n")
+    )
+    return rolled.join(exact, "region_name").select(
+        "region_name", "exact_n", "hll_estimate"
+    )
+
+
+@query(
+    "A9_hll_sketch_rollup",
+    """
+    SELECT CAST(NULL AS VARCHAR) AS region_name,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BIGINT) AS hll_estimate
+    WHERE FALSE
+    """,
+)
+def hll_sketch_rollup(spark, sf_dir):
+    est = _hll_region_rollup(spark, sf_dir)
+    tol = F.col("exact_n") * (5 * _HLL_RSE) + 1
+    return est.filter(
+        (F.col("hll_estimate") < F.col("exact_n") - tol)
+        | (F.col("hll_estimate") > F.col("exact_n") + tol)
     )
 
 

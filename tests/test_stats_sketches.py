@@ -34,9 +34,14 @@ class TestHllSketchRollup:
 
         from hg_data_pipelines_spark.io import load_table
 
+        # the declared query outputs 5σ-band VIOLATIONS (empty, oracle-
+        # checked); the estimate side is the helper it filters
+        from hg_data_pipelines_spark.queries.stats_q import _hll_region_rollup
+
+        assert QUERIES["A9_hll_sketch_rollup"](spark, SF_DIR).count() == 0
         got = {
-            r["region_name"]: r["n_customers"]
-            for r in QUERIES["A9_hll_sketch_rollup"](spark, SF_DIR).collect()
+            r["region_name"]: r["hll_estimate"]
+            for r in _hll_region_rollup(spark, SF_DIR).collect()
         }
         c, n, reg = (
             load_table(spark, SF_DIR, t) for t in ("customer", "nation", "region")
