@@ -55,6 +55,22 @@ from . import warehouse_q  # noqa: E402,F401
 # hash-checked via the unrolled CTE oracle) and X5_avi_mjpeg_codec_stats
 # (real AVI container + own JPEG codec, invariant-hash-checked). Both
 # rotated-out queries stay green in the full mirror.
+# Round-9 rotation (judge advice: rotate never-driver-checked queries
+# in, highest-risk first): ten first-time members enter — the round-8
+# late additions (X2_semdedup_prune now with auto-k, J13 point-in-time
+# features, X1_winnowing_matches, S20_range_sorted_write), the LM family
+# whose DOUBLE-cast fix is exactly what the dtype-sensitive hash checks
+# (X4_unigram/bigram_nll_scores, X4_dsir_importance_weights), and this
+# round's new oracles/plans (A9_hll_sketch_rollup 5σ invariant,
+# X3_mmr_rerank cogrouped-map, X7 append-contract invariant). Slots
+# freed by multiply-driver-green queries whose families stay covered:
+# A2 (A1/A8), A10 (A20), W3 (W1/W6/W12), O4 (O6), X3_cosine_topk_
+# bruteforce (lsh_portable/bm25/kmeans/mmr), X6_tumbling_window_agg
+# (X6_streaming_tumbling), J9_skew90_join_salted (J8 keeps scale
+# joins), X1_exact_dedup_by_content (incremental/winnowing),
+# S17_zorder_key_events (S9/S19/S20), DQ8_volume_drift (DQ7). All ten
+# rotated-out queries stay green in the full mirror; all ten entrants
+# passed tools/check_window_safety.py's driver-exact canon at sf0.01.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -66,20 +82,20 @@ _WINDOW = [
     "J5_anti_customers_without_orders",
     "J6_asof_latest_order",         # as-of join
     "J8_range_join_banded",         # banded range join
-    "J9_skew90_join_salted",        # skew/salting
+    "X4_unigram_nll_scores",        # CCNet-style perplexity gate (r9)
     "X3_cosine_topk_lsh_portable",  # LSH bucketing itself hash-checked (r7)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
-    "A2_value_counts",
+    "X2_semdedup_prune",           # SemDeDup auto-k prune (r9 first-time)
     "A8_grouping_sets",
     "S19_warehouse_delete_keys",    # GDPR targeted delete + read-back (r6)
-    "A10_exact_percentiles",
-    "DQ8_volume_drift",             # ingest-volume anomaly gate
+    "A9_hll_sketch_rollup",        # mergeable HLL rollup, 5-sigma invariant (r9)
+    "X7_streaming_watermarked_window",  # append-contract invariant (r9)
     "A20_equi_depth_histogram",
     "W1_best_order_per_customer",
-    "W3_lag_lead_running_sum",
+    "J13_point_in_time_features",  # SCD2 state as-of observation (r9)
     "W6_scd2_intervals",
     "W12_running_distinct_users",   # global running distinct, prefix-sum (r6)
-    "O4_topk_orders",
+    "X1_winnowing_matches",        # MOSS winnowing fingerprints (r9)
     "O6_pareto_skyline",           # distributed skyline via prefix-min (r6)
     "F_string_funcs",
     "X3_kmeans_fixed_point",       # fixed-point semantic clustering
@@ -89,18 +105,18 @@ _WINDOW = [
     "U3_bbox_inverse",              # geometry UDF surface
     "U9_udtf_char_ngrams",          # UDTF
     "U10_grouped_agg_mean",         # pandas UDAF
-    "S17_zorder_key_events",        # Z-order layout key
-    "X1_exact_dedup_by_content",    # exact dedup
+    "X4_dsir_importance_weights",   # DSIR domain weighting (r9)
+    "X4_bigram_nll_scores",         # bigram LM surprisal (r9)
     "X2_minhash_portable_pairs",    # MinHash-LSH, whole pipeline oracle-checked
     "X2_component_representatives", # connected components
-    "X3_cosine_topk_bruteforce",    # similarity search baseline
+    "X3_mmr_rerank",                # greedy MMR as one cogrouped map (r9)
     "X3_bm25_topk",                 # lexical retrieval
     "X4_quality_score",             # text quality gate
     "X4_bpe_merges",                # BPE training, unrolled-CTE oracle (r8)
     "X5_png_codec_stats",           # multimodal codec (value-level)
     "X5_avi_mjpeg_codec_stats",     # real AVI container + own JPEG (r8)
     "X1_incremental_dedup_portable",  # incremental-store classify twin (r6)
-    "X6_tumbling_window_agg",       # event-time windows
+    "S20_range_sorted_write",       # range-partitioned sorted layout (r9)
     "X8_session_window_agg",        # session windows
     "X11_pagerank_knn",             # iterative graph
     "X12_funnel_conversion",        # behavioral analytics
