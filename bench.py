@@ -77,6 +77,10 @@ HEADLINE = [
     # CTE oracle)
     "X2_semdedup_prune",
     "X4_bpe_merges",
+    # round-9: point-in-time feature join (SCD2 state as-of each
+    # observation) and the greedy-MMR rerank, now one cogrouped map
+    "J13_point_in_time_features",
+    "X3_mmr_rerank",
 ]
 
 # Coverage set (non-frozen, versioned): one representative per family that
@@ -114,6 +118,8 @@ COVERAGE = [
     "X5_avi_mjpeg_codec_stats",      # real AVI container decode (r8)
     "X11_triangle_counts_ann",       # degree-ordered motif census (r8)
     "X1_winnowing_matches",          # MOSS winnowing fingerprints (r8)
+    "S20_range_sorted_write",        # range-sorted layout + order audit (r9)
+    "X7_streaming_watermarked_window",  # append-contract invariant (r9)
 ]
 
 
@@ -147,7 +153,7 @@ FROZEN_R1_SUBSET = HEADLINE[:13]
 
 # Bump when HEADLINE or COVERAGE membership changes, so cross-round total
 # comparisons are gated on matching set_version (judge advice, round 7).
-SET_VERSION = 8
+SET_VERSION = 9
 
 
 def _next_round_number(repo_dir: str) -> int:

@@ -81,7 +81,58 @@ def kmeans_fixed_point(
     )
 
 
+# Above this many centroid CELLS (k × dim) the literal expression tree
+# stops being the right vehicle: auto-k at a 100× corpus resolves k=800
+# over 64-dim vectors = 51k literals — minutes of Catalyst analysis and a
+# guaranteed codegen fallback. Past the threshold, assignment switches to
+# an Arrow-batched pandas kernel over the SAME broadcast centroids with
+# the SAME exact int64 arithmetic (x·x + c·c − 2x·c, argmin ties to the
+# lowest centroid id), so the two paths are bit-identical — the pinned
+# equivalence test swaps paths on one input. Both are map-side: no join,
+# no shuffle, either way.
+_ASSIGN_LITERAL_MAX_CELLS = 8192
+
+
 def _assign(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Map-side argmin assignment; literal expression tree for small k,
+    Arrow-batched numpy kernel for large k (identical int64 results)."""
+    if len(centroids) * len(centroids[0]) > _ASSIGN_LITERAL_MAX_CELLS:
+        return _assign_pandas(v, centroids)
+    return _assign_literal(v, centroids)
+
+
+def _assign_pandas(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    c_arr = np.asarray(centroids, dtype=np.int64)  # k × dim
+    cc = (c_arr * c_arr).sum(axis=1)  # k
+
+    def _batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["_vi"].tolist(), dtype=np.int64)  # n × dim
+            xx = (x * x).sum(axis=1)
+            # exact: every term fits int64 (|coord·2^20| < 2^31 per the
+            # kmeans_fixed_point range bound → dist sums < 2^46·dim)
+            d = xx[:, None] + cc[None, :] - 2 * (x @ c_arr.T)
+            j = d.argmin(axis=1)  # first min = lowest centroid id
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_vi": pdf["_vi"],
+                    "_dist": d[np.arange(len(j)), j],
+                    "_cluster": j.astype(np.int32),
+                }
+            )
+
+    return v.mapInPandas(
+        _batches, "_id long, _vi array<bigint>, _dist long, _cluster int"
+    )
+
+
+def _assign_literal(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Map-side argmin over centroid literals: array<struct<dist,j>> →
     array_min picks (min dist, then min j) by lexicographic struct order."""
     scored = F.array_min(

@@ -140,3 +140,27 @@ class TestSemDeDup:
             map(tuple, semdedup(df, k=8, iters=3, tau=0.95).collect())
         )
         assert auto == explicit
+
+    def test_pandas_assignment_path_bit_identical(self, spark):
+        """The large-k Arrow kernel must produce the SAME (cluster, dist)
+        integers as the literal expression tree — swap paths by forcing
+        the threshold and compare bit-for-bit."""
+        from hg_data_pipelines_spark.operators import clustering as cl
+
+        rows = [
+            (i, [((i * 7 + d * 3) % 41) / 40.0 for d in range(16)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        lit = sorted(
+            map(tuple, cl.kmeans_fixed_point(df, k=8, iters=3).collect())
+        )
+        orig = cl._ASSIGN_LITERAL_MAX_CELLS
+        cl._ASSIGN_LITERAL_MAX_CELLS = 0  # force the pandas kernel
+        try:
+            pnd = sorted(
+                map(tuple, cl.kmeans_fixed_point(df, k=8, iters=3).collect())
+            )
+        finally:
+            cl._ASSIGN_LITERAL_MAX_CELLS = orig
+        assert lit == pnd

@@ -221,6 +221,14 @@ COMPOSE_QUERIES = [
     "X2_minhash_portable_pairs",
     "X2_minhash_lsh_pairs",
     "X2_component_representatives",
+    # round-9 (judge advice): the round-8 families whose composed-regime
+    # behavior was never measured — winnowing's df-bounded pair fan-out,
+    # J13's SCD2-state as-of join, and SemDeDup under auto-k (k resolves
+    # 8 → 80 → 800 across the decades; the large-k Arrow assignment
+    # kernel is exactly the path decade 2 exercises)
+    "X1_winnowing_matches",
+    "J13_point_in_time_features",
+    "X2_semdedup_prune",
 ]
 
 
