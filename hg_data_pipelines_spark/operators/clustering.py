@@ -89,8 +89,12 @@ def kmeans_fixed_point(
 # the SAME exact int64 arithmetic (x·x + c·c − 2x·c, argmin ties to the
 # lowest centroid id), so the two paths are bit-identical — the pinned
 # equivalence test swaps paths on one input. Both are map-side: no join,
-# no shuffle, either way.
-_ASSIGN_LITERAL_MAX_CELLS = 8192
+# no shuffle, either way. Threshold measured, not guessed: at k=80 over
+# 64 dims (5120 cells) the literal plan already runs 26s vs the Arrow
+# kernel's 6.8s on the same 10× input, while the k=8 fixture shape
+# (512 cells) is fastest as pure codegen — 1024 keeps the fixtures on
+# the literal path and everything auto-k-scaled on Arrow.
+_ASSIGN_LITERAL_MAX_CELLS = 1024
 
 
 def _assign(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
