@@ -119,6 +119,7 @@ COVERAGE = [
     "X11_triangle_counts_ann",       # degree-ordered motif census (r8)
     "X1_winnowing_matches",          # MOSS winnowing fingerprints (r8)
     "S20_range_sorted_write",        # range-sorted layout + order audit (r9)
+    "S21_bucketed_colocated_join",   # shuffle-free bucketed join (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
 ]
 

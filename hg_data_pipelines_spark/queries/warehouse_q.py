@@ -574,3 +574,80 @@ def range_sorted_write(spark, sf_dir):
         ).alias("globally_ordered"),
         F.sum("n").alias("total_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# S21: bucketed CO-LOCATED join — the other half of the 100 TB join
+# toolkit next to broadcast (J2), salting (J9), and range layout (S20).
+# Both fact tables are persisted bucketed (and sorted) on the join key
+# via saveAsTable (operators/scale.py::write_bucketed); the read-back
+# join then matches the two hash layouts and runs WITHOUT a shuffle on
+# either side — the plan's join subtree has zero Exchange nodes (pinned
+# by tests/test_scale.py for the operator and by the plan budget here).
+# At 100 TB this converts every repeated orders⋈lineitem from two
+# full-table shuffles into a metadata decision made once at write time.
+# The merge hint keeps the demonstration honest at fixture scale, where
+# AQE would otherwise broadcast the small side and hide the layout. The
+# oracle joins the raw tables — a hash match proves the bucketed write
+# is lossless AND the shuffle-free join computes the same relation.
+# --------------------------------------------------------------------------
+
+_S21_BUCKETS = 8
+
+
+@query(
+    "S21_bucketed_colocated_join",
+    f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_colocated_join(spark, sf_dir):
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..operators.scale import read_bucketed, write_bucketed
+
+    key = hashlib.md5(
+        f"{os.getpid()}|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    t_orders, t_li = f"s21_orders_{key}", f"s21_lineitem_{key}"
+    # bucketing metadata lives in the session catalog: build once per
+    # (session, sf) — later calls in the same session reuse the layout.
+    # A FRESH session in the same process sees an empty catalog but the
+    # managed location may linger on disk (saveAsTable refuses to adopt
+    # it) — clear stale locations before writing.
+    if not spark.catalog.tableExists(t_li):
+        wh_dir = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (t_orders, t_li):
+            loc = os.path.join(wh_dir, t)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+        orders, li = load(spark, sf_dir, "orders", "lineitem")
+        write_bucketed(
+            orders.select("o_orderkey", "o_orderpriority"),
+            t_orders, "o_orderkey", _S21_BUCKETS,
+        )
+        write_bucketed(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"),
+            t_li, "l_orderkey", _S21_BUCKETS,
+        )
+    o = read_bucketed(spark, t_orders).hint("merge")
+    l = read_bucketed(spark, t_li).hint("merge")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )

@@ -964,3 +964,18 @@ class TestStratifiedRowNumber:
         }
         got = {(r["g"], r["id"]): r["rn"] for r in out.collect()}
         assert got == want
+
+
+def test_s21_declared_query_joins_without_exchange(spark):
+    """The DECLARED bucketed-join query (not just the operator) must show
+    two Bucketed scans feeding a SortMergeJoin with no Exchange below the
+    join — the co-location contract the S21 oracle's hash match relies
+    on being the same relation computed shuffle-free."""
+    from hg_data_pipelines_spark.queries import QUERIES
+
+    df = QUERIES["S21_bucketed_colocated_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    join_pos = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_pos:], "shuffle below the join"
