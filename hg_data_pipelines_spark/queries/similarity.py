@@ -1319,6 +1319,90 @@ def semdedup_prune(spark, sf_dir):
     return semdedup(emb, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU)
 
 
+# Portable-IVF twin: the CELL-RESTRICTED search itself is oracle-checked,
+# the same closure the LSH/MinHash/SimHash portable twins gave their
+# families. Cells come from the fixed-point kmeans (bit-identical on both
+# engines — the oracle reuses the unrolled Lloyd CTE), each query probes
+# its OWN cell (nprobe=1: the query is a corpus member, so its assignment
+# IS the nearest cell under the shared integer metric), and the top-k
+# within the probed cell ranks by the 6dp-rounded cosine both engines
+# agree on. A hash match therefore proves the inverted-file pruning, the
+# candidate set, and the final ranking — not merely that rows came back.
+# Production keeps X3_cosine_topk_ivf (auto cells, engine-hash seeds,
+# recall-tested) as the tuned path; this twin is its verification anchor.
+
+
+def _ivf_portable_sql() -> str:
+    last = f"a{_KMEANS_ITERS - 1}"
+    member = (
+        f"SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS ve"
+        f" FROM {last} a JOIN embeddings e USING (vec_id)"
+    )
+    cos = (
+        "round(list_dot_product(q.ve, c.ve)"
+        " / sqrt(list_dot_product(q.ve, q.ve)"
+        " * list_dot_product(c.ve, c.ve)), 6)"
+    )
+    return _kmeans_sql().replace(
+        f"SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist"
+        f" FROM {last}",
+        f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cos} AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id
+           ) AS INTEGER) AS rank
+    FROM ({member}) q
+    JOIN ({member}) c
+      ON q.cluster = c.cluster AND q.vec_id != c.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+    QUALIFY rank <= {_K}
+    """,
+    )
+
+
+@query("X3_cosine_topk_ivf_portable", _ivf_portable_sql())
+def cosine_topk_ivf_portable(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fixed_point
+    from ..operators.similarity import _cosine_pre, _self_dot
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    labels = kmeans_fixed_point(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    ).select("vec_id", "cluster")
+    # referenced twice below (query + candidate sides) — truncate so the
+    # kmeans subtree computes once (the semdedup/census pattern)
+    v = (
+        emb.join(labels, "vec_id")
+        .select("vec_id", "cluster", "embedding", _self_dot("embedding").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cluster",
+        F.col("embedding").alias("qv"), F.col("_n").alias("qn"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"), "cluster",
+        F.col("embedding").alias("cv"), F.col("_n").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine_pre("qv", "cv", "qn", "cn"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+    )
+
+
+
 # --------------------------------------------------------------------------
 # F: vector function surface — norms, dot products, cosine, elementwise
 # combine over the embedding arrays. Both engines fold dimensions in
