@@ -1804,3 +1804,107 @@ def vocab_drift_by_source(spark, sf_dir):
         F.sum("term_micro").cast("bigint").alias("psi_micro"),
         (F.sum("term_micro") > 200000).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: Kneser-Ney smoothed bigram NLL — the smoothing family KenLM-backed
+# quality gates (CCNet et al.) actually run, next to the add-one unigram/
+# bigram gates above. Absolute discount D=0.75 (Kneser & Ney 1995; Chen &
+# Goodman 1998): P(w|v) = (c(v,w)−D)/c(v·) + D·N1+(v·)/c(v·) · P_cont(w)
+# with the continuation probability P_cont(w) = N1+(·w)/|bigram types| —
+# the "how many contexts has w followed" mass that makes KN beat raw MLE
+# on burst words. Every count is an exact integer aggregate; the log-prob
+# is DOUBLE-forced in one shared expression string (the _lp discipline)
+# and rounded to the ×1e6 fixed-point grid, so per-doc sums are exact
+# integers and the floor-divided average is engine-portable. Scoring set
+# = training corpus, so every doc transition is an observed bigram (no
+# unseen-event branch; c ≥ 1 > D keeps the first term positive). Scale
+# shape: the same two token-keyed aggregations as the bigram gate plus
+# two bigram-type aggregations — all map-side combinable.
+# --------------------------------------------------------------------------
+
+_KN_LP = (
+    "ln((CAST(c AS DOUBLE) - 0.75) / CAST(h AS DOUBLE)"
+    " + (0.75 * CAST(n1v AS DOUBLE) / CAST(h AS DOUBLE))"
+    " * (CAST(n1w AS DOUBLE) / CAST(b AS DOUBLE)))"
+)
+
+
+@query(
+    "X4_kneser_ney_nll_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bi AS (
+        SELECT doc_id, b['t1'] AS t1, b['t2'] AS t2 FROM (
+            SELECT doc_id,
+                   unnest([{{'t1': toks[i], 't2': toks[i + 1]}}
+                           for i in range(1, len(toks))]) AS b
+            FROM t
+        )
+    ),
+    bcnt AS (SELECT t1, t2, COUNT(*) AS c FROM bi GROUP BY t1, t2),
+    hist AS (SELECT t1, SUM(c) AS h, COUNT(*) AS n1v FROM bcnt GROUP BY t1),
+    pred AS (SELECT t2, COUNT(*) AS n1w FROM bcnt GROUP BY t2),
+    btot AS (SELECT COUNT(*) AS b FROM bcnt),
+    lp AS (
+        SELECT bcnt.t1, bcnt.t2,
+               CAST(round({_KN_LP} * {_LP_SCALE}.0) AS BIGINT) AS lp_micro
+        FROM bcnt JOIN hist USING (t1) JOIN pred USING (t2)
+        CROSS JOIN btot
+    ),
+    doc AS (
+        SELECT bi.doc_id, COUNT(*) AS n_transitions,
+               SUM(lp.lp_micro) AS sum_lp_micro
+        FROM bi JOIN lp ON bi.t1 = lp.t1 AND bi.t2 = lp.t2
+        GROUP BY bi.doc_id
+    )
+    SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+           (-sum_lp_micro) // n_transitions AS nll_micro_avg
+    FROM doc
+    """,
+)
+def kneser_ney_nll_scores(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    t = docs.select("doc_id", _toks().alias("toks"))
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)"
+                " ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.expr("element_at(toks, i)").alias("t1"),
+        F.expr("element_at(toks, i + 1)").alias("t2"),
+    )
+    bcnt = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c"))
+    # context totals + distinct-continuation counts fall out of ONE pass
+    # over the bigram-type table (h = Σc, n1v = row count per t1)
+    hist = bcnt.groupBy("t1").agg(
+        F.sum("c").alias("h"), F.count(F.lit(1)).alias("n1v")
+    )
+    pred = bcnt.groupBy("t2").agg(F.count(F.lit(1)).alias("n1w"))
+    btot = bcnt.agg(F.count(F.lit(1)).alias("b"))
+    lp = (
+        bcnt.join(hist, "t1")
+        .join(pred, "t2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "t1", "t2",
+            F.expr(
+                f"CAST(round({_KN_LP} * {_LP_SCALE}.0) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    doc = bi.join(lp, ["t1", "t2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_transitions",
+        F.expr("(-sum_lp_micro) div n_transitions").alias("nll_micro_avg"),
+    )
