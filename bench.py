@@ -122,6 +122,7 @@ COVERAGE = [
     "S21_bucketed_colocated_join",   # shuffle-free bucketed join (r9)
     "X3_cosine_topk_ivf_portable",   # cell-restricted ANN, hash-checked (r9)
     "X4_kneser_ney_nll_scores",      # KN-smoothed LM gate (r9)
+    "X11_label_propagation",         # deterministic LPA communities (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
 ]
 

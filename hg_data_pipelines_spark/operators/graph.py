@@ -393,3 +393,51 @@ def wedge_count(und: DataFrame, degree_ordered: bool = True) -> int:
         .collect()[0]
     )
     return int(row["w"] or 0)
+
+
+def label_propagation(und: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over
+    undirected edges ``(a, b)`` — the lightweight community detector for
+    kNN/near-dup graphs (cluster near-duplicate families, topic islands)
+    where connected components are too coarse and modularity methods too
+    sequential.
+
+    Deterministic by construction (the async coin-flip variant is not):
+    labels start as node ids, every round ALL nodes simultaneously adopt
+    the most frequent label among their neighbors, ties to the LOWEST
+    label — integer counts and a total order, so the result is
+    engine-portable and an unrolled SQL CTE states it exactly.
+
+    Scale shape: per round one neighbor-label join (shuffle on node id)
+    + one (node, label) count + one per-node argmax window — all keyed by
+    node id, Θ(|E|) per round, ``iters`` fixed. The edge set is
+    lineage-truncated once and reused by every round.
+    """
+    from pyspark.sql import Window
+
+    und = und.localCheckpoint(eager=False)
+    dir_ = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint(eager=False)
+    labels = dir_.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(iters):
+        nbr_labels = dir_.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -552,3 +552,69 @@ def triangle_counts_ann(spark, sf_dir):
         .distinct()
     )
     return triangle_census(und, degree_ordered=True)
+
+
+# --------------------------------------------------------------------------
+# X11: synchronous label propagation (Raghavan et al. 2007) over the
+# undirected k-NN graph — community detection for near-dup/topic islands
+# where connected components are too coarse (everything k-NN-connected
+# collapses to one component) and modularity methods don't distribute.
+# The deterministic variant: all nodes simultaneously adopt the most
+# frequent neighbor label, ties to the LOWEST label — exact integer
+# counts + a total order, so the unrolled CTE states every round
+# bit-identically. Spark shape: Θ(|E|) per round, one node-keyed shuffle
+# each, edge set lineage-truncated once (operators/graph.py).
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    q = f"""
+    WITH knn AS (
+        SELECT q.vec_id AS src, c.vec_id AS dst
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
+        ) <= {_KNN_K}
+    ), und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM knn
+    ), dir AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL
+        SELECT b AS node, a AS nbr FROM und
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM dir),
+    """
+    for t in range(iters):
+        q += f"""
+    c{t} AS (
+        SELECT d.node, l.label, COUNT(*) AS cnt
+        FROM dir d JOIN l{t} l ON d.nbr = l.node
+        GROUP BY d.node, l.label
+    ),
+    l{t + 1} AS (
+        SELECT node, label FROM (
+            SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY node ORDER BY cnt DESC, label
+            ) AS rn FROM c{t}
+        ) WHERE rn = 1
+    ),
+    """
+    q = q.rstrip().rstrip(",")
+    return q + f" SELECT node, label FROM l{iters}"
+
+
+@query("X11_label_propagation", _lpa_sql())
+def label_propagation_query(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    knn = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    und = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return label_propagation(und, iters=_LPA_ITERS)

@@ -267,3 +267,35 @@ class TestTriangleCensusOrientation:
         w_deg = wedge_count(und, degree_ordered=True)
         assert w_id >= 60 * 59 // 2          # hub alone: C(60, 2)
         assert w_deg <= 90                   # bounded by the edge count
+
+
+class TestLabelPropagation:
+    def test_two_cliques_converge_to_min_label(self, spark):
+        """Two 4-cliques joined by one bridge edge: after 3 synchronous
+        rounds every clique member carries its clique's minimum id, and
+        the bridge does not merge the communities (unlike connected
+        components, which would)."""
+        from hg_data_pipelines_spark.operators.graph import label_propagation
+
+        def clique(ids):
+            return [(a, b) for a in ids for b in ids if a < b]
+
+        edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+        und = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["label"]
+               for r in label_propagation(und, iters=3).collect()}
+        assert {got[i] for i in (0, 1, 2)} == {0}
+        assert {got[i] for i in (11, 12, 13)} == {10}
+        # components would be ONE blob of 8; LPA keeps two communities
+        assert len({got[i] for i in got}) >= 2
+
+    def test_deterministic_across_runs(self, spark):
+        from hg_data_pipelines_spark.operators.graph import label_propagation
+
+        edges = [(i, (i + 1) % 9) for i in range(9)] + [(0, 4), (2, 6)]
+        und = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+        ).distinct()
+        a = sorted(map(tuple, label_propagation(und, iters=3).collect()))
+        b = sorted(map(tuple, label_propagation(und, iters=3).collect()))
+        assert a == b
