@@ -123,6 +123,7 @@ COVERAGE = [
     "X3_cosine_topk_ivf_portable",   # cell-restricted ANN, hash-checked (r9)
     "X4_kneser_ney_nll_scores",      # KN-smoothed LM gate (r9)
     "X11_label_propagation",         # deterministic LPA communities (r9)
+    "X11_label_propagation_ann_portable",  # LPA over portable-LSH edges (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
 ]
 

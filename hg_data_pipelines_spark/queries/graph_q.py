@@ -618,3 +618,71 @@ def label_propagation_query(spark, sf_dir):
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
     return label_propagation(und, iters=_LPA_ITERS)
+
+
+def _lpa_ann_portable_sql(iters: int = _LPA_ITERS) -> str:
+    from .similarity import _portable_lsh_cands_sql
+
+    q = f"""
+    WITH {_portable_lsh_cands_sql()}, knn AS MATERIALIZED (
+        SELECT ca.query_id AS src, ca.neighbor_id AS dst
+        FROM cands ca
+        JOIN embeddings q ON q.vec_id = ca.query_id
+        JOIN embeddings c ON c.vec_id = ca.neighbor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY ca.query_id ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+        ) <= {_KNN_K}
+    ), und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM knn
+    ), dir AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL
+        SELECT b AS node, a AS nbr FROM und
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM dir),
+    """
+    for t in range(iters):
+        q += f"""
+    c{t} AS (
+        SELECT d.node, l.label, COUNT(*) AS cnt
+        FROM dir d JOIN l{t} l ON d.nbr = l.node
+        GROUP BY d.node, l.label
+    ),
+    l{t + 1} AS (
+        SELECT node, label FROM (
+            SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY node ORDER BY cnt DESC, label
+            ) AS rn FROM c{t}
+        ) WHERE rn = 1
+    ),
+    """
+    q = q.rstrip().rstrip(",")
+    return q + f" SELECT node, label FROM l{iters}"
+
+
+@query("X11_label_propagation_ann_portable", _lpa_ann_portable_sql())
+def label_propagation_ann_portable(spark, sf_dir):
+    """The LPA scale path, fully hash-checked: the SAME deterministic
+    synchronous label propagation over PORTABLE-LSH kNN edges instead of
+    the exact O(n²) graph — DuckDB replays the md5/fixed-point RHP
+    buckets → exact candidate set → exact edge set → exact integer LPA
+    rounds, so community detection composed with approximate edge
+    derivation is oracle-checked end to end (the same closure
+    X11_pagerank_ann_portable gives PageRank). At 100 TB this is the
+    form you run: edge cost = bucket collisions, not |V|²."""
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import lsh_topk
+    from .similarity import _LSH_PORTABLE_PLANES, _LSH_PORTABLE_TABLES
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    knn = lsh_topk(
+        emb, emb, k=_KNN_K,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    und = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return label_propagation(und, iters=_LPA_ITERS)
