@@ -1650,3 +1650,106 @@ def winnowing_matches(spark, sf_dir):
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X2: QUALITY-weighted representative selection — the curation policy
+# real pipelines run after clustering: within each near-dup component,
+# keep the HIGHEST-QUALITY member (the X4 composite quality score —
+# length/punctuation/stopword/distinct signals), not merely the longest.
+# A boilerplate-padded copy can out-length the clean original; quality
+# ordering keeps the clean one. The score is the same double expression
+# the hash-green X4_quality_score query computes — bit-identical on both
+# engines — so (quality DESC, doc_id) is a portable total order and the
+# whole components→score→argmax composition is oracle-checked.
+# Scale shape: component labels from distributed propagation, one score
+# projection in the scan, one per-component window — same cost as the
+# n_chars policy.
+# --------------------------------------------------------------------------
+
+_SQL_QUALITY = """
+        0.25 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+        + 0.25 * (1.0 - punct_ratio)
+        + 0.25 * (CASE WHEN stopword_ratio > 0.02 THEN 1.0 ELSE 0.0 END)
+        + 0.25 * distinct_ratio
+"""
+
+
+@query(
+    "X2_component_best_quality",
+    _SQL_COMPONENTS
+    + """
+    , feat AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(text) AS punct_ratio,
+               CAST(len(list_filter(toks, x ->
+                        list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x)))
+                    AS DOUBLE) / len(toks) AS stopword_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS distinct_ratio
+        FROM (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)
+    ), scored AS (
+        SELECT f.doc_id, COALESCE(c.component, f.doc_id) AS component,
+               """ + _SQL_QUALITY + """ AS quality_score
+        FROM feat f LEFT JOIN comp c ON f.doc_id = c.node
+    )
+    SELECT doc_id, component, quality_score,
+           FIRST_VALUE(doc_id) OVER w AS rep_doc_id,
+           doc_id = FIRST_VALUE(doc_id) OVER w AS is_kept
+    FROM scored
+    WINDOW w AS (PARTITION BY component ORDER BY quality_score DESC, doc_id)
+    """,
+)
+def component_best_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    feat = docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))").cast("int").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.expr(
+                "size(filter(split(trim(text), '\\\\s+'), x ->"
+                " array_contains(array('the', 'a', 'of', 'and', 'to', 'in'), x)))"
+            ).cast("double")
+            / F.expr("size(split(trim(text), '\\\\s+'))")
+        ).alias("stopword_ratio"),
+        (
+            F.expr("size(array_distinct(split(trim(text), '\\\\s+')))").cast(
+                "double"
+            )
+            / F.expr("size(split(trim(text), '\\\\s+'))")
+        ).alias("distinct_ratio"),
+    )
+    scored = feat.join(labels, feat.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("component"),
+        F.expr(
+            "0.25 * (CASE WHEN n_tokens >= 20 THEN 1.0"
+            " ELSE n_tokens / 20.0 END)"
+            " + 0.25 * (1.0 - punct_ratio)"
+            " + 0.25 * (CASE WHEN stopword_ratio > 0.02 THEN 1.0"
+            " ELSE 0.0 END)"
+            " + 0.25 * distinct_ratio"
+        ).alias("quality_score"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        F.first("doc_id").over(w).alias("rep_doc_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_kept"),
+    )
