@@ -125,6 +125,7 @@ COVERAGE = [
     "X11_label_propagation",         # deterministic LPA communities (r9)
     "X11_label_propagation_ann_portable",  # LPA over portable-LSH edges (r9)
     "X2_component_best_quality",     # quality-weighted dedup keep-list (r9)
+    "J14_temporal_anti_join",        # time-banded anti-join cohort (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
 ]
 

@@ -2380,3 +2380,46 @@ def point_in_time_features(spark, sf_dir):
         F.col("asof_state_orderkey").alias("state_orderkey"),
         F.col("asof_state_totalprice").alias("state_totalprice"),
     )
+
+
+# --------------------------------------------------------------------------
+# J14: temporal ANTI-join — the NEGATION of the J7/X10 follow-up shape:
+# anchors with NO matching event inside the time band (clicks never
+# followed by a purchase within 30 minutes = the abandonment cohort; at
+# 100 TB also the "sent but never acknowledged" reconciliation shape).
+# Spark plans LEFT ANTI with an equi key (user_id) plus the time-range
+# residual as a hash anti-join — the range condition evaluates on the
+# co-located pair, no cartesian anywhere. One key shuffle, |L|+|R|.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "J14_temporal_anti_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value
+    FROM events l
+    WHERE l.event_type = 'click' AND NOT EXISTS (
+        SELECT 1 FROM events r
+        WHERE r.event_type = 'purchase'
+          AND r.user_id = l.user_id
+          AND r.ts >= l.ts
+          AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    )
+    """,
+)
+def temporal_anti_join(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("r_user_id") == F.col("user_id"))
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_anti",
+    )
