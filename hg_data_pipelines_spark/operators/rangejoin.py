@@ -120,3 +120,61 @@ def interval_overlap_join(
         )
         .drop("_band", "_lsb", "_rsb")
     )
+
+
+def grid_neighbor_join(
+    left: DataFrame,
+    right: DataFrame,
+    lx: str,
+    ly: str,
+    rx: str,
+    ry: str,
+    radius: float,
+) -> DataFrame:
+    """2-D Euclidean neighbor join via grid blocking: all (l, r) pairs
+    with ``dist((lx,ly),(rx,ry)) <= radius``, plus a ``dist`` column.
+
+    The 2-D analogue of ``banded_range_join``: each left point explodes
+    into its own grid cell plus the 8 surrounding cells, each right
+    point keys by its own cell, and the cell equi-join bounds candidates
+    to local density before the exact distance predicate filters
+    residually. Cell size is ``radius`` (with a 1e-6 relative margin so
+    FP division rounding can never push a qualifying pair across two
+    cell boundaries), which guarantees every pair within ``radius``
+    shares or neighbors a cell — the blocking is COMPLETE, so the
+    result is identical to the quadratic theta join. At 100 TB this
+    shuffles on a well-distributed (cx, cy) integer key with ~9×
+    left-side replication instead of building a cartesian plan; local
+    density, not corpus size, bounds per-key work.
+
+    Column names across ``left`` and ``right`` must be disjoint. The
+    ``dist`` column is the unrounded double ``sqrt((lx-rx)² + (ly-ry)²)``
+    (callers round for display); the residual filter uses the same
+    expression, so output membership is engine-exact.
+    """
+    cell = float(radius) * 1.000001
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    banded_left = (
+        left.withColumn("_o", F.explode(offsets))
+        .withColumn("_cx", (F.floor(F.col(lx) / cell) + F.col("_o.dx")).cast("long"))
+        .withColumn("_cy", (F.floor(F.col(ly) / cell) + F.col("_o.dy")).cast("long"))
+        .drop("_o")
+    )
+    banded_right = right.withColumn(
+        "_cx", F.floor(F.col(rx) / cell).cast("long")
+    ).withColumn("_cy", F.floor(F.col(ry) / cell).cast("long"))
+    d2 = (F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx)) + (
+        F.col(ly) - F.col(ry)
+    ) * (F.col(ly) - F.col(ry))
+    return (
+        banded_left.join(banded_right, ["_cx", "_cy"])
+        .withColumn("dist", F.sqrt(d2))
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .drop("_cx", "_cy")
+    )

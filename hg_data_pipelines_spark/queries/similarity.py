@@ -1883,3 +1883,58 @@ def lsh_recall_report(spark, sf_dir):
             f"CAST(COUNT(l_neighbor_id) * 1000000 div {_K} AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXT-J15: grid-blocked 2-D neighbor join — the spatial-blocking join
+# pattern (geohash / grid bucketing) on the embedding plane spanned by
+# the first two dimensions. The Spark side runs the 9-cell grid blocking
+# (operators/rangejoin.py grid_neighbor_join); the oracle is the FULL
+# QUADRATIC theta join — a hash match therefore proves the blocking is
+# COMPLETE (no qualifying pair escapes its cell neighborhood), not just
+# that the residual predicate is right. Distance arithmetic is the
+# identical IEEE sequence on both engines ((dx*dx + dy*dy) then sqrt,
+# FLOAT→DOUBLE casts of the same parquet values), so membership at the
+# radius boundary is engine-exact; the displayed dist rounds to 6dp.
+# At 100 TB the blocked side shuffles on a dense integer (cx, cy) key
+# with 9× anchor replication — local density bounds per-key work; the
+# oracle's quadratic form exists only as this verification anchor.
+# --------------------------------------------------------------------------
+
+_GRID_R = 0.02
+
+
+@query(
+    "J15_grid_neighbor_join",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE sqrt((a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y)) <= {_GRID_R}
+    """,
+)
+def grid_neighbor_join_query(spark, sf_dir):
+    from ..operators.rangejoin import grid_neighbor_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").getItem(0).cast("double").alias("ax"),
+        F.col("embedding").getItem(1).cast("double").alias("ay"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").getItem(0).cast("double").alias("bx"),
+        F.col("embedding").getItem(1).cast("double").alias("by"),
+    )
+    pairs = grid_neighbor_join(a, b, "ax", "ay", "bx", "by", _GRID_R)
+    return pairs.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", F.round("dist", 6).alias("dist")
+    )

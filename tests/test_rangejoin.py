@@ -135,3 +135,60 @@ class TestIntervalOverlapJoin:
         )
         out = interval_overlap_join(a, b, "s", "e", "s2", "e2", 7).collect()
         assert len(out) == 2  # once per duplicate left row, no band dup
+
+
+class TestGridNeighborJoin:
+    def _brute(self, pts_a, pts_b, r):
+        import math
+
+        out = set()
+        for ia, xa, ya in pts_a:
+            for ib, xb, yb in pts_b:
+                if math.sqrt((xa - xb) ** 2 + (ya - yb) ** 2) <= r:
+                    out.add((ia, ib))
+        return out
+
+    def _spark_pairs(self, spark, pts_a, pts_b, r):
+        from hg_data_pipelines_spark.operators.rangejoin import grid_neighbor_join
+
+        a = spark.createDataFrame(pts_a, "id_a long, ax double, ay double")
+        b = spark.createDataFrame(pts_b, "id_b long, bx double, by double")
+        out = grid_neighbor_join(a, b, "ax", "ay", "bx", "by", r)
+        return {(row["id_a"], row["id_b"]) for row in out.collect()}
+
+    def test_matches_bruteforce_pseudorandom(self, spark):
+        # deterministic LCG points spread over many cells
+        def lcg(seed, n):
+            x, out = seed, []
+            for _ in range(n):
+                x = (x * 1103515245 + 12345) % (2**31)
+                out.append(x / 2**31 - 0.5)
+            return out
+
+        xs, ys = lcg(7, 120), lcg(11, 120)
+        pts = [(i, xs[i], ys[i]) for i in range(120)]
+        r = 0.07
+        assert self._spark_pairs(spark, pts, [
+            (i + 1000, x, y) for i, x, y in pts
+        ], r) == self._brute(pts, [(i + 1000, x, y) for i, x, y in pts], r)
+
+    def test_boundary_pair_included_once(self, spark):
+        # dist exactly r (horizontal), straddling a cell boundary
+        pts_a = [(1, 0.0199, 0.0)]
+        pts_b = [(2, 0.0399, 0.0), (3, 0.05, 0.0)]
+        got = self._spark_pairs(spark, pts_a, pts_b, 0.02)
+        assert got == {(1, 2)}
+
+    def test_no_duplicate_candidates(self, spark):
+        # same-cell AND adjacent-cell candidates emit exactly once
+        from hg_data_pipelines_spark.operators.rangejoin import grid_neighbor_join
+
+        a = spark.createDataFrame(
+            [(1, 0.001, 0.001)], "id_a long, ax double, ay double"
+        )
+        b = spark.createDataFrame(
+            [(2, 0.0015, 0.0015), (3, -0.001, -0.001)],
+            "id_b long, bx double, by double",
+        )
+        rows = grid_neighbor_join(a, b, "ax", "ay", "bx", "by", 0.02).collect()
+        assert sorted(r["id_b"] for r in rows) == [2, 3]
