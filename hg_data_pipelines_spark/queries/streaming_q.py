@@ -89,6 +89,61 @@ def streaming_tumbling(spark, sf_dir):
     return spark.table(sink)
 
 
+@query(
+    "X6_streaming_sliding",
+    f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def streaming_sliding(spark, sf_dir):
+    """Sliding-window agg as a REAL Structured Streaming job (readStream →
+    10-minute windows sliding every 5 → memory sink, availableNow,
+    complete mode): each event lands in exactly two overlapping windows,
+    and the job's final state must equal the batch expansion the oracle
+    spells out as a UNION ALL of both window assignments. The streaming
+    twin of the batch ``X6_sliding_window_agg`` — together with
+    ``X6_streaming_tumbling`` it pins Spark's window-alignment semantics
+    (epoch-aligned starts, half-open [start, start+size)) cross-engine
+    for the overlapping case too."""
+    utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="x6_events_slide_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    schema = _raw_events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = _to_ntz(spark.readStream.schema(schema).parquet(stage))
+    agg = (
+        stream.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    sink = f"x6_streaming_sliding_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
     """Split events into time-ordered batch files with strictly increasing
     mtimes, so the file stream source replays them as deterministic
