@@ -321,6 +321,76 @@ def cdc_apply_roundtrip(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# S22: snapshot diff — the change-feed CLASSIFICATION itself, oracle-
+# checked (S15 checks diff→apply round-trips; this checks the feed's
+# insert/delete/update labels directly). The scenario is a realistic
+# version transition: v1 aggregates orders before 1997; v2 aggregates
+# the FULL history minus a GDPR-erased key slice (custkey % 100 == 7).
+# Erased customers must classify 'delete', customers whose first order
+# lands in/after 1997 'insert', customers who gained orders 'update',
+# and surviving customers whose entire history already lay before 1997
+# have identical aggregates in both versions and must be OMITTED (all
+# four paths fire in the fixtures; the omit class at sf>=0.01). Spark
+# detects change via one JVM-side xxhash64(to_json(struct(..))) per row
+# (no per-column comparison shuffle; equal values => equal hash, and the
+# decimal-exact dsum makes values layout-independent); the oracle
+# compares the values directly — a hash match proves the classification,
+# the omission of unchanged keys, and the full-outer key space at once.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "S22_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ), v2 AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+      FROM orders WHERE o_custkey % 100 != 7
+      GROUP BY 1
+    )
+    SELECT COALESCE(v1.custkey, v2.custkey) AS custkey,
+           CASE WHEN v1.custkey IS NULL THEN 'insert'
+                WHEN v2.custkey IS NULL THEN 'delete'
+                WHEN v1.n_orders != v2.n_orders
+                     OR v1.total_spend != v2.total_spend THEN 'update'
+           END AS change_type
+    FROM v1 FULL JOIN v2 ON v1.custkey = v2.custkey
+    WHERE (CASE WHEN v1.custkey IS NULL THEN 'insert'
+                WHEN v2.custkey IS NULL THEN 'delete'
+                WHEN v1.n_orders != v2.n_orders
+                     OR v1.total_spend != v2.total_spend THEN 'update'
+           END) IS NOT NULL
+    """,
+)
+def snapshot_diff_query(spark, sf_dir):
+    from ..snapshots import snapshot_diff, write_table_snapshot
+
+    utc(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+
+    wh = os.path.join(_warehouse_dir(sf_dir), "diff_wh")
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)  # snapshot versions are append-only
+    v1 = agg(orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    v2 = agg(orders.filter(F.col("o_custkey") % 100 != 7))
+    write_table_snapshot(v1, wh, "cust_orders_win")
+    write_table_snapshot(v2, wh, "cust_orders_win")
+    return snapshot_diff(spark, wh, "cust_orders_win", 1, 2, ["custkey"])
+
+
+# --------------------------------------------------------------------------
 # S17: Z-order layout key — the multi-dimensional data-skipping write
 # (operators/layout.py). The declared query exposes the Morton key the
 # writer clusters by: both engines derive the same min/max bounds via one
