@@ -1908,3 +1908,122 @@ def kneser_ney_nll_scores(spark, sf_dir):
         "n_transitions",
         F.expr("(-sum_lp_micro) div n_transitions").alias("nll_micro_avg"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: contrastive negative sampling — deterministic per-anchor negative
+# draws for embedding/contrastive training, in the bucketed-representative
+# shape that scales: every corpus doc hashes into one of B buckets, each
+# bucket pre-aggregates its two lowest-rep-key members (one shuffle, B×2
+# rows), and each anchor's i-th draw targets bucket md5(anchor:i) % B,
+# taking the bucket's first representative unless it IS the anchor (then
+# the second; an empty or anchor-only bucket drops the draw on both
+# engines). All randomness is md5-derived (the portable idiom of
+# X4_deterministic_split), so the oracle replays every draw exactly —
+# sampling WITH replacement across draws, by contract. At 100 TB the
+# corpus-side cost is one bucket hash-agg; anchors never join the corpus,
+# only the broadcast B×2 representative table — negative generation is
+# anchor-batch-local, the same train-once/serve-many split as the ANN
+# model queries. (A production pipeline composes this with X2 near-dup
+# components to also exclude an anchor's duplicates as false negatives.)
+# --------------------------------------------------------------------------
+
+_NEG_BUCKETS = 32
+_NEG_DRAWS = 4
+_NEG_ANCHORS = 50
+
+
+@query(
+    "X4_contrastive_negatives",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 % {_NEG_BUCKETS} AS bucket,
+             CAST(('0x' || substr(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 AS rep_key
+      FROM documents
+    ), r AS (
+      SELECT bucket, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY rep_key, doc_id) AS rn
+      FROM d
+    ), p AS (
+      SELECT bucket,
+             MIN(CASE WHEN rn = 1 THEN doc_id END) AS r1,
+             MIN(CASE WHEN rn = 2 THEN doc_id END) AS r2
+      FROM r WHERE rn <= 2 GROUP BY bucket
+    ), dr AS (
+      SELECT a.doc_id AS anchor_id, i AS draw,
+             CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 % {_NEG_BUCKETS} AS bucket
+      FROM documents a, UNNEST(generate_series(1, {_NEG_DRAWS})) AS t(i)
+      WHERE a.doc_id < {_NEG_ANCHORS}
+    )
+    SELECT anchor_id, CAST(draw AS INTEGER) AS draw,
+           CASE WHEN r1 != anchor_id THEN r1 ELSE r2 END AS negative_id
+    FROM dr JOIN p USING (bucket)
+    WHERE (CASE WHEN r1 != anchor_id THEN r1 ELSE r2 END) IS NOT NULL
+    """,
+)
+def contrastive_negatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+
+    def md5_mod(col, n):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n
+        )
+
+    d = docs.select(
+        "doc_id",
+        md5_mod(F.col("doc_id").cast("string"), _NEG_BUCKETS).alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rep:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long").alias("rep_key"),
+    )
+    w = Window.partitionBy("bucket").orderBy("rep_key", "doc_id")
+    reps = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("bucket")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("r1"),
+            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("r2"),
+        )
+    )
+    draws = (
+        docs.filter(F.col("doc_id") < _NEG_ANCHORS)
+        .select(F.col("doc_id").alias("anchor_id"))
+        .withColumn(
+            "draw", F.explode(F.array(*[F.lit(i) for i in range(1, _NEG_DRAWS + 1)]))
+        )
+        .withColumn(
+            "bucket",
+            md5_mod(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("draw").cast("string"),
+                ),
+                _NEG_BUCKETS,
+            ),
+        )
+    )
+    neg = F.when(F.col("r1") != F.col("anchor_id"), F.col("r1")).otherwise(
+        F.col("r2")
+    )
+    return (
+        draws.join(F.broadcast(reps), "bucket")
+        .select(
+            "anchor_id",
+            F.col("draw").cast("int").alias("draw"),
+            neg.alias("negative_id"),
+        )
+        .filter(F.col("negative_id").isNotNull())
+    )
