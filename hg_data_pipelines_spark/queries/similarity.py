@@ -1938,3 +1938,274 @@ def grid_neighbor_join_query(spark, sf_dir):
     return pairs.filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", F.round("dist", 6).alias("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# X3: IVF+PQ — the composed FAISS-style serving shape (coarse inverted-
+# file pruning -> product-quantized ADC candidate scoring -> exact rerank
+# of the shortlist), with the WHOLE pipeline hash-checked cross-engine.
+# Production keeps X3_cosine_topk_ivf / X3_cosine_topk_pq (engine-hash
+# seeds, recall-tested) as the tuned paths; this portable twin pins every
+# stage: cells come from the bit-exact fixed-point kmeans CTE, the PQ
+# codebook is seed-selection "training" (n_iter=0 — codewords are the
+# sub-slices of the 16 lowest-id L2-NORMALIZED corpus vectors, which SQL
+# can replay), corpus codes are per-subspace argmin over codeword
+# literals (map-side, d2 = self - 2*dot + const rounded to 9dp, ties to
+# the lowest code), ADC scores fold the 8 per-subspace LUT lookups in
+# index order and round to 6dp, and the k*3 ADC shortlist reranks by the
+# exact 6dp cosine. A hash match proves cell pruning, every emitted code,
+# every ADC score, shortlist membership, and the final ranking at once.
+# Scale shape: codes/LUTs are pure map-side expression work (codebook
+# travels as literals); the only joins are the cell-key equi-join and the
+# two shortlist-sized vector fetches for rerank — the scan side touches
+# 8 one-byte codes per corpus vector, never the float vectors.
+# --------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim embeddings -> 8 dims each)
+_PQ_SUB = 8        # dims per subspace
+_PQ_CODES = 16     # codewords per subspace
+_IVFPQ_REFINE = 3  # exact-rerank shortlist = k * refine
+
+
+def _ivfpq_portable_sql() -> str:
+    last = f"a{_KMEANS_ITERS - 1}"
+    sd = _PQ_SUB
+    d2 = (
+        "round(list_dot_product(s.sv, s.sv)"
+        " - 2 * list_dot_product(s.sv, cb.cv)"
+        " + list_dot_product(cb.cv, cb.cv), 9)"
+    )
+    adc_sum = " + ".join(
+        f"MAX(CASE WHEN m = {m} THEN t END)" for m in range(_PQ_M)
+    )
+    cos = (
+        "round(list_dot_product(qe.ve, ne.ve)"
+        " / sqrt(list_dot_product(qe.ve, qe.ve)"
+        " * list_dot_product(ne.ve, ne.ve)), 6)"
+    )
+    extra = f"""
+    , nv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT s.vec_id AS c, t.m,
+             list_slice(s.v, t.m * {sd} + 1, t.m * {sd} + {sd}) AS cv
+      FROM nv s, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(m)
+      WHERE s.vec_id < {_PQ_CODES}
+    ), sub AS (
+      SELECT vec_id, t.m,
+             list_slice(v, t.m * {sd} + 1, t.m * {sd} + {sd}) AS sv
+      FROM nv, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(m)
+    ), codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT s.vec_id, s.m, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, cb.c) AS rn
+        FROM sub s JOIN cb USING (m)
+      ) WHERE rn = 1
+    ), trm AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, s.m,
+             list_dot_product(s.sv, cb.cv) AS t
+      FROM {last} q
+      JOIN {last} n ON q.cluster = n.cluster AND q.vec_id != n.vec_id
+      JOIN sub s ON s.vec_id = q.vec_id
+      JOIN codes co ON co.vec_id = n.vec_id AND co.m = s.m
+      JOIN cb ON cb.m = s.m AND cb.c = co.code
+      WHERE q.vec_id < {_N_QUERIES}
+    ), adcs AS (
+      SELECT query_id, neighbor_id, round({adc_sum}, 6) AS adc
+      FROM trm GROUP BY query_id, neighbor_id
+    ), short AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rn
+      FROM adcs
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id, s.adc, {cos} AS cosine
+      FROM short s
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings) qe ON qe.vec_id = s.query_id
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings) ne ON ne.vec_id = s.neighbor_id
+      WHERE s.rn <= {_K * _IVFPQ_REFINE}
+    )
+    SELECT query_id, neighbor_id, adc, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM rer QUALIFY rank <= {_K}
+    """
+    return _kmeans_sql().replace(
+        f"SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist"
+        f" FROM {last}",
+        extra,
+    )
+
+
+@query("X3_cosine_topk_ivfpq_portable", _ivfpq_portable_sql())
+def cosine_topk_ivfpq_portable(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fixed_point
+    from ..operators.similarity import _DOT, _cosine_pre, _self_dot
+
+    sd = _PQ_SUB
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    labels = (
+        kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)  # referenced by both sides below
+    )
+    norm = _DOT.format(a="embedding", b="embedding")
+    nv = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(x as double) / sqrt({norm}))"
+        ).alias("_v"),
+    )
+    # bounded collect: the 16 seed codewords (seed-selection "training",
+    # n_iter=0 — the one permissible driver collect, same contract as
+    # ivf_train/pq_train's bounded model collects)
+    seeds = {
+        int(r["vec_id"]): [float(x) for x in r["_v"]]
+        for r in nv.filter(F.col("vec_id") < _PQ_CODES).collect()
+    }
+    cb = {
+        (m, c): seeds[c][m * sd : (m + 1) * sd]
+        for m in range(_PQ_M)
+        for c in sorted(seeds)
+    }
+
+    def seq_dot(a, b):
+        # sequential fold in index order — the IDENTICAL summation
+        # sequence as _DOT / list_dot_product (never numpy pairwise)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    # All codeword expressions are generated as SQL STRINGS (one F.expr
+    # per output column): building 128 literal-array dots through the
+    # py4j Column API costs ~20 s of driver chatter; parsing the same
+    # tree from one string is milliseconds. repr() round-trips binary64
+    # exactly and string→double casts are correctly rounded, so the
+    # literal values are bit-identical either way.
+    def lit_d(x):
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def dot_lit(sv_expr, vals):
+        arr = ", ".join(lit_d(float(x)) for x in vals)
+        return (
+            f"aggregate(zip_with({sv_expr}, array({arr}),"
+            f" (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    def sub_expr(m):
+        return f"slice(_v, {m * sd + 1}, {sd})"
+
+    def self_expr(m):
+        return (
+            f"aggregate(zip_with(_s{m}, _s{m}, (x, y) -> x * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    # precompute each subvector (and its self-dot) once per row, so the
+    # 16 codeword distances per subspace share them
+    subbed = nv.select(
+        "vec_id",
+        *[F.expr(sub_expr(m)).alias(f"_s{m}") for m in range(_PQ_M)],
+    ).select(
+        "vec_id",
+        *[F.col(f"_s{m}") for m in range(_PQ_M)],
+        *[F.expr(self_expr(m)).alias(f"_sd{m}") for m in range(_PQ_M)],
+    )
+
+    # corpus side: per-subspace code via codeword-literal argmin (map-side)
+    def code_expr(m):
+        structs = []
+        for c in range(_PQ_CODES):
+            cc = seq_dot(cb[(m, c)], cb[(m, c)])
+            d2 = (
+                f"round(_sd{m} - 2 * {dot_lit(f'_s{m}', cb[(m, c)])}"
+                f" + {lit_d(cc)}, 9)"
+            )
+            structs.append(f"named_struct('d', {d2}, 'c', {c})")
+        return (
+            f"element_at(sort_array(array({', '.join(structs)})), 1).c"
+        )
+
+    coded = (
+        subbed.join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster",
+            *[F.expr(code_expr(m)).alias(f"code{m}") for m in range(_PQ_M)],
+        )
+        .localCheckpoint(eager=False)  # truncate the 128-dot expression tree
+    )
+
+    # query side: per-subspace LUT of codeword dots (map-side literals)
+    def lut_expr(m):
+        dots = ", ".join(
+            dot_lit(f"_s{m}", cb[(m, c)]) for c in range(_PQ_CODES)
+        )
+        return f"array({dots})"
+
+    q = (
+        subbed.join(labels, "vec_id")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cluster",
+            *[F.expr(lut_expr(m)).alias(f"lut{m}") for m in range(_PQ_M)],
+        )
+    )
+
+    # ADC: fold the 8 LUT lookups in index order, round to 6dp
+    terms = [
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+        for m in range(_PQ_M)
+    ]
+    adc = F.round(
+        F.aggregate(F.array(*terms), F.lit(0.0).cast("double"), lambda a, b: a + b),
+        6,
+    )
+    scored = (
+        q.join(coded, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _K * _IVFPQ_REFINE)
+        .drop("rn")
+    )
+
+    # exact rerank: fetch float vectors ONLY for the shortlist
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _self_dot("embedding").alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _self_dot("embedding").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            F.round(_cosine_pre("qv", "cv", "qn", "cn"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+    )

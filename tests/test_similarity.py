@@ -373,3 +373,27 @@ class TestIvfMapSideAssignment:
             .collect()
         }
         assert fast == ref
+
+
+class TestIVFPQPortable:
+    def test_ivfpq_recall_and_determinism(self, spark):
+        # the composed coarse-prune + ADC + exact-rerank declared query;
+        # floor is conservative (nprobe=1 cells + 16-code PQ shortlist)
+        from hg_data_pipelines_spark.queries import QUERIES
+
+        truth = _truth_pairs(spark)
+        rows = QUERIES["X3_cosine_topk_ivfpq_portable"](spark, SF).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.25, f"IVFPQ recall {recall:.2f} below floor"
+        # every query that returned rows returns a dense 1..n rank
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for qid, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        again = {
+            (r["query_id"], r["neighbor_id"])
+            for r in QUERIES["X3_cosine_topk_ivfpq_portable"](spark, SF).collect()
+        }
+        assert got == again
