@@ -81,6 +81,11 @@ HEADLINE = [
     # observation) and the greedy-MMR rerank, now one cogrouped map
     "J13_point_in_time_features",
     "X3_mmr_rerank",
+    # round-9 (cont.): grid-blocked 2D neighbor join (blocking
+    # completeness oracle-checked) and the composed IVF+PQ ADC pipeline
+    # (cells, codes, ADC scores, rerank all hash-checked)
+    "J15_grid_neighbor_join",
+    "X3_cosine_topk_ivfpq_portable",
 ]
 
 # Coverage set (non-frozen, versioned): one representative per family that
@@ -127,6 +132,9 @@ COVERAGE = [
     "X2_component_best_quality",     # quality-weighted dedup keep-list (r9)
     "J14_temporal_anti_join",        # time-banded anti-join cohort (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
+    "S22_snapshot_diff",             # change-feed classification (r9)
+    "X4_contrastive_negatives",      # bucketed negative sampling (r9)
+    "X6_streaming_sliding",          # readStream sliding-window twin (r9)
 ]
 
 
@@ -160,7 +168,7 @@ FROZEN_R1_SUBSET = HEADLINE[:13]
 
 # Bump when HEADLINE or COVERAGE membership changes, so cross-round total
 # comparisons are gated on matching set_version (judge advice, round 7).
-SET_VERSION = 9
+SET_VERSION = 10
 
 
 def _next_round_number(repo_dir: str) -> int:

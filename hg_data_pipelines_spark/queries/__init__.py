@@ -71,34 +71,51 @@ from . import warehouse_q  # noqa: E402,F401
 # S17_zorder_key_events (S9/S19/S20), DQ8_volume_drift (DQ7). All ten
 # rotated-out queries stay green in the full mirror; all ten entrants
 # passed tools/check_window_safety.py's driver-exact canon at sf0.01.
+# Round-9 continuation rotation: ten MORE first-timers enter — the
+# round's late additions (J14 temporal anti-join keeps anti semantics
+# represented, S21 bucketed co-located join, X3 IVF portable twin,
+# X4 Kneser-Ney LM gate, X11 label propagation, X2 quality-weighted
+# keep-list) plus this continuation's new capabilities (J15 grid
+# neighbor join, S22 snapshot-diff classification, X4 contrastive
+# negatives, X3 composed IVF+PQ). Slots freed by multiply-driver-green
+# queries whose families stay covered: J5_anti (J14), J1_orders (P2_J2
+# + six other join shapes), A8_grouping_sets (A1/A9/A20),
+# X5_png (X5_avi_mjpeg), X3_bm25 + X3_kmeans (lsh_portable/mmr + the
+# two new X3 entrants embed the same kmeans machinery), W6_scd2
+# (W1/W12 + J13 exercises SCD2 state), X2_minhash_portable
+# (semdedup/representatives/best_quality), X11_pagerank_knn
+# (pagerank_ann_portable + label_propagation), X1_incremental_dedup_
+# portable (winnowing keeps X1 next to the exact-dedup mirror family).
+# All ten rotated-out queries stay green in the full mirror; all ten
+# entrants passed tools/check_window_safety.py at sf0.01.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
     "P1_P5_project_filter",         # projection + filter pushdown
     "P2_J2_dim_lookup_chain",       # broadcast dim chain
     "N2_N1_nest_unnest_roundtrip",  # nested explode/collect
-    "J1_orders_customer_revenue",   # equi join
+    "S21_bucketed_colocated_join",  # shuffle-free bucketed join (r9 cont.)
     "J4_bbox_iou_pairs",            # geometry theta join
-    "J5_anti_customers_without_orders",
+    "J14_temporal_anti_join",         # time-banded anti-join (r9 cont.)
     "J6_asof_latest_order",         # as-of join
     "J8_range_join_banded",         # banded range join
     "X4_unigram_nll_scores",        # CCNet-style perplexity gate (r9)
     "X3_cosine_topk_lsh_portable",  # LSH bucketing itself hash-checked (r7)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "X2_semdedup_prune",           # SemDeDup auto-k prune (r9 first-time)
-    "A8_grouping_sets",
+    "X3_cosine_topk_ivf_portable",  # cell-restricted ANN (r9 cont.)
     "S19_warehouse_delete_keys",    # GDPR targeted delete + read-back (r6)
     "A9_hll_sketch_rollup",        # mergeable HLL rollup, 5-sigma invariant (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
     "A20_equi_depth_histogram",
     "W1_best_order_per_customer",
     "J13_point_in_time_features",  # SCD2 state as-of observation (r9)
-    "W6_scd2_intervals",
+    "J15_grid_neighbor_join",       # grid-blocked 2D neighbor join (r9 cont.)
     "W12_running_distinct_users",   # global running distinct, prefix-sum (r6)
     "X1_winnowing_matches",        # MOSS winnowing fingerprints (r9)
     "O6_pareto_skyline",           # distributed skyline via prefix-min (r6)
     "F_string_funcs",
-    "X3_kmeans_fixed_point",       # fixed-point semantic clustering
+    "X2_component_best_quality",    # quality-weighted keep-list (r9 cont.)
     "SQL_lateral_topn_per_group",
     "SQL_recursive_reachability",
     "X11_pagerank_ann_portable",    # ANN edges + PageRank hash-checked (r7)
@@ -107,18 +124,18 @@ _WINDOW = [
     "U10_grouped_agg_mean",         # pandas UDAF
     "X4_dsir_importance_weights",   # DSIR domain weighting (r9)
     "X4_bigram_nll_scores",         # bigram LM surprisal (r9)
-    "X2_minhash_portable_pairs",    # MinHash-LSH, whole pipeline oracle-checked
+    "S22_snapshot_diff",            # change-feed classification (r9 cont.)
     "X2_component_representatives", # connected components
     "X3_mmr_rerank",                # greedy MMR as one cogrouped map (r9)
-    "X3_bm25_topk",                 # lexical retrieval
+    "X11_label_propagation",        # deterministic LPA communities (r9 cont.)
     "X4_quality_score",             # text quality gate
     "X4_bpe_merges",                # BPE training, unrolled-CTE oracle (r8)
-    "X5_png_codec_stats",           # multimodal codec (value-level)
+    "X4_kneser_ney_nll_scores",     # KN-smoothed LM gate (r9 cont.)
     "X5_avi_mjpeg_codec_stats",     # real AVI container + own JPEG (r8)
-    "X1_incremental_dedup_portable",  # incremental-store classify twin (r6)
+    "X3_cosine_topk_ivfpq_portable",  # composed IVF+PQ ADC (r9 cont.)
     "S20_range_sorted_write",       # range-partitioned sorted layout (r9)
     "X8_session_window_agg",        # session windows
-    "X11_pagerank_knn",             # iterative graph
+    "X4_contrastive_negatives",     # bucketed negative sampling (r9 cont.)
     "X12_funnel_conversion",        # behavioral analytics
     "DQ7_uniqueness_audit",         # data-quality audits
     "S9_partitioned_events_pruned", # warehouse sink + partition pruning

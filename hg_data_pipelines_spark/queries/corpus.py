@@ -1467,7 +1467,7 @@ def _lp(c: str, d: str) -> str:
         FROM tok JOIN lp USING (token) GROUP BY tok.doc_id
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           (-sum_lp_micro) // n_tokens AS nll_micro_avg
+           CAST((-sum_lp_micro) // n_tokens AS BIGINT) AS nll_micro_avg
     FROM doc
     """,
 )
@@ -1539,7 +1539,8 @@ _DSIR_TARGET_LANG = "en"
                COUNT(*) AS n_tokens, SUM(lr.lr_micro) AS log_w_micro
         FROM tok JOIN lr USING (token) GROUP BY tok.doc_id
     )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_w_micro,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(log_w_micro AS BIGINT) AS log_w_micro,
            lang = '{_DSIR_TARGET_LANG}' AS is_target
     FROM doc
     """,
@@ -1627,7 +1628,7 @@ def dsir_importance_weights(spark, sf_dir):
         GROUP BY bi.doc_id
     )
     SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
-           (-sum_lp_micro) // n_transitions AS nll_micro_avg
+           CAST((-sum_lp_micro) // n_transitions AS BIGINT) AS nll_micro_avg
     FROM doc
     """,
 )
@@ -1859,7 +1860,7 @@ _KN_LP = (
         GROUP BY bi.doc_id
     )
     SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
-           (-sum_lp_micro) // n_transitions AS nll_micro_avg
+           CAST((-sum_lp_micro) // n_transitions AS BIGINT) AS nll_micro_avg
     FROM doc
     """,
 )

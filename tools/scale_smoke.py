@@ -110,6 +110,12 @@ QUERIES = [
     "X4_bpe_token_counts",
     "X5_avi_mjpeg_codec_stats",
     "X1_winnowing_matches",
+    # round-9 (cont.): grid-blocked 2D neighbor join, composed IVF+PQ,
+    # bucketed negative sampling, snapshot-diff classification
+    "J15_grid_neighbor_join",
+    "X3_cosine_topk_ivfpq_portable",
+    "X4_contrastive_negatives",
+    "S22_snapshot_diff",
 ]
 
 
