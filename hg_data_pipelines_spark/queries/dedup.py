@@ -1753,3 +1753,110 @@ def component_best_quality(spark, sf_dir):
         F.first("doc_id").over(w).alias("rep_doc_id"),
         (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# X1: content-defined chunking dedup (the backup/dedup-store boundary
+# scheme: Muthitacharoen et al., "A Low-Bandwidth Network File System",
+# SOSP 2001; FastCDC, ATC 2016). X1_chunk_dedup_reassemble chunks at
+# FIXED offsets, so one inserted byte shifts every later chunk and kills
+# dedup; content-defined boundaries cut where a rolling window hash
+# satisfies h % D == 0, so edits only perturb neighboring chunks and
+# identical content RE-SYNCS to identical chunk hashes at any offset.
+# This declared form drops FastCDC's min-size suppression (that rule is
+# sequential; boundary-at-every-qualifying-position is position-local,
+# which keeps the whole pipeline declarative and SQL-replayable — the
+# oracle verifies every boundary, every chunk split, and the dedup-store
+# rollup). The window hash is the winnowing fold (base-31 poly mod 1e9+7
+# over a 16-char window, O(len x W) — a production byte pipeline would
+# use the O(len) Gear recurrence inside mapInPandas; the fold form is
+# what makes the boundary rule cross-engine-checkable). Expected chunk
+# length = D = 64 chars + one tail chunk per doc.
+# --------------------------------------------------------------------------
+
+_CDC_W = 16       # rolling window (chars)
+_CDC_DIV = 64     # boundary divisor -> expected 64-char chunks
+_CDC_P = 1000000007
+
+
+@query(
+    "X1_cdc_chunk_dedup",
+    f"""
+    WITH g AS (
+        SELECT doc_id, i,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT)
+                    for c in string_split(substr(text, i - {_CDC_W - 1}, {_CDC_W}), '')]),
+                   (a, b) -> (a * 31 + b) % {_CDC_P}) AS h
+        FROM documents,
+             UNNEST(generate_series({_CDC_W}, length(text))) AS s(i)
+        WHERE length(text) >= 1
+    ),
+    pos AS (
+        SELECT DISTINCT doc_id, i FROM (
+            SELECT doc_id, i FROM g WHERE h % {_CDC_DIV} = 0
+            UNION ALL
+            SELECT doc_id, length(text) AS i FROM documents
+            WHERE length(text) >= 1
+        )
+    ),
+    ch AS (
+        SELECT doc_id, i,
+               COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                   AS prev
+        FROM pos
+    ),
+    chunks AS (
+        SELECT ch.doc_id,
+               md5(substr(d.text, ch.prev + 1, ch.i - ch.prev)) AS chash,
+               ch.i - ch.prev AS clen
+        FROM ch JOIN documents d USING (doc_id)
+    )
+    SELECT chash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc,
+           CAST(MIN(clen) AS BIGINT) AS chunk_len,
+           CAST(SUM(clen) AS BIGINT) AS total_chars
+    FROM chunks GROUP BY chash
+    """,
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
+        F.length("text") >= 1
+    )
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.expr(f"sequence({_CDC_W}, length(text))")).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(
+            f"aggregate(split(substr(text, i - {_CDC_W - 1}, {_CDC_W}), ''), 0L,"
+            f" (a, c) -> (a * 31 + ascii(c)) % {_CDC_P})"
+        ).alias("h"),
+    )
+    bounds = g.filter(F.col("h") % _CDC_DIV == 0).select("doc_id", "i")
+    ends = docs.select("doc_id", F.length("text").alias("i"))
+    pos = bounds.union(ends).distinct()
+    w = Window.partitionBy("doc_id").orderBy("i")
+    ch = pos.withColumn(
+        "prev", F.coalesce(F.lag("i").over(w), F.lit(0))
+    )
+    chunks = ch.join(docs, "doc_id").select(
+        "doc_id",
+        F.md5(
+            F.expr("substr(text, prev + 1, i - prev)").cast("binary")
+        ).alias("chash"),
+        (F.col("i") - F.col("prev")).alias("clen"),
+    )
+    return chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc"),
+        F.min("clen").cast("bigint").alias("chunk_len"),
+        F.sum("clen").cast("bigint").alias("total_chars"),
+    )

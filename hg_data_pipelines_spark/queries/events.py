@@ -2423,3 +2423,110 @@ def temporal_anti_join(spark, sf_dir):
         & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTE")),
         "left_anti",
     )
+
+
+# --------------------------------------------------------------------------
+# X21 (cont.): CUPED-adjusted experiment readout (Deng et al., "Improving
+# the Sensitivity of Online Controlled Experiments by Utilizing
+# Pre-Experiment Data", WSDM 2013) — the standard variance-reduction
+# estimator every experimentation platform ships. Assignment is the
+# md5-derived deterministic split (the X4_deterministic_split idiom),
+# the metric is each user's post-period value total, the covariate their
+# pre-period total (both in exact integer cents, the A23 convention),
+# theta = cov(X,Y)/var(X) comes from exact decimal moments over ALL
+# users with a fixed IEEE tail (two casts, one divide), and the per-arm
+# CUPED mean is mean_y - theta * (mean_x_arm - mean_x_global). Scale:
+# one per-user agg (map-side combinable), one 2-row variant rollup, one
+# broadcast of the 1-row global moments. Output rounds to 6dp.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X21_ab_cuped_adjustment",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 2 AS variant,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM per_user
+    ), v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               SUM(CAST(x AS DECIMAL(38,0))) AS vsx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS vsy
+        FROM per_user GROUP BY variant
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant,
+           CAST(v.n_users AS BIGINT) AS n_users,
+           round(CAST(v.vsy AS DOUBLE) / v.n_users, 6) AS mean_y_cents,
+           round(CAST(CAST(g.n AS DECIMAL(38,0)) * g.sxy
+                      - g.sx * g.sy AS DOUBLE)
+                 / CAST(CAST(g.n AS DECIMAL(38,0)) * g.sxx
+                        - g.sx * g.sx AS DOUBLE), 6) AS theta,
+           round(CAST(v.vsy AS DOUBLE) / v.n_users
+                 - (CAST(CAST(g.n AS DECIMAL(38,0)) * g.sxy
+                         - g.sx * g.sy AS DOUBLE)
+                    / CAST(CAST(g.n AS DECIMAL(38,0)) * g.sxx
+                           - g.sx * g.sx AS DOUBLE))
+                   * (CAST(v.vsx AS DOUBLE) / v.n_users
+                      - CAST(g.sx AS DOUBLE) / g.n), 6) AS mean_y_cuped_cents
+    FROM v CROSS JOIN g
+    """,
+)
+def ab_cuped_adjustment(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("variant"),
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(dec("x")).alias("vsx"),
+        F.sum(dec("y")).alias("vsy"),
+    )
+    j = v.crossJoin(F.broadcast(g))
+    theta = (dec("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    mean_y = F.col("vsy").cast("double") / F.col("n_users")
+    mean_x_arm = F.col("vsx").cast("double") / F.col("n_users")
+    mean_x_g = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(mean_y, 6).alias("mean_y_cents"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_y - theta * (mean_x_arm - mean_x_g), 6).alias(
+            "mean_y_cuped_cents"
+        ),
+    )

@@ -718,3 +718,80 @@ def cusum_changepoint(spark, sf_dir):
             | (F.col("cd") > F.expr("t div 4"))
         ).alias("changepoint"),
     )
+
+
+# --------------------------------------------------------------------------
+# DQ12: seasonality-aware volume anomaly — the DQ8/DQ11 family's missing
+# piece: DQ8 compares adjacent windows and DQ11 tracks cumulative shifts,
+# but a weekly-seasonal pipeline (weekend dips, Monday spikes) needs the
+# baseline conditioned on day-of-week. Per (event_type, dow): median
+# daily volume and MAD of daily volumes around it; a day is anomalous
+# when its volume deviates from ITS dow median by more than 3 dow-MADs.
+# dow labels are engine-internal (Spark 1-7 vs DuckDB 0-6) but induce
+# the same partition of dates, so they never appear in the output.
+# Scale: two hash-aggs over (type, dow) — a few hundred groups — and a
+# broadcast join back to daily counts; daily counts themselves are one
+# map-side-combinable agg over events. The mad > 0 guard keeps constant
+# series from flagging every fluctuation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ12_seasonal_volume_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, dayofweek(d) AS dow,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS med
+        FROM daily GROUP BY 1, 2
+    ), dev AS (
+        SELECT da.event_type, dayofweek(da.d) AS dow,
+               percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY abs(da.n - b.med)) AS mad
+        FROM daily da
+        JOIN base b ON da.event_type = b.event_type
+                   AND dayofweek(da.d) = b.dow
+        GROUP BY 1, 2
+    )
+    SELECT da.d AS day, da.event_type, CAST(da.n AS BIGINT) AS n,
+           round(b.med, 6) AS dow_median, round(dv.mad, 6) AS dow_mad
+    FROM daily da
+    JOIN base b ON da.event_type = b.event_type AND dayofweek(da.d) = b.dow
+    JOIN dev dv ON da.event_type = dv.event_type AND dayofweek(da.d) = dv.dow
+    WHERE dv.mad > 0 AND abs(da.n - b.med) > 3 * dv.mad
+    """,
+)
+def seasonal_volume_anomaly(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dowed = daily.withColumn("dow", F.dayofweek("day"))
+    base = dowed.groupBy("event_type", "dow").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        dowed.join(F.broadcast(base), ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    return (
+        dowed.join(F.broadcast(base), ["event_type", "dow"])
+        .join(F.broadcast(dev), ["event_type", "dow"])
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+        )
+        .select(
+            "day",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("med", 6).alias("dow_median"),
+            F.round("mad", 6).alias("dow_mad"),
+        )
+    )

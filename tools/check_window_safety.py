@@ -86,7 +86,7 @@ def canon_pandas(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
     return df, problems
 
 
-def run(sf_dir: str, only: set[str]) -> int:
+def run(sf_dir: str, only: set[str], all_oracle: bool = False) -> int:
     import __spark_entry__ as entrymod
     from hg_data_pipelines_spark.queries import _WINDOW
     from hg_data_pipelines_spark.session import get_spark
@@ -101,8 +101,11 @@ def run(sf_dir: str, only: set[str]) -> int:
             f" read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    names = (
+        [n for n in qs if n in oracles] if all_oracle else list(_WINDOW)
+    )
     n_bad = 0
-    for name in _WINDOW:
+    for name in names:
         if only and name not in only:
             continue
         t0 = time.time()
@@ -155,7 +158,11 @@ def run(sf_dir: str, only: set[str]) -> int:
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    bad = run(sf_dir, set(sys.argv[2:]))
+    # --all: sweep EVERY oracle-checked query, not just the curated
+    # window — catches dtype drift in queries a future rotation would
+    # bring in (the r9 LM-family HUGEINT lesson).
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    bad = run(sf_dir, set(args[1:]), all_oracle="--all" in sys.argv[1:])
     print(f"== {'ALL WINDOW-SAFE' if not bad else f'{bad} UNSAFE'} ==")
     sys.exit(1 if bad else 0)
