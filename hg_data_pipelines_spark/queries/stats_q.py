@@ -814,3 +814,107 @@ def winsorized_stats_approx(spark, sf_dir):
             )
         ).alias("violated_cut")
     )
+
+
+# --------------------------------------------------------------------------
+# A27: mergeable quantile-summary rollup — the quantile sibling of the
+# A9 HLL rollup: per-group ε-approximate summaries (every B-th ranked
+# element with its rank weight — the classic mergeable summary of
+# Manku/Rajagopalan/Lindsay, SIGMOD 1998) merge into a GLOBAL estimator
+# without re-touching raw rows. Unlike engine-internal GK/KLL sketches
+# (layout-dependent → rows-only at best), the every-B-th-rank summary is
+# a pure function of the data, so the WHOLE pipeline — summary
+# membership, weights, merged cumulative ranks, and each quantile
+# estimate — is hash-checked cross-engine. Guarantee: estimated rank
+# error ≤ B per contributing group. Scale: summary build is one
+# per-group sort (what any deterministic summary costs; raise B to
+# shrink it); the merge walks n/B rows via the distributed prefix-sum
+# (operators/scale.py global_running_sum — range-partitioned, never an
+# unpartitioned window); estimates probe the summary only.
+# --------------------------------------------------------------------------
+
+_QSUM_B = 100
+_QSUM_QS = (25, 50, 75, 95)
+
+
+@query(
+    "A27_quantile_summary_rollup",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n_g
+        FROM lineitem
+    ), kept AS (
+        SELECT g, v, rn,
+               CASE WHEN rn % {_QSUM_B} = 0 THEN {_QSUM_B}
+                    ELSE n_g % {_QSUM_B} END AS w
+        FROM s WHERE rn % {_QSUM_B} = 0 OR rn = n_g
+    ), c AS (
+        SELECT g, v, rn, w,
+               SUM(w) OVER (ORDER BY v, g, rn ROWS UNBOUNDED PRECEDING)
+                   AS cumw
+        FROM kept
+    ), tot AS (SELECT COUNT(*) AS n FROM lineitem),
+    t AS (
+        SELECT q, (q * n + 99) // 100 AS target, n
+        FROM tot, UNNEST([{", ".join(str(q) for q in _QSUM_QS)}]) AS u(q)
+    )
+    SELECT CAST(t.q AS INTEGER) AS q_pct,
+           arg_min(c.v, c.cumw) AS est_value,
+           CAST(MIN(c.cumw) AS BIGINT) AS est_cum_weight,
+           CAST(MIN(t.n) AS BIGINT) AS total_n
+    FROM t JOIN c ON c.cumw >= t.target
+    GROUP BY t.q
+    """,
+)
+def quantile_summary_rollup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.scale import global_running_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_g = Window.partitionBy("g").orderBy("v", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "g",
+        "v",
+        F.row_number().over(w_g).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_g"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") % _QSUM_B == 0) | (F.col("rn") == F.col("n_g"))
+    ).select(
+        "g",
+        "v",
+        "rn",
+        F.when(F.col("rn") % _QSUM_B == 0, F.lit(_QSUM_B))
+        .otherwise(F.col("n_g") % _QSUM_B)
+        .alias("w"),
+    )
+    merged = global_running_sum(
+        kept, order_by=["v", "g", "rn"], val_col="w",
+        out_col="cumw", exclusive=False,
+    )
+    n_total = li.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    targets = n_total.select(
+        F.explode(F.array(*[F.lit(q) for q in _QSUM_QS])).alias("q"), "n"
+    ).select("q", F.expr(f"(q * n + 99) DIV 100").alias("target"), "n")
+    probed = merged.crossJoin(F.broadcast(targets)).filter(
+        F.col("cumw") >= F.col("target")
+    )
+    return probed.groupBy("q").agg(
+        F.min_by("v", "cumw").alias("est_value"),
+        F.min("cumw").cast("bigint").alias("est_cum_weight"),
+        F.min("n").cast("bigint").alias("total_n"),
+    ).select(
+        F.col("q").cast("int").alias("q_pct"),
+        "est_value",
+        "est_cum_weight",
+        "total_n",
+    )

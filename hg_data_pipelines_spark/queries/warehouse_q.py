@@ -721,3 +721,66 @@ def bucketed_colocated_join(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S23: incremental JOIN maintenance — the delta-join algebra every
+# materialized-view maintainer implements (Blakeley et al., "Efficiently
+# Updating Materialized Views", SIGMOD 1986):
+#     (A ∪ ΔA) ⋈ (B ∪ ΔB) = (A⋈B) ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB)
+# Spark materializes the four disjoint terms separately (each tagged
+# with its provenance) and unions them; the oracle computes the FULL
+# join of the updated tables and derives each row's term tag from the
+# same delta predicates — a hash match proves the maintenance algebra
+# is complete (no row missed), disjoint (no row double-counted), and
+# tag-exact. Delta model: ΔA = orders from 1997 on (late-arriving
+# facts), ΔB = a key slice of customers (late-arriving dimension rows).
+# Scale: maintenance cost is the three delta terms — each join has at
+# least one delta-sized side (ΔB broadcastable), so refreshing the view
+# costs ∝ |Δ|, never a recompute of A⋈B; the base term would be the
+# stored view in a real refresh (materialized here so the oracle can
+# check the whole equation).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "S23_incremental_join_maintenance",
+    """
+    SELECT o.o_orderkey, c.c_custkey AS custkey, o.o_totalprice, c.c_acctbal,
+           CASE WHEN o.o_orderdate < TIMESTAMP '1997-01-01'
+                     AND c.c_custkey % 50 != 3 THEN 'base'
+                WHEN o.o_orderdate >= TIMESTAMP '1997-01-01'
+                     AND c.c_custkey % 50 != 3 THEN 'dA'
+                WHEN o.o_orderdate < TIMESTAMP '1997-01-01'
+                     AND c.c_custkey % 50 = 3 THEN 'dB'
+                ELSE 'dAB' END AS src
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def incremental_join_maintenance(spark, sf_dir):
+    utc(spark)
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    a_old = orders.filter(F.col("o_orderdate") < cut)
+    d_a = orders.filter(F.col("o_orderdate") >= cut)
+    b_old = cust.filter(F.col("c_custkey") % 50 != 3)
+    d_b = cust.filter(F.col("c_custkey") % 50 == 3)
+
+    def term(a, b, tag):
+        return a.join(
+            b, a["o_custkey"] == b["c_custkey"]
+        ).select(
+            a["o_orderkey"],
+            b["c_custkey"].alias("custkey"),
+            a["o_totalprice"],
+            b["c_acctbal"],
+            F.lit(tag).alias("src"),
+        )
+
+    base = term(a_old, b_old, "base")          # the stored view
+    inc = (
+        term(d_a, b_old, "dA")                 # ΔA ⋈ B
+        .unionByName(term(a_old, F.broadcast(d_b), "dB"))   # A ⋈ ΔB
+        .unionByName(term(d_a, F.broadcast(d_b), "dAB"))    # ΔA ⋈ ΔB
+    )
+    return base.unionByName(inc)
