@@ -185,8 +185,13 @@ def unpivot_part_metrics(spark, sf_dir):
 # --------------------------------------------------------------------------
 # X3: per-label embedding centroids — the cluster-statistics primitive
 # behind IVF training and embedding-space drift monitoring. posexplode is
-# row-local; the only shuffle is the (label, dim) aggregation; the final
-# re-assembly sorts each label's 64 dims inside one array_agg.
+# row-local; the only shuffle is the (label, dim) aggregation. Declared
+# output is one SCALAR row per (label, dim) — an array-typed centroid
+# column is unsortable/unhashable under the driver's pandas canon
+# (check_window_safety --all flagged it), and the flat form carries the
+# same information; consumers that want the vector regroup it with one
+# bounded collect_list. ``dim`` is 1-based to match DuckDB's
+# generate_subscripts.
 # --------------------------------------------------------------------------
 
 
@@ -198,14 +203,9 @@ def unpivot_part_metrics(spark, sf_dir):
                generate_subscripts(embedding, 1) AS dim,
                unnest(embedding) AS v
         FROM embeddings
-    ),
-    per_dim AS (
-        SELECT label, dim, AVG(v) AS mean_v FROM dims GROUP BY 1, 2
     )
-    SELECT label,
-           COUNT(*) AS n_dims,
-           list(mean_v ORDER BY dim) AS centroid
-    FROM per_dim GROUP BY label
+    SELECT label, CAST(dim AS INTEGER) AS dim, AVG(v) AS mean_v
+    FROM dims GROUP BY 1, 2
     """,
 )
 def label_centroids(spark, sf_dir):
@@ -213,21 +213,9 @@ def label_centroids(spark, sf_dir):
     dims = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
-    per_dim = dims.groupBy("label", "dim").agg(F.avg("v").alias("mean_v"))
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.array_sort(
-                F.collect_list(F.struct("dim", "mean_v"))
-            ).alias("_sorted"),
-        )
-        .select(
-            "label",
-            "n_dims",
-            F.expr("transform(_sorted, x -> x.mean_v)").alias("centroid"),
-        )
-    )
+    return dims.groupBy(
+        "label", (F.col("dim") + 1).cast("int").alias("dim")
+    ).agg(F.avg("v").alias("mean_v"))
 
 
 # --------------------------------------------------------------------------
@@ -737,8 +725,8 @@ def weighted_percentiles(spark, sf_dir):
            COUNT(*) AS n,
            CAST(SUM(CAST(wp AS DECIMAL(38,6))) AS DOUBLE) AS sum_w,
            CAST(SUM(CAST(wp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_w,
-           SUM(clo) AS n_clipped_lo,
-           SUM(chi) AS n_clipped_hi
+           CAST(SUM(clo) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(chi) AS BIGINT) AS n_clipped_hi
     FROM w GROUP BY l_returnflag
     """,
 )
