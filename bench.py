@@ -135,6 +135,11 @@ COVERAGE = [
     "S22_snapshot_diff",             # change-feed classification (r9)
     "X4_contrastive_negatives",      # bucketed negative sampling (r9)
     "X6_streaming_sliding",          # readStream sliding-window twin (r9)
+    "X1_cdc_chunk_dedup",            # content-defined chunking dedup (r9)
+    "S23_incremental_join_maintenance",  # delta-join view refresh (r9)
+    "A27_quantile_summary_rollup",   # mergeable quantile summaries (r9)
+    "DQ12_seasonal_volume_anomaly",  # dow-median/MAD volume audit (r9)
+    "X21_ab_cuped_adjustment",       # CUPED experiment readout (r9)
 ]
 
 

@@ -2448,12 +2448,12 @@ def temporal_anti_join(spark, sf_dir):
         SELECT user_id,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
                     AS UBIGINT) % 2 AS variant,
-               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
-                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                        ELSE 0 END) AS x,
-               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                        ELSE 0 END) AS y
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
         FROM events GROUP BY 1, 2
     ), g AS (
         SELECT COUNT(*) AS n,

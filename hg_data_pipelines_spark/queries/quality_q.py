@@ -769,7 +769,11 @@ def seasonal_volume_anomaly(spark, sf_dir):
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    dowed = daily.withColumn("dow", F.dayofweek("day"))
+    # referenced by three branches (base/dev/flag) — truncate so the
+    # events aggregation computes once (the semdedup/census pattern)
+    dowed = daily.withColumn("dow", F.dayofweek("day")).localCheckpoint(
+        eager=False
+    )
     base = dowed.groupBy("event_type", "dow").agg(
         F.percentile("n", F.lit(0.5)).alias("med")
     )

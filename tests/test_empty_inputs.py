@@ -124,3 +124,47 @@ class TestEmptyInputsRound2:
         got = shortest_paths_bounded(edges, source=7, rounds=2).collect()
         # only the source itself, at distance 0
         assert [(r["node"], r["dist_scaled"]) for r in got] == [(7, 0)]
+
+
+class TestEmptyInputsRound9:
+    def test_grid_neighbor_join_empty_sides(self, spark):
+        from hg_data_pipelines_spark.operators.rangejoin import grid_neighbor_join
+
+        a = spark.createDataFrame([], "id_a long, ax double, ay double")
+        b = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "id_b long, bx double, by double"
+        )
+        assert grid_neighbor_join(a, b, "ax", "ay", "bx", "by", 0.1).count() == 0
+        assert grid_neighbor_join(
+            b.selectExpr("id_b as id_a", "bx as ax", "by as ay"),
+            a.selectExpr("id_a as id_b", "ax as bx", "ay as by"),
+            "ax", "ay", "bx", "by", 0.1,
+        ).count() == 0
+
+    def test_snapshot_diff_identical_versions_empty_feed(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            snapshot_diff,
+            write_table_snapshot,
+        )
+
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+        wh = str(tmp_path / "wh")
+        write_table_snapshot(df, wh, "t")
+        write_table_snapshot(df, wh, "t")
+        assert snapshot_diff(spark, wh, "t", 1, 2, ["id"]).count() == 0
+
+    def test_incremental_join_empty_deltas_is_base_join(self, spark):
+        # with both deltas empty the maintenance equation degenerates to
+        # the stored view — union of 4 terms must equal the plain join
+        a = spark.createDataFrame([(1, 5), (2, 6)], "o_custkey long, o long")
+        b = spark.createDataFrame([(1, 7)], "c_custkey long, c long")
+        ea = spark.createDataFrame([], "o_custkey long, o long")
+        eb = spark.createDataFrame([], "c_custkey long, c long")
+        base = a.join(b, a["o_custkey"] == b["c_custkey"]).count()
+        terms = (
+            a.join(b, a["o_custkey"] == b["c_custkey"]).count()
+            + ea.join(b, ea["o_custkey"] == b["c_custkey"]).count()
+            + a.join(eb, a["o_custkey"] == eb["c_custkey"]).count()
+            + ea.join(eb, ea["o_custkey"] == eb["c_custkey"]).count()
+        )
+        assert terms == base

@@ -111,11 +111,17 @@ QUERIES = [
     "X5_avi_mjpeg_codec_stats",
     "X1_winnowing_matches",
     # round-9 (cont.): grid-blocked 2D neighbor join, composed IVF+PQ,
-    # bucketed negative sampling, snapshot-diff classification
+    # bucketed negative sampling, snapshot-diff classification,
+    # content-defined chunking, delta-join maintenance, quantile
+    # summaries, CUPED readout
     "J15_grid_neighbor_join",
     "X3_cosine_topk_ivfpq_portable",
     "X4_contrastive_negatives",
     "S22_snapshot_diff",
+    "X1_cdc_chunk_dedup",
+    "S23_incremental_join_maintenance",
+    "A27_quantile_summary_rollup",
+    "X21_ab_cuped_adjustment",
 ]
 
 
