@@ -2028,3 +2028,204 @@ def contrastive_negatives(spark, sf_dir):
         )
         .filter(F.col("negative_id").isNotNull())
     )
+
+
+# --------------------------------------------------------------------------
+# X4: the ENTIRE curation pipeline as one oracle-checked query. The
+# jobs.py `llm_corpus_curation` pipeline (quality gate → Gopher
+# repetition gate → exact dedup → n-gram-Jaccard near-dup components →
+# embedding-cosine semantic components → 10-token span dedup + rebuild →
+# md5 split → 64/48 chunking) runs for real — every stage materialized
+# through the warehouse sink, exactly as the orchestrated job ships it —
+# and the declared output is the FINAL training-chunk table (per-chunk
+# md5). The oracle replays all eight stages in one recursive CTE built
+# from the per-stage oracle fragments that are already individually
+# hash-checked (X4_quality_score shape, X4_repetition_filter,
+# X1_exact_dedup, X2_ngram_jaccard/_SQL_COMPONENTS, the semdedup cosine,
+# X1_chunk_dedup_reassemble, X4_deterministic_split,
+# X4_sequence_chunks). A hash match therefore proves the COMPOSITION:
+# stage order, survivor handoff, every gate boundary, and the exact
+# bytes of every final chunk. Config pins the oracle-checkable pair
+# methods (neardup 'exact' inverted index, semantic 'exact' cosine,
+# fixture-fenced) — production swaps in the prefix-filter / RHP-LSH
+# scale paths through the same pipeline config without touching stages.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X4_curation_funnel_chunks",
+    """
+    WITH RECURSIVE
+    t0 AS (SELECT doc_id, text FROM documents),
+    q AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM t0
+        )
+        WHERE 0.5 * (CASE WHEN len(toks) >= 20 THEN 1.0
+                          ELSE len(toks) / 20.0 END)
+            + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+              >= 0.6
+    ),
+    rt AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\\s+') AS toks FROM q),
+    grams AS (
+        SELECT doc_id, len(toks) AS n_tokens, len(toks) - 1 AS n_bigrams,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS bg
+        FROM rt WHERE len(toks) >= 2
+    ),
+    bgc AS (
+        SELECT doc_id, n_tokens, n_bigrams, bg, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2, 3, 4
+    ),
+    topbg AS (
+        SELECT doc_id, n_tokens, n_bigrams, MAX(c) AS top_bigram_count
+        FROM bgc GROUP BY 1, 2, 3
+    ),
+    uni AS (
+        SELECT doc_id, MAX(c) AS top_token_count FROM (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM rt
+            ) GROUP BY 1, 2
+        ) GROUP BY 1
+    ),
+    rp AS (
+        SELECT b.doc_id FROM topbg b JOIN uni u USING (doc_id)
+        WHERE CAST(u.top_token_count AS DOUBLE) / b.n_tokens <= 0.30
+          AND CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams <= 0.18
+    ),
+    s2 AS (SELECT q.doc_id, q.text FROM q JOIN rp USING (doc_id)),
+    s3 AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM s2
+        ) WHERE rn = 1
+    ),
+    jt AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\\s+') AS toks FROM s3),
+    shingled AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(
+                        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         for i in range(1, len(toks) - 1)])
+               END AS shingles
+        FROM jt
+    ),
+    sh AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+           FROM shingled),
+    cpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    good AS (
+        SELECT id_a, id_b FROM cpairs
+        WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM good
+              UNION SELECT id_b, id_a FROM good),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+             FROM reach GROUP BY a),
+    s4 AS (
+        SELECT s3.doc_id, s3.text FROM s3
+        LEFT JOIN comp ON s3.doc_id = comp.node
+        WHERE comp.node IS NULL OR comp.node = comp.component
+    ),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+           FROM embeddings),
+    epairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.ve, b.ve)
+                    / sqrt(list_dot_product(a.ve, a.ve)
+                         * list_dot_product(b.ve, b.ve)), 6) >= 0.45
+    ),
+    eedges AS (SELECT id_a AS a, id_b AS b FROM epairs
+               UNION SELECT id_b, id_a FROM epairs),
+    ereach(a, b) AS (
+        SELECT a, b FROM eedges
+        UNION
+        SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a
+    ),
+    ecomp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+              FROM ereach GROUP BY a),
+    s5 AS (
+        SELECT s4.doc_id, s4.text FROM s4
+        LEFT JOIN ecomp ON s4.doc_id = ecomp.node
+        WHERE ecomp.node IS NULL OR ecomp.node = ecomp.component
+    ),
+    st AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\\s+') AS toks FROM s5),
+    spanchunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+                   AS chunk
+        FROM st,
+             UNNEST(generate_series(0,
+                 CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS u(i)
+    ),
+    spankept AS (
+        SELECT doc_id, chunk_idx, chunk FROM (
+            SELECT doc_id, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM spanchunks
+        ) WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        FROM spankept GROUP BY doc_id
+    ),
+    s7 AS (
+        SELECT doc_id, text,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS UBIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS UBIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM rebuilt
+    ),
+    ct AS (SELECT doc_id, split,
+                  string_split_regex(trim(text), '\\s+') AS toks FROM s7)
+    SELECT doc_id, split,
+           CAST((s - 1) // 48 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, s, s + 63)) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list_slice(toks, s, s + 63), ' ')) AS chunk_md5
+    FROM ct, UNNEST(generate_series(1, len(toks), 48)) AS u(s)
+    """,
+)
+def curation_funnel_chunks(spark, sf_dir):
+    import tempfile
+
+    from ..jobs import run_pipeline
+
+    wh = tempfile.mkdtemp(prefix="funnel_wh_")
+    ctx = run_pipeline(
+        spark,
+        "llm_corpus_curation",
+        wh,
+        {
+            "sf_dir": sf_dir,
+            "neardup_method": "exact",
+            "semantic_method": "exact",
+            "force_exact": True,
+        },
+    )
+    chunks = spark.read.parquet(ctx.reports["corpus_chunks"]["path"])
+    return chunks.select(
+        "doc_id",
+        F.col("split").cast("string").alias("split"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )
