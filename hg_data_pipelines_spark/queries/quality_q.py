@@ -799,3 +799,89 @@ def seasonal_volume_anomaly(spark, sf_dir):
             F.round("mad", 6).alias("dow_mad"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DQ13: cross-table value reconciliation — the classic warehouse audit
+# DQ6 (key integrity) doesn't cover: does the order-header total equal
+# the recomputed sum of its line items (TPC-H's own consistency
+# invariant: o_totalprice = Σ round(extprice·(1−disc)·(1+tax), 2))?
+# The fixture generator deliberately breaks it (every order drifts), so
+# the audit output is the per-status drift PROFILE: order counts,
+# mismatch counts beyond a cent-plus-epsilon tolerance, headers with no
+# line items at all, and exact-decimal-summed |drift| totals. One
+# map-side-combinable lineitem agg + one key join; all FP comparisons
+# are identical IEEE sequences on both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "DQ13_order_total_reconciliation",
+    """
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                        * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS recomputed
+        FROM lineitem GROUP BY 1
+    ), j AS (
+        SELECT o.o_orderstatus, o.o_totalprice, l.recomputed,
+               CASE WHEN l.recomputed IS NULL THEN NULL
+                    ELSE abs(o.o_totalprice - l.recomputed) END AS drift
+        FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_lines,
+           CAST(SUM(CASE WHEN drift > 0.011 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           round(MAX(drift), 6) AS max_abs_drift,
+           round(CAST(SUM(CAST(drift AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(drift), 6) AS avg_abs_drift
+    FROM j GROUP BY 1
+    """,
+)
+def order_total_reconciliation(spark, sf_dir):
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    # per-line cents via FLOOR(x*100 + 0.5) — the A23 fixed-point idiom;
+    # round(x, 2) half-up ties resolve differently across engines
+    recomputed = li.groupBy("l_orderkey").agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                    + 0.5
+                ).cast("bigint")
+            ).cast("double")
+            / 100
+        ).alias("recomputed")
+    )
+    j = orders.join(
+        recomputed, orders["o_orderkey"] == recomputed["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        "recomputed",
+        F.when(
+            F.col("recomputed").isNull(), F.lit(None).cast("double")
+        ).otherwise(F.abs(F.col("o_totalprice") - F.col("recomputed"))).alias("drift"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("recomputed").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_lines"),
+        F.sum(F.when(F.col("drift") > 0.011, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.round(F.max("drift"), 6).alias("max_abs_drift"),
+        F.round(
+            F.sum(F.col("drift").cast("decimal(38,6)")).cast("double")
+            / F.count("drift"),
+            6,
+        ).alias("avg_abs_drift"),
+    )
