@@ -2530,3 +2530,89 @@ def ab_cuped_adjustment(spark, sf_dir):
             "mean_y_cuped_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X12 (cont.): funnel time-to-convert — the latency companion to
+# X12_funnel_conversion's count funnel: for every adjacent stage pair,
+# the distribution (median / p90, exact percentiles over integer
+# microsecond deltas) of how long converting users took. Same
+# shrinking-join stage derivation as the count funnel (each stage's
+# first qualifying timestamp at-or-after the previous stage's), then one
+# small per-pair aggregate; integer epoch arithmetic keeps deltas exact,
+# percentile parity is the A10/DQ5 convention.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X12_funnel_time_to_convert",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), deltas AS (
+        SELECT 'signup->view' AS pair, 1 AS pair_idx,
+               epoch_us(s2.t) - epoch_us(s1.t) AS d_us
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 'view->click', 2, epoch_us(s3.t) - epoch_us(s2.t)
+        FROM s3 JOIN s2 USING (user_id)
+        UNION ALL
+        SELECT 'click->purchase', 3, epoch_us(s4.t) - epoch_us(s3.t)
+        FROM s4 JOIN s3 USING (user_id)
+    )
+    SELECT pair, pair_idx, COUNT(*) AS n_converted,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY d_us), 6)
+               AS median_us,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY d_us), 6)
+               AS p90_us,
+           CAST(MIN(d_us) AS BIGINT) AS min_us,
+           CAST(MAX(d_us) AS BIGINT) AS max_us
+    FROM deltas GROUP BY pair, pair_idx
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    from ..operators.funnel import funnel_stage_times
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    stages = funnel_stage_times(
+        ev, ["signup", "view", "click", "purchase"]
+    )
+    pairs = []
+    names = ["signup", "view", "click", "purchase"]
+    for i in range(1, len(names)):
+        a = stages[i - 1].select(
+            "user_id", F.col("t").alias("ta")
+        )
+        b = stages[i].select("user_id", F.col("t").alias("tb"))
+        pairs.append(
+            b.join(a, "user_id").select(
+                F.lit(f"{names[i - 1]}->{names[i]}").alias("pair"),
+                F.lit(i).cast("int").alias("pair_idx"),
+                (
+                    F.unix_micros(F.col("tb").cast("timestamp"))
+                    - F.unix_micros(F.col("ta").cast("timestamp"))
+                ).alias("d_us"),
+            )
+        )
+    deltas = pairs[0].unionByName(pairs[1]).unionByName(pairs[2])
+    return deltas.groupBy("pair", "pair_idx").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("d_us", F.lit(0.5)), 6).alias("median_us"),
+        F.round(F.percentile("d_us", F.lit(0.9)), 6).alias("p90_us"),
+        F.min("d_us").cast("bigint").alias("min_us"),
+        F.max("d_us").cast("bigint").alias("max_us"),
+    )
