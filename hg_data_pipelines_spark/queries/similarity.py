@@ -2209,3 +2209,126 @@ def cosine_topk_ivfpq_portable(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _K)
     )
+
+
+# --------------------------------------------------------------------------
+# X3: NDCG retrieval-quality report — the graded/discounted companion to
+# X3_lsh_recall_report (recall@k treats every true neighbor equally;
+# NDCG@k weights finding the BEST neighbors early, the metric IR evals
+# actually rank systems by). Relevance of an approx result = 11 - its
+# exact-cosine rank (top-10 graded, else 0); DCG folds position
+# discounts 1/log2(i+1) in position order. The discounts are computed
+# ONCE in Python and embedded as identical literals in both the Spark
+# expression and the oracle SQL, so no engine libm (log2) is ever
+# involved — the whole metric is a deterministic function both engines
+# replay bit-for-bit, reported in micro units. IDCG@5 is the constant
+# ideal (grades 10..6), well-defined because every query has >= 10
+# exact neighbors in the fixtures.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_K = 5
+_NDCG_DEPTH = 10
+_NDCG_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = 0.0
+for _i in range(1, _NDCG_K + 1):
+    _NDCG_IDCG = _NDCG_IDCG + (_NDCG_DEPTH + 1 - _i) * _NDCG_DISCOUNTS[_i - 1]
+
+
+def _ndcg_sql() -> str:
+    dcg = " + ".join(
+        f"COALESCE(MAX(CASE WHEN pos = {i} THEN rel END), 0)"
+        f" * CAST('{_NDCG_DISCOUNTS[i - 1]!r}' AS DOUBLE)"
+        for i in range(1, _NDCG_K + 1)
+    )
+    return f"""
+    WITH {_portable_lsh_cands_sql(f"AND qs.vec_id < {_N_QUERIES}")}, lsh AS (
+        SELECT query_id, neighbor_id, rank AS pos FROM (
+            SELECT ca.query_id, ca.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ca.query_id
+                       ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+                   ) AS rank
+            FROM cands ca
+            JOIN embeddings q ON q.vec_id = ca.query_id
+            JOIN embeddings c ON c.vec_id = ca.neighbor_id
+        ) WHERE rank <= {_NDCG_K}
+    ), exact AS (
+        SELECT query_id, neighbor_id, rank AS erank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COSINE} DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rank <= {_NDCG_DEPTH}
+    ), graded AS (
+        SELECT l.query_id, l.pos,
+               CAST(COALESCE({_NDCG_DEPTH} + 1 - e.erank, 0) AS DOUBLE) AS rel
+        FROM lsh l LEFT JOIN exact e
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_results,
+           CAST(round(({dcg}) * 1000000) AS BIGINT) AS dcg_micro,
+           CAST(round(({dcg}) / CAST('{_NDCG_IDCG!r}' AS DOUBLE) * 1000000)
+                AS BIGINT) AS ndcg_micro
+    FROM graded GROUP BY query_id
+    """
+
+
+@query("X3_lsh_ndcg_report", _ndcg_sql())
+def lsh_ndcg_report(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    approx = lsh_topk(
+        queries,
+        emb,
+        k=_NDCG_K,
+        dim=_EMB_DIM,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("pos"))
+    exact = cosine_topk(queries, emb, k=_NDCG_DEPTH).select(
+        F.col("query_id").alias("e_query_id"),
+        F.col("neighbor_id").alias("e_neighbor_id"),
+        F.col("rank").alias("erank"),
+    )
+    graded = approx.join(
+        exact,
+        (F.col("query_id") == F.col("e_query_id"))
+        & (F.col("neighbor_id") == F.col("e_neighbor_id")),
+        "left",
+    ).select(
+        "query_id",
+        "pos",
+        F.coalesce(_NDCG_DEPTH + 1 - F.col("erank"), F.lit(0))
+        .cast("double")
+        .alias("rel"),
+    )
+    pivoted = graded.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        *[
+            F.max(F.when(F.col("pos") == i, F.col("rel"))).alias(f"_t{i}")
+            for i in range(1, _NDCG_K + 1)
+        ],
+    )
+    dcg = None
+    for i in range(1, _NDCG_K + 1):
+        term = F.coalesce(F.col(f"_t{i}"), F.lit(0.0)) * F.expr(
+            f"CAST('{_NDCG_DISCOUNTS[i - 1]!r}' AS DOUBLE)"
+        )
+        dcg = term if dcg is None else dcg + term
+    return pivoted.select(
+        "query_id",
+        F.col("n_results").cast("bigint").alias("n_results"),
+        F.round(dcg * 1000000).cast("bigint").alias("dcg_micro"),
+        F.round(
+            dcg / F.expr(f"CAST('{_NDCG_IDCG!r}' AS DOUBLE)") * 1000000
+        )
+        .cast("bigint")
+        .alias("ndcg_micro"),
+    )

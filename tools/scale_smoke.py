@@ -241,6 +241,14 @@ COMPOSE_QUERIES = [
     "X1_winnowing_matches",
     "J13_point_in_time_features",
     "X2_semdedup_prune",
+    # round-9 continuation: content-defined chunking (dup-chunk structure
+    # under decade-2 dilution) and the merged quantile summaries (summary
+    # volume grows with n; the prefix-sum merge is the path under test).
+    # J15 is deliberately NOT composed: replicas perturb only dim 1, so
+    # planar density — and with it the radius join's OUTPUT, by contract —
+    # grows quadratically per decade (the near-dup-clique exclusion class).
+    "X1_cdc_chunk_dedup",
+    "A27_quantile_summary_rollup",
 ]
 
 
