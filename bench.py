@@ -140,6 +140,9 @@ COVERAGE = [
     "A27_quantile_summary_rollup",   # mergeable quantile summaries (r9)
     "DQ12_seasonal_volume_anomaly",  # dow-median/MAD volume audit (r9)
     "X21_ab_cuped_adjustment",       # CUPED experiment readout (r9)
+    "DQ13_order_total_reconciliation",  # cross-table value recon (r9)
+    "X12_funnel_time_to_convert",    # funnel latency percentiles (r9)
+    "X3_lsh_ndcg_report",            # graded retrieval quality (r9)
 ]
 
 

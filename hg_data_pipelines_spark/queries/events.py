@@ -2588,9 +2588,13 @@ def funnel_time_to_convert(spark, sf_dir):
 
     utc(spark)
     ev = load(spark, sf_dir, "events")
-    stages = funnel_stage_times(
-        ev, ["signup", "view", "click", "purchase"]
-    )
+    stages = [
+        # each stage table feeds TWO consumers (its own pair delta and the
+        # next stage's at-or-after gate) — truncate so the shrinking-join
+        # chain computes each stage once (the semdedup/census pattern)
+        s.localCheckpoint(eager=False)
+        for s in funnel_stage_times(ev, ["signup", "view", "click", "purchase"])
+    ]
     pairs = []
     names = ["signup", "view", "click", "purchase"]
     for i in range(1, len(names)):
