@@ -784,3 +784,50 @@ def incremental_join_maintenance(spark, sf_dir):
         .unionByName(term(d_a, F.broadcast(d_b), "dAB"))    # ΔA ⋈ ΔB
     )
     return base.unionByName(inc)
+
+
+# --------------------------------------------------------------------------
+# S24: partition-layout evolution — the table-maintenance move Iceberg
+# calls partition-spec evolution: the events fact, originally laid out
+# by DAY (S9's layout), is rewritten under a WEEK key when daily
+# directories become too granular (the small-files decay mode), and a
+# two-week slice is read back through the evolved layout. The oracle
+# computes the same slice from raw events, so the hash match proves the
+# rewrite is lossless and the week derivation agrees; pruning on the
+# new key is asserted in tests/test_scale.py (same PartitionFilters
+# machinery as S9). Cost: one full-table rewrite (what evolution costs
+# anywhere) and thereafter week-sliced scans read 1/5 of the month
+# instead of listing 30 day dirs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "S24_partition_evolution",
+    f"""
+    SELECT weekofyear(CAST(ts AS DATE)) AS event_week, event_type,
+           COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM events
+    WHERE weekofyear(CAST(ts AS DATE)) IN (2, 3)
+    GROUP BY 1, 2
+    """,
+)
+def partition_evolution(spark, sf_dir):
+    from ..io import write_warehouse_table
+
+    utc(spark)
+    daily = spark.read.parquet(_events_fact_path(spark, sf_dir))
+    evolved_dir = os.path.join(_warehouse_dir(sf_dir), "events_by_week")
+    import shutil
+
+    shutil.rmtree(evolved_dir, ignore_errors=True)
+    evolved = daily.withColumn(
+        "event_week", F.weekofyear(F.col("event_date").cast("date")).cast("int")
+    )
+    path = write_warehouse_table(
+        evolved, _warehouse_dir(sf_dir), "events_by_week",
+        partition_by=["event_week"],
+    )
+    back = spark.read.parquet(path).filter(F.col("event_week").isin(2, 3))
+    return back.groupBy(
+        F.col("event_week").cast("int").alias("event_week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))

@@ -979,3 +979,31 @@ def test_s21_declared_query_joins_without_exchange(spark):
     assert "SortMergeJoin" in plan
     join_pos = plan.index("SortMergeJoin")
     assert "Exchange" not in plan[join_pos:], "shuffle below the join"
+
+
+class TestPartitionEvolution:
+    def test_week_layout_prunes_and_is_lossless(self, spark):
+        """S24: the day->week rewrite creates one dir per ISO week, the
+        week slice prunes via PartitionFilters, and content survives."""
+        import io as _io
+        import os
+        from contextlib import redirect_stdout
+
+        from hg_data_pipelines_spark.queries import QUERIES
+        from hg_data_pipelines_spark.queries.warehouse_q import _warehouse_dir
+
+        QUERIES["S24_partition_evolution"](spark, SF).collect()
+        path = os.path.join(_warehouse_dir(SF), "events_by_week")
+        parts = [d for d in os.listdir(path) if d.startswith("event_week=")]
+        assert len(parts) == 5  # Jan 2024 spans ISO weeks 1-5
+
+        pruned = spark.read.parquet(path).filter(
+            F.col("event_week").isin(2, 3)
+        )
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            pruned.explain()
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        assert "event_week" in plan.split("PartitionFilters")[1].split("]")[0]
+        assert pruned.select("event_week").distinct().count() == 2
