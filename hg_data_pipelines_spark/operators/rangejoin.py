@@ -152,6 +152,11 @@ def grid_neighbor_join(
     (callers round for display); the residual filter uses the same
     expression, so output membership is engine-exact.
     """
+    if not radius > 0:
+        raise ValueError(
+            f"radius must be positive, got {radius!r} — for coincident-"
+            "point matching use an exact (x, y) equi-join instead"
+        )
     cell = float(radius) * 1.000001
     offsets = F.array(
         *[

@@ -2205,11 +2205,20 @@ def contrastive_negatives(spark, sf_dir):
     """,
 )
 def curation_funnel_chunks(spark, sf_dir):
+    import os
+    import shutil
     import tempfile
 
     from ..jobs import run_pipeline
 
-    wh = tempfile.mkdtemp(prefix="funnel_wh_")
+    # fixed per-process path, cleared before each run (the S22/S24
+    # convention) — bench iterations must not leak a full pipeline
+    # materialization into /tmp per invocation
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"funnel_wh_{os.getpid()}_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
     ctx = run_pipeline(
         spark,
         "llm_corpus_curation",

@@ -1827,7 +1827,10 @@ def cdc_chunk_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents", scan_parallel=True).filter(
         F.length("text") >= 1
     )
-    g = docs.select(
+    # guard: Spark sequence(16, len) DESCENDS when len < 16 (DuckDB's
+    # generate_series is empty) — window positions only exist for docs
+    # long enough to hold one window; shorter docs are tail-chunk-only
+    g = docs.filter(F.length("text") >= _CDC_W).select(
         "doc_id",
         "text",
         F.explode(F.expr(f"sequence({_CDC_W}, length(text))")).alias("i"),

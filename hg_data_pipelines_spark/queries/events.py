@@ -2612,7 +2612,9 @@ def funnel_time_to_convert(spark, sf_dir):
                 ).alias("d_us"),
             )
         )
-    deltas = pairs[0].unionByName(pairs[1]).unionByName(pairs[2])
+    from functools import reduce
+
+    deltas = reduce(lambda x, y: x.unionByName(y), pairs)
     return deltas.groupBy("pair", "pair_idx").agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.percentile("d_us", F.lit(0.5)), 6).alias("median_us"),

@@ -2073,10 +2073,12 @@ def cosine_topk_ivfpq_portable(spark, sf_dir):
         int(r["vec_id"]): [float(x) for x in r["_v"]]
         for r in nv.filter(F.col("vec_id") < _PQ_CODES).collect()
     }
+    codes_present = sorted(seeds)  # robust to gaps in the low id range:
+    # both engines then agree on the (possibly < _PQ_CODES) codebook
     cb = {
         (m, c): seeds[c][m * sd : (m + 1) * sd]
         for m in range(_PQ_M)
-        for c in sorted(seeds)
+        for c in codes_present
     }
 
     def seq_dot(a, b):
@@ -2126,7 +2128,7 @@ def cosine_topk_ivfpq_portable(spark, sf_dir):
     # corpus side: per-subspace code via codeword-literal argmin (map-side)
     def code_expr(m):
         structs = []
-        for c in range(_PQ_CODES):
+        for c in codes_present:
             cc = seq_dot(cb[(m, c)], cb[(m, c)])
             d2 = (
                 f"round(_sd{m} - 2 * {dot_lit(f'_s{m}', cb[(m, c)])}"
@@ -2149,8 +2151,13 @@ def cosine_topk_ivfpq_portable(spark, sf_dir):
 
     # query side: per-subspace LUT of codeword dots (map-side literals)
     def lut_expr(m):
+        # LUT position c+1 must line up with code value c — dense array
+        # over max(code)+1 slots (codes_present gaps hold a zero vector
+        # that no row's argmin can ever select)
+        top = codes_present[-1] if codes_present else -1
         dots = ", ".join(
-            dot_lit(f"_s{m}", cb[(m, c)]) for c in range(_PQ_CODES)
+            dot_lit(f"_s{m}", cb.get((m, c), [0.0] * sd))
+            for c in range(top + 1)
         )
         return f"array({dots})"
 

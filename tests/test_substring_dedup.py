@@ -159,3 +159,62 @@ class TestSubstringSpansJoinStrategy:
                     spark.conf.unset(c)
                 else:
                     spark.conf.set(c, v)
+
+
+class TestCDCChunkDedup:
+    def _mini_docs(self, spark, tmp_path, texts):
+        import pandas as pd
+
+        path = str(tmp_path / "documents.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(path)
+        return str(tmp_path)
+
+    def test_short_docs_single_tail_chunk_matches_oracle(self, spark, tmp_path):
+        """Docs shorter than the rolling window must yield exactly ONE
+        whole-text chunk — Spark sequence(W, len) DESCENDS for len < W
+        (DuckDB's generate_series is empty), the divergence the code-review
+        fix guards. Cross-engine check on a corpus of short + long docs."""
+        import duckdb
+
+        from hg_data_pipelines_spark.queries import ORACLES, QUERIES
+
+        texts = ["tiny", "a b", "x" * 15, "the quick brown fox " * 20, ""]
+        texts = [t for t in texts if t]  # loader filters length >= 1 anyway
+        sf_dir = self._mini_docs(spark, tmp_path, texts)
+        got = {
+            (r["chash"], r["n_copies"], r["chunk_len"], r["total_chars"])
+            for r in QUERIES["X1_cdc_chunk_dedup"](spark, sf_dir).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = {
+            (r[0], r[1], r[4], r[5])
+            for r in con.execute(ORACLES["X1_cdc_chunk_dedup"]).fetchall()
+        }
+        assert got == want
+        # the three sub-window docs appear as single whole-text chunks
+        short_lens = {4, 3, 15}
+        assert short_lens <= {c[2] for c in got}
+
+
+class TestGridRadiusGuard:
+    def test_nonpositive_radius_raises(self, spark):
+        import pytest
+
+        from hg_data_pipelines_spark.operators.rangejoin import grid_neighbor_join
+
+        a = spark.createDataFrame([(1, 0.0, 0.0)], "id_a long, ax double, ay double")
+        b = spark.createDataFrame([(2, 0.0, 0.0)], "id_b long, bx double, by double")
+        with pytest.raises(ValueError, match="radius"):
+            grid_neighbor_join(a, b, "ax", "ay", "bx", "by", 0.0)
