@@ -88,6 +88,13 @@ from . import warehouse_q  # noqa: E402,F401
 # portable (winnowing keeps X1 next to the exact-dedup mirror family).
 # All ten rotated-out queries stay green in the full mirror; all ten
 # entrants passed tools/check_window_safety.py at sf0.01.
+# Late-continuation swaps: the flagship composition
+# X4_curation_funnel_chunks replaces X2_component_representatives
+# (components stay driver-covered by X2_component_best_quality, and the
+# funnel embeds the same component machinery), and X3_lsh_ndcg_report
+# replaces U9_udtf_char_ngrams (U-family keeps U3 + U10). Both entrants
+# are --all driver-canon safe; both rotated-out queries stay green in
+# the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -120,12 +127,12 @@ _WINDOW = [
     "SQL_recursive_reachability",
     "X11_pagerank_ann_portable",    # ANN edges + PageRank hash-checked (r7)
     "U3_bbox_inverse",              # geometry UDF surface
-    "U9_udtf_char_ngrams",          # UDTF
+    "X3_lsh_ndcg_report",           # graded retrieval quality (r9 cont.)
     "U10_grouped_agg_mean",         # pandas UDAF
     "X4_dsir_importance_weights",   # DSIR domain weighting (r9)
     "X4_bigram_nll_scores",         # bigram LM surprisal (r9)
     "S22_snapshot_diff",            # change-feed classification (r9 cont.)
-    "X2_component_representatives", # connected components
+    "X4_curation_funnel_chunks",    # 8-stage pipeline composition (r9 cont.)
     "X3_mmr_rerank",                # greedy MMR as one cogrouped map (r9)
     "X11_label_propagation",        # deterministic LPA communities (r9 cont.)
     "X4_quality_score",             # text quality gate
