@@ -143,6 +143,7 @@ COVERAGE = [
     "DQ13_order_total_reconciliation",  # cross-table value recon (r9)
     "X12_funnel_time_to_convert",    # funnel latency percentiles (r9)
     "X3_lsh_ndcg_report",            # graded retrieval quality (r9)
+    "X3_graph_beam_search_portable", # graph-ANN beam walk, hash-checked (r9)
 ]
 
 
@@ -176,7 +177,7 @@ FROZEN_R1_SUBSET = HEADLINE[:13]
 
 # Bump when HEADLINE or COVERAGE membership changes, so cross-round total
 # comparisons are gated on matching set_version (judge advice, round 7).
-SET_VERSION = 11
+SET_VERSION = 12
 
 
 def _next_round_number(repo_dir: str) -> int:

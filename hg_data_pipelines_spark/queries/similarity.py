@@ -2339,3 +2339,131 @@ def lsh_ndcg_report(spark, sf_dir):
         .cast("bigint")
         .alias("ndcg_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# X3 graph-ANN: greedy beam search over a prebuilt kNN navigation graph —
+# the DiskANN/HNSW-family SERVE path, complementing the bucket-prune
+# families (LSH tables, IVF cells, PQ codes) already declared. The corpus
+# is never scanned per query: the walk touches O(rounds·beam·degree)
+# nodes. Every stage is hash-checked: the portable-LSH kNN edge build
+# (same md5/fixed-point bucketing as X3_cosine_topk_lsh_portable), the
+# fixed entry points, all three expansion/trim rounds (unrolled CTEs, the
+# X4_bpe_merges pattern), and the final top-k. Production swaps in
+# auto_planes + xxhash64 edges (X3_knn_graph_lsh) — the walk itself is
+# hash-agnostic.
+# --------------------------------------------------------------------------
+_BEAM_DEG = 8     # navigation-graph out-degree
+_BEAM_WIDTH = 16  # beam width per round
+_BEAM_ROUNDS = 4  # fixed expansion rounds (no converged-check → unrollable)
+_BEAM_SEEDS = 8   # fixed entry points: the lowest vec_ids
+# Sized for recall 0.71 vs exact top-5 on the 500-vector fixture (floor
+# 0.55 pinned in tests/test_similarity.py) — comparable to the LSH-table
+# family on the same weak-similarity corpus. A fixed walk budget is the
+# contract: at larger n recall is bought with degree/beam/rounds (all
+# O(|Q|) serve-side), never with corpus scans.
+
+
+def _beam_oracle() -> str:
+    rounds = []
+    for i in range(1, _BEAM_ROUNDS + 1):
+        prev = "beam0" if i == 1 else f"beam{i - 1}"
+        rounds.append(f"""cand{i} AS (
+        SELECT DISTINCT query_id, node_id FROM (
+            SELECT query_id, node_id FROM {prev}
+            UNION ALL
+            SELECT b.query_id, e.dst AS node_id
+            FROM {prev} b JOIN edges e ON e.src = b.node_id
+        ) WHERE node_id != query_id
+    ), beam{i} AS MATERIALIZED (
+        SELECT query_id, node_id, cosine FROM (
+            SELECT ca.query_id, ca.node_id, {_SQL_COSINE} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ca.query_id
+                       ORDER BY {_SQL_COSINE} DESC, ca.node_id
+                   ) AS rn
+            FROM cand{i} ca
+            JOIN embeddings q ON q.vec_id = ca.query_id
+            JOIN embeddings c ON c.vec_id = ca.node_id
+        ) WHERE rn <= {_BEAM_WIDTH}
+    )""")
+    unrolled = ", ".join(rounds)
+    return f"""
+    WITH {_portable_lsh_cands_sql()}, edges AS MATERIALIZED (
+        SELECT ca.query_id AS src, ca.neighbor_id AS dst
+        FROM cands ca
+        JOIN embeddings q ON q.vec_id = ca.query_id
+        JOIN embeddings c ON c.vec_id = ca.neighbor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY ca.query_id ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+        ) <= {_BEAM_DEG}
+    ), qset AS (
+        SELECT vec_id FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), seeds AS (
+        SELECT vec_id AS node_id FROM embeddings ORDER BY vec_id LIMIT {_BEAM_SEEDS}
+    ), beam0 AS (
+        SELECT q.vec_id AS query_id, s.node_id FROM qset q CROSS JOIN seeds s
+    ), {unrolled}
+    SELECT query_id, node_id AS neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, node_id
+           ) AS INTEGER) AS rank
+    FROM beam{_BEAM_ROUNDS}
+    QUALIFY rank <= {_K}
+    """
+
+
+@query("X3_graph_beam_search_portable", _beam_oracle())
+def graph_beam_search_portable(spark, sf_dir):
+    """Graph-ANN beam search, hash-checked end to end: portable-LSH kNN
+    edges (degree {deg}), {seeds} fixed entry points, {rounds} unrolled
+    expansion rounds at beam width {beam}, final cosine top-{k}. The
+    oracle replays the ENTIRE walk in DuckDB — no trust-me stage anywhere
+    in an approximate graph traversal."""
+    from ..operators.similarity import graph_beam_search, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    edges = lsh_topk(
+        emb,
+        emb,
+        k=_BEAM_DEG,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    return graph_beam_search(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        edges,
+        k=_K,
+        beam=_BEAM_WIDTH,
+        rounds=_BEAM_ROUNDS,
+        n_seeds=_BEAM_SEEDS,
+    )
+
+
+@query("X3_graph_beam_search")
+def graph_beam_search_production(spark, sf_dir):
+    """Production sibling of X3_graph_beam_search_portable: the IDENTICAL
+    walk (8 seeds, 4 rounds, beam 16, top-5) over kNN edges built with
+    ``auto_planes`` + xxhash64 RHP — plane count scales with the corpus so
+    bucket occupancy (and the edge-build join) stays linear-ish at any n,
+    exactly the X3_cosine_topk_lsh contract. Rows-only (xxhash64 planes
+    aren't DuckDB-replayable); the walk MACHINERY is hash-checked through
+    the portable twin, and pytest pins recall + layout-independence."""
+    from ..operators.similarity import auto_planes, graph_beam_search, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    planes = auto_planes(emb.count())
+    edges = lsh_topk(emb, emb, k=_BEAM_DEG, n_planes=planes, n_tables=16).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return graph_beam_search(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        edges,
+        k=_K,
+        beam=_BEAM_WIDTH,
+        rounds=_BEAM_ROUNDS,
+        n_seeds=_BEAM_SEEDS,
+    )

@@ -397,3 +397,73 @@ class TestIVFPQPortable:
             for r in QUERIES["X3_cosine_topk_ivfpq_portable"](spark, SF).collect()
         }
         assert got == again
+
+
+class TestGraphBeamSearch:
+    """Graph-ANN beam search (DiskANN/HNSW-family serve path): fixed walk
+    over portable-LSH kNN edges. The declared query's unrolled-CTE oracle
+    proves engine equality; these pin the ANN QUALITY and the layout
+    contract the oracle can't express."""
+
+    def _edges(self, spark, emb, deg=8):
+        return lsh_topk(
+            emb, emb, k=deg, n_planes=6, n_tables=8, portable=True
+        ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+
+    def test_recall_floor_vs_exact(self, spark):
+        from hg_data_pipelines_spark.operators.similarity import graph_beam_search
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        truth = _truth_pairs(spark)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in graph_beam_search(
+                q, emb, self._edges(spark, emb), k=K, beam=16, rounds=4, n_seeds=8
+            ).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.55, f"beam-search recall {recall:.2f} below floor"
+
+    def test_layout_independent_and_deterministic(self, spark):
+        from hg_data_pipelines_spark.operators.similarity import graph_beam_search
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        edges = self._edges(spark, emb)
+        base = graph_beam_search(q, emb, edges, k=K, beam=16, rounds=4, n_seeds=8)
+        rows = sorted(map(tuple, base.collect()))
+        again = sorted(
+            map(
+                tuple,
+                graph_beam_search(
+                    q.repartition(7),
+                    emb.repartition(11),
+                    edges.repartition(5),
+                    k=K,
+                    beam=16,
+                    rounds=4,
+                    n_seeds=8,
+                ).collect(),
+            )
+        )
+        assert rows == again  # walk is a function of data, not layout
+
+    def test_walk_touches_bounded_candidates(self, spark):
+        """Serve-cost contract: every returned neighbor is reachable within
+        `rounds` hops of the seed set — the walk never consults a node the
+        expansion frontier couldn't have produced (i.e. no hidden corpus
+        scan)."""
+        from hg_data_pipelines_spark.operators.similarity import graph_beam_search
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        edges = self._edges(spark, emb)
+        adj = {}
+        for r in edges.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        reach = {r["node_id"] for r in emb.select(F.col("vec_id").alias("node_id")).orderBy("node_id").limit(8).collect()}
+        for _ in range(4):
+            reach |= {d for s in list(reach) for d in adj.get(s, ())}
+        got = graph_beam_search(q, emb, edges, k=K, beam=16, rounds=4, n_seeds=8).collect()
+        assert got and all(r["neighbor_id"] in reach for r in got)

@@ -122,6 +122,12 @@ QUERIES = [
     "S23_incremental_join_maintenance",
     "A27_quantile_summary_rollup",
     "X21_ab_cuped_adjustment",
+    # round-9 (cont. 2): graph-ANN beam walk (production xxhash/auto_planes
+    # edge build — the portable twin's FIXED plane count is an oracle
+    # fixture, quadratic at 10x by construction like the other portable
+    # twins, so the scale smoke runs the auto-scaling sibling): the ratio
+    # should track the EDGE BUILD (LSH), the walk itself is O(|Q|)
+    "X3_graph_beam_search",
 ]
 
 
