@@ -144,6 +144,7 @@ COVERAGE = [
     "X12_funnel_time_to_convert",    # funnel latency percentiles (r9)
     "X3_lsh_ndcg_report",            # graded retrieval quality (r9)
     "X3_graph_beam_search_portable", # graph-ANN beam walk, hash-checked (r9)
+    "S25_schema_evolution_read",     # add/drop-column mergeSchema audit (r9)
 ]
 
 

@@ -831,3 +831,80 @@ def partition_evolution(spark, sf_dir):
     return back.groupBy(
         F.col("event_week").cast("int").alias("event_week"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+
+
+# --------------------------------------------------------------------------
+# S25: SCHEMA evolution — the column-level sibling of S24's partition-spec
+# rewrite. A long-lived warehouse table's schema drifts between write
+# epochs: v2 ADDS a column (o_orderpriority) and DROPS a legacy one
+# (o_orderstatus). On plain Parquet this is two appends with different column
+# sets + a mergeSchema read; the contract under audit is the one every
+# table format (Delta/Iceberg schema evolution) must honor:
+#   - the union read is LOSSLESS (no row of either epoch lost/mangled),
+#   - pre-evolution rows surface NULL for ADDED columns,
+#   - post-evolution rows surface NULL for DROPPED columns,
+#   - surviving columns keep exact values across the boundary.
+# The oracle recomputes every audit cell straight from the raw orders
+# table with the epoch rule inlined, so the hash match proves all four
+# properties at once. (TYPE changes are NOT evolution — io.load_table
+# fails loudly on type-family drift by design; see SchemaDriftError.)
+# At 100 TB the point is that evolution costs ZERO rewrite: old files
+# stay as written, the schema union happens at read/plan time.
+# --------------------------------------------------------------------------
+
+_EVO_CUTOFF = "1997-01-01"
+
+
+@query(
+    "S25_schema_evolution_read",
+    f"""
+    SELECT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 1 ELSE 2 END
+               AS epoch,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_total')},
+           SUM(CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 0 ELSE 1 END)
+               AS status_nulls,
+           SUM(CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 1 ELSE 0 END)
+               AS priority_nulls,
+           COUNT(DISTINCT CASE WHEN o_orderdate >= DATE '{_EVO_CUTOFF}'
+                               THEN o_orderpriority END) AS n_priorities,
+           COUNT(DISTINCT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}'
+                               THEN o_orderstatus END) AS n_statuses
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def schema_evolution_read(spark, sf_dir):
+    import shutil
+
+    orders = load(spark, sf_dir, "orders")
+    path = os.path.join(_warehouse_dir(sf_dir), "orders_evolved")
+    shutil.rmtree(path, ignore_errors=True)
+    cut = F.col("o_orderdate") < F.lit(_EVO_CUTOFF).cast("date")
+    # v1 epoch: legacy schema (o_orderstatus present, no o_orderpriority)
+    orders.filter(cut).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus",
+    ).write.mode("append").parquet(path)
+    # v2 epoch: evolved schema (o_orderpriority added, o_orderstatus dropped)
+    orders.filter(~cut).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.when(F.col("o_orderdate") < F.lit(_EVO_CUTOFF).cast("date"), 1)
+        .otherwise(2)
+        .alias("epoch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_total"),
+        F.sum(F.col("o_orderstatus").isNull().cast("bigint")).alias(
+            "status_nulls"
+        ),
+        F.sum(F.col("o_orderpriority").isNull().cast("bigint")).alias(
+            "priority_nulls"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )

@@ -128,6 +128,7 @@ QUERIES = [
     # twins, so the scale smoke runs the auto-scaling sibling): the ratio
     # should track the EDGE BUILD (LSH), the walk itself is O(|Q|)
     "X3_graph_beam_search",
+    "S25_schema_evolution_read",
 ]
 
 
