@@ -145,6 +145,7 @@ COVERAGE = [
     "X3_lsh_ndcg_report",            # graded retrieval quality (r9)
     "X3_graph_beam_search_portable", # graph-ANN beam walk, hash-checked (r9)
     "S25_schema_evolution_read",     # add/drop-column mergeSchema audit (r9)
+    "X5_audio_fingerprint_neardups", # HK audio fingerprints, hash-checked (r9)
 ]
 
 

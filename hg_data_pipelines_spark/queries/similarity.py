@@ -2467,3 +2467,163 @@ def graph_beam_search_production(spark, sf_dir):
         rounds=_BEAM_ROUNDS,
         n_seeds=_BEAM_SEEDS,
     )
+
+
+# --------------------------------------------------------------------------
+# X5 audio fingerprint near-dup: the AUDIO member of the fingerprint-dedup
+# family (pHash/dHash cover images). Haitsma–Kalker-style robust hash
+# (IEEE "A Highly Robust Audio Fingerprint System", 2002 — energy-band
+# DIFFERENCE bits) over 8-point Walsh–Hadamard band energies:
+#   - each vector synthesizes a waveform: int16 samples
+#     s_i = trunc(e_i / peak * 32767) (peak-normalized → GAIN-INVARIANT);
+#   - the samples round-trip the real RIFF/WAV codec (encode_wav →
+#     decode_wav; int16/2^15 is exact, so the codec must bit-preserve);
+#   - 8 frames × 8 samples; band b's energy = (WHT_b)² where
+#     WHT[b][j] = (-1)^popcount(b AND j) — natural-order Hadamard, all
+#     INTEGER arithmetic, no trig table;
+#   - bit(f,b) = 1 iff the band-pair energy difference INCREASED vs the
+#     previous frame (the HK derivative bit), 7 frames × 6 band-pairs
+#     → a 42-bit BIGINT fingerprint;
+#   - near-dups = exact fingerprint join (a_id < b_id).
+# Planted positives: every vec_id % 11 == 0 gets a copy at gain 0.25 —
+# a POWER OF TWO, so float scaling is exact and peak normalization maps
+# the copy to bit-identical samples; the planted pairs MUST surface.
+# DuckDB replays synthesis, WHT, bits, and the join (the codec hop is
+# covered because any encode/decode corruption changes the bits), so the
+# whole fingerprint pipeline is hash-checked. Scale: one map pass + one
+# key shuffle on the fingerprint — the exact-dedup cost model.
+# --------------------------------------------------------------------------
+
+_AFP_GAIN = 0.25          # power of two → exact scaling both engines
+_AFP_PLANT_MOD = 11       # vec_id % 11 == 0 gets a gained copy
+_AFP_COPY_OFFSET = 5_000_000
+
+
+def _afp_fingerprint_sql(src: str) -> str:
+    """CTE chain replaying the fingerprint for relation ``src``
+    (columns vec_id, e DOUBLE[])."""
+    return f"""pk AS (
+        SELECT vec_id, e,
+               CASE WHEN list_max(list_transform(e, x -> ABS(x))) = 0
+                    THEN 1.0
+                    ELSE list_max(list_transform(e, x -> ABS(x))) END AS peak
+        FROM {src}
+    ), sam AS (
+        SELECT v.vec_id, u.i - 1 AS idx,
+               CAST(TRUNC(v.e[u.i] / v.peak * 32767.0) AS BIGINT) AS s
+        FROM pk v, UNNEST(generate_series(1, 64)) AS u(i)
+    ), wht AS (
+        SELECT sam.vec_id, sam.idx // 8 AS f, b.b,
+               SUM(sam.s * CASE WHEN bit_count(CAST(b.b AS BIGINT)
+                                               & (sam.idx % 8)) % 2 = 1
+                                THEN -1 ELSE 1 END) AS a
+        FROM sam, generate_series(1, 7) b(b)
+        GROUP BY 1, 2, 3
+    ), eng AS (
+        SELECT vec_id, f, b, a * a AS e FROM wht
+    ), dif AS (
+        SELECT e1.vec_id, e1.f, e1.b, e1.e - e2.e AS d
+        FROM eng e1 JOIN eng e2
+          ON e1.vec_id = e2.vec_id AND e1.f = e2.f AND e2.b = e1.b + 1
+    ), bits AS (
+        SELECT vec_id, f, b,
+               CASE WHEN d - LAG(d) OVER (PARTITION BY vec_id, b ORDER BY f)
+                         > 0 THEN 1 ELSE 0 END AS bit
+        FROM dif
+    ), fps AS (
+        SELECT vec_id,
+               SUM(CASE WHEN f >= 1 THEN bit << ((f - 1) * 6 + (b - 1))
+                        ELSE 0 END) AS fingerprint
+        FROM bits GROUP BY vec_id
+    )"""
+
+
+@query(
+    "X5_audio_fingerprint_neardups",
+    f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_AFP_COPY_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * {_AFP_GAIN})
+        FROM embeddings WHERE vec_id % {_AFP_PLANT_MOD} = 0
+    ), {_afp_fingerprint_sql('base')}
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(a.fingerprint AS BIGINT) AS fingerprint
+    FROM fps a JOIN fps b
+      ON a.fingerprint = b.fingerprint AND a.vec_id < b.vec_id
+    """,
+)
+def audio_fingerprint_neardups(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..audio import decode_wav, encode_wav
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    copies = emb.filter(F.col("vec_id") % _AFP_PLANT_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_AFP_COPY_OFFSET)).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, x -> CAST(x * {_AFP_GAIN} AS FLOAT))"
+        ).alias("embedding"),
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(copies)
+
+    # natural-order Hadamard signs H[b][j] = (-1)^popcount(b & j)
+    _H = np.array(
+        [
+            [
+                -1 if bin(b & j).count("1") % 2 else 1
+                for j in range(8)
+            ]
+            for b in range(8)
+        ],
+        dtype=np.int64,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+
+    def _fp(batches):
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(vec, dtype=np.float64)
+                peak = np.abs(x).max()
+                s16 = np.trunc(x / (peak if peak != 0 else 1.0) * 32767.0)
+                # real codec round-trip: int16/2^15 is exact, so any
+                # encode/decode corruption flips fingerprint bits
+                wav = encode_wav(s16.astype(np.int16), sample_rate=8000)
+                dec, _sr = decode_wav(wav)
+                s = np.rint(dec[:, 0] * 32768.0).astype(np.int64).reshape(8, 8)
+                amps = s @ _H.T                    # (frame, band)
+                eng = amps * amps                  # integer energies
+                d = eng[:, 1:7] - eng[:, 2:8]      # band-pair differences
+                bits = (d[1:, :] - d[:-1, :]) > 0  # HK derivative bits
+                fp = 0
+                for f in range(7):
+                    for b in range(6):
+                        if bits[f, b]:
+                            fp |= 1 << (f * 6 + b)
+                rows.append({"vec_id": int(vid), "fingerprint": fp})
+            yield pd.DataFrame(rows, columns=["vec_id", "fingerprint"])
+
+    fps = allv.mapInPandas(_fp, out_schema)
+    a = fps.select(
+        F.col("vec_id").alias("a_id"), F.col("fingerprint")
+    )
+    b = fps.select(
+        F.col("vec_id").alias("b_id"), F.col("fingerprint")
+    )
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "fingerprint")
+    )

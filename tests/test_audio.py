@@ -197,3 +197,71 @@ class TestCustomSources:
             .collect()
         )
         assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+class TestAudioFingerprint:
+    """Haitsma-Kalker energy-difference fingerprints (the declared
+    X5_audio_fingerprint_neardups pipeline). The unrolled SQL oracle
+    proves engine equality; these pin the ROBUSTNESS properties a hash
+    match can't express."""
+
+    def test_power_of_two_gain_is_bit_exact_and_planted_pairs_surface(
+        self, spark
+    ):
+        from hg_data_pipelines_spark.queries import QUERIES
+
+        rows = QUERIES["X5_audio_fingerprint_neardups"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        planted = {
+            (r["vec_id"], r["vec_id"] + 5_000_000)
+            for r in emb.filter("vec_id % 11 = 0").collect()
+        }
+        got = {(r["a_id"], r["b_id"]) for r in rows}
+        assert planted <= got  # every gained copy recovered exactly
+
+    def test_no_degenerate_fingerprint_cliques(self, spark):
+        from hg_data_pipelines_spark.queries import QUERIES
+
+        rows = QUERIES["X5_audio_fingerprint_neardups"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        from collections import Counter
+
+        per_fp = Counter(r["fingerprint"] for r in rows)
+        # planted pairs contribute 1 row per fingerprint; a degenerate
+        # hash (too few effective bits) would produce giant cliques
+        assert max(per_fp.values()) <= 3
+
+    def test_small_noise_flips_few_bits(self):
+        import numpy as np
+
+        from hg_data_pipelines_spark.audio import decode_wav, encode_wav
+
+        H = np.array(
+            [[-1 if bin(b & j).count("1") % 2 else 1 for j in range(8)]
+             for b in range(8)], dtype=np.int64)
+
+        def fp(x):
+            peak = np.abs(x).max()
+            s16 = np.trunc(x / (peak if peak else 1.0) * 32767.0)
+            dec, _ = decode_wav(encode_wav(s16.astype(np.int16), 8000))
+            s = np.rint(dec[:, 0] * 32768.0).astype(np.int64).reshape(8, 8)
+            eng = (s @ H.T) ** 2
+            d = eng[:, 1:7] - eng[:, 2:8]
+            bits = (d[1:, :] - d[:-1, :]) > 0
+            out = 0
+            for f in range(7):
+                for b in range(6):
+                    if bits[f, b]:
+                        out |= 1 << (f * 6 + b)
+            return out
+
+        rng = np.random.default_rng(7)
+        flips = []
+        for _ in range(20):
+            x = rng.standard_normal(64)
+            noisy = x * (1.0 + rng.uniform(-1e-4, 1e-4, 64))
+            flips.append(bin(fp(x) ^ fp(noisy)).count("1"))
+        assert np.mean(flips) < 8  # robust hash: tiny noise, few bit flips

@@ -129,6 +129,7 @@ QUERIES = [
     # should track the EDGE BUILD (LSH), the walk itself is O(|Q|)
     "X3_graph_beam_search",
     "S25_schema_evolution_read",
+    "X5_audio_fingerprint_neardups",
 ]
 
 
