@@ -578,3 +578,106 @@ def quantile_bucket_assign(
         .withColumn(out_col, bucket.cast("int"))
         .drop(*[f"_c{i}" for i in range(len(probs))])
     )
+
+
+def exact_quantiles_twopass(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT discrete quantiles (the value at rank ``ceil(q*n)``) per
+    group WITHOUT a global sort — the scan-bounded scale path next to
+    ``F.percentile`` (one sort-based aggregate) and A27's mergeable
+    summaries (bounded error).
+
+    Histogram refinement, the classic two-pass selection algorithm:
+
+    1. one aggregate pass → per-group extents (lo/hi/n);
+    2. one aggregate pass → per-group fixed-width bucket counts; the
+       (|groups| × n_buckets)-bounded histogram is collected and, per
+       (group, q), the driver locates the TARGET bucket and the rank
+       offset within it (bucket assignment is monotone in the value, so
+       exact rank arithmetic survives float boundary jitter);
+    3. one filtered pass keeps only rows in target buckets (~n/n_buckets
+       per quantile) and a per-(group, q) window picks the offset-th
+       value.
+
+    At 100 TB this is three column scans + a window over a ~0.1% slice,
+    versus shuffling the full relation into a per-group sort. Contract:
+    ``group_col`` must be low-cardinality (the collected histogram is
+    groups × n_buckets rows); high-cardinality keys belong to A27.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    ext = v.groupBy("g").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = F.col("hi") - F.col("lo")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) * n_buckets / span),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    hist = (
+        v.join(F.broadcast(ext), "g")
+        .groupBy("g", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded collects: |groups| and |groups| * n_buckets rows by contract
+    counts: dict = {}
+    for r in hist.collect():
+        counts.setdefault(r["g"], {})[r["b"]] = r["c"]
+    targets = []
+    for r in ext.collect():
+        g, n = r["g"], r["n"]
+        for q in quantiles:
+            # ceil of the IEEE double q*n — both engines multiply the
+            # same doubles, so the rank agrees with the oracle's CEIL
+            k = max(1, min(int(math.ceil(q * n)), n))
+            cum = 0
+            for b in range(n_buckets):
+                c = counts.get(g, {}).get(b, 0)
+                if cum + c >= k:
+                    targets.append((g, float(q), b, k - cum))
+                    break
+                cum += c
+    tdf = spark.createDataFrame(
+        targets, schema=f"g {ext.schema['g'].dataType.simpleString()},"
+                        " q double, b int, off bigint"
+    )
+    cand = (
+        v.join(F.broadcast(ext), "g")
+        .withColumn("b", bucket)
+        .join(F.broadcast(tdf), ["g", "b"])
+    )
+    w = Window.partitionBy("g", "q").orderBy("x")
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("off"))
+        .select("g", "q", "x")
+    )
+    agg = picked.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("q") == q, F.col("x"))).alias(
+                f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            )
+            for q in quantiles
+        ]
+    )
+    return agg.withColumnRenamed("g", group_col)

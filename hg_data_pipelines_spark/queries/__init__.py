@@ -95,6 +95,18 @@ from . import warehouse_q  # noqa: E402,F401
 # replaces U9_udtf_char_ngrams (U-family keeps U3 + U10). Both entrants
 # are --all driver-canon safe; both rotated-out queries stay green in
 # the full mirror.
+# Continuation-3 swaps: three new marquee capabilities enter —
+# X3_graph_beam_search_portable (the graph-ANN serve path; replaces
+# X3_cosine_topk_lsh_portable, driver-green r7+r8, whose portable
+# bucketing the beam walk embeds wholesale), S25_schema_evolution_read
+# (replaces S9_partitioned_events_pruned, driver-green r6+r8 — the
+# S-family keeps S19/S20/S21/S22 in-window and S25 exercises the same
+# warehouse write path plus mergeSchema), and
+# X5_audio_fingerprint_neardups (replaces X4_quality_score, driver-green
+# r5-r8; X4 keeps 6 other members in-window, and the audio fingerprint
+# gives X5 a second in-window modality next to AVI/MJPEG). All three
+# entrants passed tools/check_window_safety.py at sf0.01; all three
+# rotated-out queries stay green in the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -107,7 +119,7 @@ _WINDOW = [
     "J6_asof_latest_order",         # as-of join
     "J8_range_join_banded",         # banded range join
     "X4_unigram_nll_scores",        # CCNet-style perplexity gate (r9)
-    "X3_cosine_topk_lsh_portable",  # LSH bucketing itself hash-checked (r7)
+    "X3_graph_beam_search_portable",  # graph-ANN beam walk (r9 cont. 3)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "X2_semdedup_prune",           # SemDeDup auto-k prune (r9 first-time)
     "X3_cosine_topk_ivf_portable",  # cell-restricted ANN (r9 cont.)
@@ -135,7 +147,7 @@ _WINDOW = [
     "X4_curation_funnel_chunks",    # 8-stage pipeline composition (r9 cont.)
     "X3_mmr_rerank",                # greedy MMR as one cogrouped map (r9)
     "X11_label_propagation",        # deterministic LPA communities (r9 cont.)
-    "X4_quality_score",             # text quality gate
+    "X5_audio_fingerprint_neardups",  # HK audio fingerprints (r9 cont. 3)
     "X4_bpe_merges",                # BPE training, unrolled-CTE oracle (r8)
     "X4_kneser_ney_nll_scores",     # KN-smoothed LM gate (r9 cont.)
     "X5_avi_mjpeg_codec_stats",     # real AVI container + own JPEG (r8)
@@ -145,7 +157,7 @@ _WINDOW = [
     "X4_contrastive_negatives",     # bucketed negative sampling (r9 cont.)
     "X12_funnel_conversion",        # behavioral analytics
     "DQ7_uniqueness_audit",         # data-quality audits
-    "S9_partitioned_events_pruned", # warehouse sink + partition pruning
+    "S25_schema_evolution_read",    # add/drop-column evolution (r9 cont. 3)
     "X6_streaming_tumbling",        # real readStream twin
 ]
 

@@ -906,3 +906,41 @@ def quantile_summary_rollup(spark, sf_dir):
         "est_cum_weight",
         "total_n",
     )
+
+
+# --------------------------------------------------------------------------
+# A28: exact DISCRETE quantiles with NO global sort — histogram
+# refinement (two aggregate passes + a window over a ~0.3% candidate
+# slice). The scale-path twin of A10's sort-based F.percentile and the
+# exactness twin of A27's bounded-error summaries: at 100 TB the full
+# relation is never shuffled, only scanned. The oracle defines the
+# semantics independently (value at ROW_NUMBER rank ceil(q*n) per
+# group), so the hash match proves the bucket walk + offset arithmetic
+# lands on exactly the right order statistic at every scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "A28_exact_quantiles_twopass",
+    """
+    WITH r AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT g AS l_returnflag,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN x END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN x END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN x END) AS p99
+    FROM r GROUP BY g
+    """,
+)
+def exact_quantiles_twopass_query(spark, sf_dir):
+    from ..operators.scale import exact_quantiles_twopass
+
+    li = load(spark, sf_dir, "lineitem")
+    return exact_quantiles_twopass(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99]
+    )

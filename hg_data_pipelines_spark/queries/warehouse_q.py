@@ -862,10 +862,10 @@ _EVO_CUTOFF = "1997-01-01"
                AS epoch,
            COUNT(*) AS n_rows,
            {sql_dsum('o_totalprice', 'sum_total')},
-           SUM(CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 0 ELSE 1 END)
-               AS status_nulls,
-           SUM(CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 1 ELSE 0 END)
-               AS priority_nulls,
+           CAST(SUM(CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}'
+                          THEN 0 ELSE 1 END) AS BIGINT) AS status_nulls,
+           CAST(SUM(CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS priority_nulls,
            COUNT(DISTINCT CASE WHEN o_orderdate >= DATE '{_EVO_CUTOFF}'
                                THEN o_orderpriority END) AS n_priorities,
            COUNT(DISTINCT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}'
