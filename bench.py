@@ -146,6 +146,7 @@ COVERAGE = [
     "X3_graph_beam_search_portable", # graph-ANN beam walk, hash-checked (r9)
     "S25_schema_evolution_read",     # add/drop-column mergeSchema audit (r9)
     "X5_audio_fingerprint_neardups", # HK audio fingerprints, hash-checked (r9)
+    "A28_exact_quantiles_twopass",   # no-sort exact quantiles (r9)
 ]
 
 

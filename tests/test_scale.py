@@ -1007,3 +1007,50 @@ class TestPartitionEvolution:
         assert "PartitionFilters" in plan
         assert "event_week" in plan.split("PartitionFilters")[1].split("]")[0]
         assert pruned.select("event_week").distinct().count() == 2
+
+
+class TestExactQuantilesTwopass:
+    """Histogram-refinement exact quantiles: rank-exact without a global
+    sort (the declared A28 query's oracle pins engine equality; these pin
+    the algorithm's contract directly)."""
+
+    def test_matches_sorted_ground_truth_with_ties(self, spark):
+        import math
+
+        from hg_data_pipelines_spark.operators.scale import (
+            exact_quantiles_twopass,
+        )
+
+        rows = [("a", float(v)) for v in [5, 1, 3, 3, 3, 9, 7, 3, 2, 8]]
+        rows += [("b", float(v)) for v in range(100)]
+        rows += [("c", 4.0)] * 7  # degenerate group: lo == hi
+        df = spark.createDataFrame(rows, "g string, x double").repartition(7)
+        got = {
+            r["g"]: (r["p50"], r["p90"], r["p99"])
+            for r in exact_quantiles_twopass(
+                df, "g", "x", [0.5, 0.9, 0.99]
+            ).collect()
+        }
+        data = {"a": sorted([5, 1, 3, 3, 3, 9, 7, 3, 2, 8]),
+                "b": list(range(100)), "c": [4.0] * 7}
+        for g, xs in data.items():
+            n = len(xs)
+            want = tuple(
+                float(xs[max(1, min(int(math.ceil(q * n)), n)) - 1])
+                for q in (0.5, 0.9, 0.99)
+            )
+            assert got[g] == want, (g, got[g], want)
+
+    def test_no_global_sort_in_plan(self, spark):
+        from hg_data_pipelines_spark.operators.scale import (
+            exact_quantiles_twopass,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = exact_quantiles_twopass(
+            li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the full relation is never range-shuffled for ordering — only
+        # the ~n/n_buckets candidate slice hits the window's hash exchange
+        assert "Exchange rangepartitioning" not in plan

@@ -130,6 +130,7 @@ QUERIES = [
     "X3_graph_beam_search",
     "S25_schema_evolution_read",
     "X5_audio_fingerprint_neardups",
+    "A28_exact_quantiles_twopass",
 ]
 
 
