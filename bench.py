@@ -147,6 +147,7 @@ COVERAGE = [
     "S25_schema_evolution_read",     # add/drop-column mergeSchema audit (r9)
     "X5_audio_fingerprint_neardups", # HK audio fingerprints, hash-checked (r9)
     "A28_exact_quantiles_twopass",   # no-sort exact quantiles (r9)
+    "X2_lsh_band_tuning_report",     # (b,r) S-curve design study (r9)
 ]
 
 

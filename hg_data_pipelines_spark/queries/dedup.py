@@ -1863,3 +1863,153 @@ def cdc_chunk_dedup(spark, sf_dir):
         F.min("clen").cast("bigint").alias("chunk_len"),
         F.sum("clen").cast("bigint").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# X2: LSH band-TUNING report — the design study behind every banded-LSH
+# deployment, as an oracle-checked query. For each (bands, rows) split of
+# the 12-hash portable MinHash signature it reports:
+#   - the analytic S-curve collision probability 1-(1-t^r)^b at the
+#     design threshold t=0.5 (the number you tune against on paper);
+#   - the MEASURED candidate-pair volume under that banding;
+#   - how many candidates are estimated-true (equal-min fraction ≥ t ⇔
+#     eq_count ≥ 6 of 12 — pure integer, no float hazard);
+#   - measured precision (micro-scaled integer).
+# Reading the b=4 row against its neighbors is exactly how max_bucket /
+# band-count choices in operators/dedup.py were justified; this makes
+# that justification a VERIFIED artifact instead of a docstring claim.
+# DuckDB replays signatures, all six bandings, and every count. Scale
+# note: a tuning report runs on a fixture/sample by design — the widest
+# banding (b=12, r=1) is intentionally high-recall/low-precision and
+# would be quadratic-ish on a full corpus.
+# --------------------------------------------------------------------------
+
+_TUNE_LAYOUTS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)]
+_TUNE_T = 0.5
+_TUNE_EQ_MIN = 6  # eq_count >= 6 of 12 <=> est_jaccard >= 0.5
+
+
+def _scurve_micro(b: int, r: int) -> int:
+    return round(1_000_000 * (1.0 - (1.0 - _TUNE_T**r) ** b))
+
+
+def _band_tuning_oracle() -> str:
+    eq_count = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    arms = []
+    for nb, r in _TUNE_LAYOUTS:
+        band_match = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a.m{k * r + j} = b.m{k * r + j}" for j in range(r)
+            )
+            + ")"
+            for k in range(nb)
+        )
+        arms.append(f"""
+        SELECT {nb} AS bands, {r} AS rows_per_band,
+               a.doc_id AS id_a, b.doc_id AS id_b, ({eq_count}) AS eq
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {band_match}""")
+    unioned = " UNION ALL ".join(arms)
+    scurve = " ".join(
+        f"WHEN {nb} THEN CAST({_scurve_micro(nb, r)} AS BIGINT)"
+        for nb, r in _TUNE_LAYOUTS
+    )
+    base = _portable_minhash_sql()
+    sig_cte = base[base.index("WITH") + 4 : base.index("SELECT a.doc_id")]
+    sig_cte = sig_cte.rstrip().rstrip(")") + ")"
+    return f"""
+    WITH {sig_cte}, cand AS ({unioned})
+    SELECT bands, rows_per_band,
+           COUNT(*) AS n_cands,
+           CAST(SUM(CASE WHEN eq >= {_TUNE_EQ_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CASE WHEN COUNT(*) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(ROUND(1000000.0 *
+                     SUM(CASE WHEN eq >= {_TUNE_EQ_MIN} THEN 1 ELSE 0 END)
+                     / COUNT(*)) AS BIGINT) END AS precision_micro,
+           CASE bands {scurve} END AS s_curve_at_t_micro
+    FROM cand GROUP BY bands, rows_per_band
+    """
+
+
+@query("X2_lsh_band_tuning_report", _band_tuning_oracle())
+def lsh_band_tuning_report(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    sig = _portable_sig(docs).localCheckpoint(eager=True)  # shared by 6 arms
+    reports = []
+    for nb, r in _TUNE_LAYOUTS:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(k),
+                            *[
+                                F.col(f"m{k * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                        for k in range(nb)
+                    ]
+                )
+            ).alias("bkey"),
+        )
+        pairs = (
+            bands.alias("a")
+            .join(bands.alias("b"), "bkey")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        eq = sum(
+            (
+                F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+                for i in range(_MH_K)
+            ),
+            F.lit(0),
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(sig.alias("sa")),
+                F.col("id_a") == F.col("sa.doc_id"),
+            )
+            .join(
+                F.broadcast(sig.alias("sb")),
+                F.col("id_b") == F.col("sb.doc_id"),
+            )
+            .select((eq >= _TUNE_EQ_MIN).cast("int").alias("is_true"))
+        )
+        reports.append(
+            scored.agg(
+                F.lit(nb).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_cands"),
+                F.sum("is_true").cast("bigint").alias("n_true"),
+            ).select(
+                "bands",
+                "rows_per_band",
+                "n_cands",
+                "n_true",
+                F.when(
+                    F.col("n_cands") > 0,
+                    F.round(
+                        1_000_000.0 * F.col("n_true") / F.col("n_cands")
+                    ).cast("bigint"),
+                ).alias("precision_micro"),
+                F.lit(_scurve_micro(nb, r)).cast("bigint").alias(
+                    "s_curve_at_t_micro"
+                ),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
