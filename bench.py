@@ -148,6 +148,7 @@ COVERAGE = [
     "X5_audio_fingerprint_neardups", # HK audio fingerprints, hash-checked (r9)
     "A28_exact_quantiles_twopass",   # no-sort exact quantiles (r9)
     "X2_lsh_band_tuning_report",     # (b,r) S-curve design study (r9)
+    "DQ14_functional_dependency_audit",  # FD discovery/verification (r9)
 ]
 
 

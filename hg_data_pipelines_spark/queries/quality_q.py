@@ -885,3 +885,63 @@ def order_total_reconciliation(spark, sf_dir):
             6,
         ).alias("avg_abs_drift"),
     )
+
+
+# --------------------------------------------------------------------------
+# DQ14: FUNCTIONAL-DEPENDENCY audit — the schema-semantics primitive next
+# to DQ6's referential integrity and DQ7's uniqueness. For each candidate
+# FD (X → Y) it reports how many X-keys exist, how many VIOLATE the
+# dependency (|distinct Y| > 1 for one X), and the worst fan-out — the
+# classic profiling signal for "is this really a key / a 1:1 attribute /
+# a denormalization that drifted". Mixed on purpose: three FDs that must
+# HOLD on this schema (primary-key shaped) and three that must FAIL
+# (attribute fan-outs), so the audit's discrimination — not just its
+# plumbing — is what the oracle hash-checks. Scale: one partial-agg
+# groupBy per FD over projected columns only (column-pruned scans), the
+# cheapest possible shape per dependency.
+# --------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    # (label, table, lhs, rhs) — expectation encoded only by the data
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("events.event_id->user_id", "events", "event_id", "user_id"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+]
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        arms.append(f"""
+        SELECT '{label}' AS fd, COUNT(*) AS n_keys,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_keys,
+               CAST(MAX(k) AS BIGINT) AS max_fanout,
+               SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS k
+              FROM {table} WHERE {lhs} IS NOT NULL GROUP BY {lhs})""")
+    return " UNION ALL ".join(arms)
+
+
+@query("DQ14_functional_dependency_audit", _fd_oracle())
+def functional_dependency_audit(spark, sf_dir):
+    out = None
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        df = load(spark, sf_dir, table)
+        per_key = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("k"))
+        )
+        rep = per_key.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("k") > 1).cast("bigint")).alias("n_violating_keys"),
+            F.max("k").cast("bigint").alias("max_fanout"),
+            (F.sum((F.col("k") > 1).cast("bigint")) == 0).alias("holds"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
