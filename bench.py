@@ -149,6 +149,7 @@ COVERAGE = [
     "A28_exact_quantiles_twopass",   # no-sort exact quantiles (r9)
     "X2_lsh_band_tuning_report",     # (b,r) S-curve design study (r9)
     "DQ14_functional_dependency_audit",  # FD discovery/verification (r9)
+    "X13_holt_winters_seasonal",     # seasonal state-space fit (r9)
 ]
 
 

@@ -2622,3 +2622,133 @@ def funnel_time_to_convert(spark, sf_dir):
         F.min("d_us").cast("bigint").alias("min_us"),
         F.max("d_us").cast("bigint").alias("max_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# X13: additive HOLT-WINTERS (level + trend + day-of-week seasonality) —
+# the seasonal upgrade of X13_holt_linear_per_user, same cross-engine
+# trick: both engines FOLD the ordered daily series with the identical
+# IEEE expression tree (Spark `aggregate` ≡ DuckDB `list_reduce`), so a
+# genuinely recursive state-space fit is hash-checked, now with a 9-wide
+# state vector [level, trend, s0..s6] and an in-lambda seasonal-slot
+# rebuild. Init: level = first obs, trend = (v8-v1)/7, seasonal = first
+# week's deviations; α=0.5, β=0.3, γ=0.4. Season index = epoch-day % 7
+# (engine-neutral — no dayofweek() convention mismatch). Per-type daily
+# series are bounded (days × types), so the fold state is tiny; the
+# heavy lifting — the daily rollup — is one partial-agg pass. Forecast
+# = level + trend + seasonal[next day's slot].
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X13_holt_winters_seasonal",
+    """
+    WITH s AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x,
+               CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) % 7
+                    AS DOUBLE) AS jd
+        FROM events GROUP BY 1, 2, 4
+    ), l AS (
+        SELECT event_type, list([x, jd] ORDER BY d) AS v,
+               MAX(d) AS last_d, COUNT(*) AS n_days
+        FROM s GROUP BY 1
+    ), init AS (
+        SELECT event_type, v, n_days, last_d,
+               v[1][1] AS lvl0,
+               CASE WHEN len(v) >= 8 THEN (v[8][1] - v[1][1]) / 7
+                    ELSE 0.0 END AS tr0,
+               [COALESCE(list_filter(v[1:7],
+                             e -> e[2] = CAST(j AS DOUBLE))[1][1] - v[1][1],
+                         0.0) for j in range(0, 7)] AS s0
+        FROM l
+    ), fit AS (
+        SELECT event_type, n_days, last_d,
+            list_reduce(
+                list_prepend(list_concat([lvl0, tr0], s0), v[8:]),
+                (acc, e) -> list_concat(
+                    [0.5 * (e[1] - acc[3 + CAST(e[2] AS INT)])
+                         + 0.5 * (acc[1] + acc[2]),
+                     0.3 * ((0.5 * (e[1] - acc[3 + CAST(e[2] AS INT)])
+                             + 0.5 * (acc[1] + acc[2])) - acc[1])
+                         + 0.7 * acc[2]],
+                    [CASE WHEN k = CAST(e[2] AS INT)
+                          THEN 0.4 * (e[1]
+                               - (0.5 * (e[1] - acc[3 + CAST(e[2] AS INT)])
+                                  + 0.5 * (acc[1] + acc[2])))
+                               + 0.6 * acc[3 + CAST(e[2] AS INT)]
+                          ELSE acc[3 + k] END
+                     for k in range(0, 7)])
+            ) AS st
+        FROM init
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + st[2]
+                 + st[3 + (CAST(last_d - DATE '1970-01-01' AS INT) + 1) % 7],
+                 6) AS forecast_1
+    FROM fit
+    """,
+)
+def holt_winters_seasonal(spark, sf_dir):
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+         % 7).cast("double").alias("jd"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.collect_list(F.struct("d", "x", "jd")).alias("raw"),
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    v = "transform(sort_array(raw), s -> array(s.x, s.jd))"
+    lvl0 = f"element_at(element_at({v}, 1), 1)"
+    tr0 = (
+        f"CASE WHEN size({v}) >= 8 THEN"
+        f" (element_at(element_at({v}, 8), 1) - {lvl0}) / 7"
+        f" ELSE 0D END"
+    )
+    s0 = (
+        f"transform(sequence(0, 6), j -> CASE WHEN"
+        f" size(filter(slice({v}, 1, 7),"
+        f"      e -> element_at(e, 2) = cast(j as double))) > 0"
+        f" THEN element_at(element_at(filter(slice({v}, 1, 7),"
+        f"      e -> element_at(e, 2) = cast(j as double)), 1), 1) - {lvl0}"
+        f" ELSE 0D END)"
+    )
+    acc_s = "element_at(acc, 3 + cast(element_at(e, 2) as int))"
+    lvl1 = (
+        f"0.5D * (element_at(e, 1) - {acc_s})"
+        f" + 0.5D * (element_at(acc, 1) + element_at(acc, 2))"
+    )
+    tr1 = (
+        f"0.3D * (({lvl1}) - element_at(acc, 1))"
+        f" + 0.7D * element_at(acc, 2)"
+    )
+    s1 = f"0.4D * (element_at(e, 1) - ({lvl1})) + 0.6D * {acc_s}"
+    st = (
+        f"aggregate(slice({v}, 8, greatest(size({v}) - 7, 0)),"
+        f" concat(array({lvl0}, {tr0}), {s0}),"
+        f" (acc, e) -> concat(array({lvl1}, {tr1}),"
+        f"   transform(sequence(0, 6),"
+        f"     k -> CASE WHEN k = cast(element_at(e, 2) as int)"
+        f"          THEN {s1} ELSE element_at(acc, 3 + k) END)))"
+    )
+    fc_idx = "3 + (datediff(last_d, DATE '1970-01-01') + 1) % 7"
+    return per_type.select(
+        "event_type",
+        "n_days",
+        F.expr(f"round(element_at(({st}), 1), 6)").alias("level"),
+        F.expr(f"round(element_at(({st}), 2), 6)").alias("trend"),
+        F.expr(
+            f"round(element_at(({st}), 1) + element_at(({st}), 2)"
+            f" + element_at(({st}), {fc_idx}), 6)"
+        ).alias("forecast_1"),
+    )
