@@ -150,6 +150,7 @@ COVERAGE = [
     "X2_lsh_band_tuning_report",     # (b,r) S-curve design study (r9)
     "DQ14_functional_dependency_audit",  # FD discovery/verification (r9)
     "X13_holt_winters_seasonal",     # seasonal state-space fit (r9)
+    "X4_token_budget_mixture",       # water-filling mix planner (r9)
 ]
 
 

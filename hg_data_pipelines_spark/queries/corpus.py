@@ -2238,3 +2238,150 @@ def curation_funnel_chunks(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4: token-BUDGET mixture planner — the aggregate-level complement of
+# the mixture SAMPLERS above: given per-source token inventories and a
+# hard corpus budget (half the total), allocate tokens per source by
+# sqrt-weighted WATER-FILLING — small sources get up-weighted (the
+# sqrt-temperature rule every LLM data mix uses) until they CAP OUT at
+# their inventory, and two redistribution rounds pour the leftover into
+# the uncapped sources. Three unrolled rounds, every arithmetic step an
+# identical IEEE expression in both engines (integer inventories, sqrt
+# correctly rounded, floor'd shares), so the planner's exact allocation
+# — not a summary of it — is hash-checked. Scale: the only at-scale pass
+# is the per-source token rollup; the fill rounds run over |sources|
+# rows with 1-row broadcast aggregates (the BM25 corpus-stats shape).
+# --------------------------------------------------------------------------
+
+
+def _budget_mixture_oracle() -> str:
+    return """
+    WITH inv AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS avail
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(avail) // 2 AS BIGINT) AS budget FROM inv
+    ), w AS (
+        SELECT source, avail, sqrt(CAST(avail AS DOUBLE)) AS wt FROM inv
+    ), r1 AS (
+        SELECT source, avail, wt,
+               LEAST(avail, CAST(FLOOR(CAST(budget AS DOUBLE) * wt /
+                   (SELECT SUM(wt) FROM w)) AS BIGINT)) AS a1,
+               budget
+        FROM w CROSS JOIN tot
+    ), l1 AS (
+        SELECT CAST(MAX(budget) - SUM(a1) AS BIGINT) AS left1,
+               SUM(CASE WHEN a1 < avail THEN wt ELSE 0 END) AS w2
+        FROM r1
+    ), r2 AS (
+        SELECT source, avail, wt, a1,
+               CASE WHEN a1 < avail AND w2 > 0 THEN
+                   LEAST(avail, a1 + CAST(FLOOR(CAST(left1 AS DOUBLE) * wt / w2)
+                                          AS BIGINT))
+                   ELSE a1 END AS a2,
+               left1
+        FROM r1 CROSS JOIN l1
+    ), l2 AS (
+        SELECT CAST(MAX(left1) - SUM(a2 - a1) AS BIGINT) AS left2,
+               SUM(CASE WHEN a2 < avail THEN wt ELSE 0 END) AS w3
+        FROM r2
+    ), r3 AS (
+        SELECT source, avail, wt, a2,
+               CASE WHEN a2 < avail AND w3 > 0 THEN
+                   LEAST(avail, a2 + CAST(FLOOR(CAST(left2 AS DOUBLE) * wt / w3)
+                                          AS BIGINT))
+                   ELSE a2 END AS a3
+        FROM r2 CROSS JOIN l2
+    )
+    SELECT source, avail AS avail_tokens,
+           CAST(a3 AS BIGINT) AS alloc_tokens,
+           a3 = avail AS capped,
+           CAST(ROUND(1000000.0 * a3 / avail) AS BIGINT) AS epochs_micro
+    FROM r3
+    """
+
+
+@query("X4_token_budget_mixture", _budget_mixture_oracle())
+def token_budget_mixture(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    inv = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")).alias(
+            "avail"
+        )
+    )
+    tot = inv.agg(
+        F.expr("sum(avail) div 2").cast("bigint").alias("budget")
+    )
+    w = inv.withColumn("wt", F.sqrt(F.col("avail").cast("double")))
+    wsum = w.agg(F.sum("wt").alias("wall"))
+    r1 = (
+        w.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            "source", "avail", "wt", "budget",
+            F.least(
+                F.col("avail"),
+                F.floor(
+                    F.col("budget").cast("double") * F.col("wt")
+                    / F.col("wall")
+                ).cast("bigint"),
+            ).alias("a1"),
+        )
+    )
+    l1 = r1.agg(
+        (F.max("budget") - F.sum("a1")).cast("bigint").alias("left1"),
+        F.sum(
+            F.when(F.col("a1") < F.col("avail"), F.col("wt")).otherwise(0.0)
+        ).alias("w2"),
+    )
+    r2 = r1.crossJoin(F.broadcast(l1)).select(
+        "source", "avail", "wt", "a1", "left1",
+        F.when(
+            (F.col("a1") < F.col("avail")) & (F.col("w2") > 0),
+            F.least(
+                F.col("avail"),
+                F.col("a1")
+                + F.floor(
+                    F.col("left1").cast("double") * F.col("wt") / F.col("w2")
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(F.col("a1"))
+        .alias("a2"),
+    )
+    l2 = r2.agg(
+        (F.max("left1") - F.sum(F.col("a2") - F.col("a1")))
+        .cast("bigint")
+        .alias("left2"),
+        F.sum(
+            F.when(F.col("a2") < F.col("avail"), F.col("wt")).otherwise(0.0)
+        ).alias("w3"),
+    )
+    r3 = r2.crossJoin(F.broadcast(l2)).select(
+        "source", "avail", "wt", "a2",
+        F.when(
+            (F.col("a2") < F.col("avail")) & (F.col("w3") > 0),
+            F.least(
+                F.col("avail"),
+                F.col("a2")
+                + F.floor(
+                    F.col("left2").cast("double") * F.col("wt") / F.col("w3")
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(F.col("a2"))
+        .alias("a3"),
+    )
+    return r3.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("a3").cast("bigint").alias("alloc_tokens"),
+        (F.col("a3") == F.col("avail")).alias("capped"),
+        F.round(1_000_000.0 * F.col("a3") / F.col("avail"))
+        .cast("bigint")
+        .alias("epochs_micro"),
+    )
