@@ -2627,3 +2627,68 @@ def audio_fingerprint_neardups(spark, sf_dir):
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# X3 graph-ANN model persistence: the navigation GRAPH is the trained
+# artifact (the expensive LSH edge build), the beam walk is the serve
+# path — so the graph gets the same train-once/serve-many contract as
+# the IVF centroids and PQ codebook: persist edges to the warehouse,
+# reload, and the warm walk must equal the cold walk EXACTLY. Same
+# empty-relation violation oracle as X3_ivf_model_warm_check: declared
+# output = (query, neighbor, rank) rows where warm and cold disagree ≡
+# the empty relation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "X3_graph_ann_warm_check",
+    """
+    SELECT CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS INTEGER) AS rank
+    WHERE FALSE
+    """,
+)
+def graph_ann_warm_check(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import graph_beam_search, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+
+    def edges():
+        return lsh_topk(
+            emb, emb, k=_BEAM_DEG,
+            n_planes=_LSH_PORTABLE_PLANES, n_tables=_LSH_PORTABLE_TABLES,
+            portable=True,
+        ).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+
+    wh = tempfile.mkdtemp(prefix="graph_ann_model_")
+    edges().write.mode("overwrite").parquet(f"{wh}/knn_edges")
+
+    def walk(e):
+        return graph_beam_search(
+            queries, emb, e,
+            k=_K, beam=_BEAM_WIDTH, rounds=_BEAM_ROUNDS, n_seeds=_BEAM_SEEDS,
+        )
+
+    warm = walk(spark.read.parquet(f"{wh}/knn_edges")).select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cosine").alias("w_cos"),
+    )
+    cold = walk(edges()).select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cosine").alias("c_cos"),
+    )
+    joined = warm.join(cold, ["query_id", "neighbor_id", "rank"], "full_outer")
+    return joined.filter(
+        F.col("w_cos").isNull()
+        | F.col("c_cos").isNull()
+        | (F.col("w_cos") != F.col("c_cos"))
+    ).select("query_id", "neighbor_id", "rank")
