@@ -151,6 +151,7 @@ COVERAGE = [
     "DQ14_functional_dependency_audit",  # FD discovery/verification (r9)
     "X13_holt_winters_seasonal",     # seasonal state-space fit (r9)
     "X4_token_budget_mixture",       # water-filling mix planner (r9)
+    "S26_write_audit_publish",       # WAP governance round-trip (r9)
 ]
 
 

@@ -2275,7 +2275,8 @@ def _budget_mixture_oracle() -> str:
         FROM w CROSS JOIN tot
     ), l1 AS (
         SELECT CAST(MAX(budget) - SUM(a1) AS BIGINT) AS left1,
-               SUM(CASE WHEN a1 < avail THEN wt ELSE 0 END) AS w2
+               CAST(SUM(CASE WHEN a1 < avail THEN wt ELSE 0 END)
+                    AS DOUBLE) AS w2
         FROM r1
     ), r2 AS (
         SELECT source, avail, wt, a1,
@@ -2287,7 +2288,8 @@ def _budget_mixture_oracle() -> str:
         FROM r1 CROSS JOIN l1
     ), l2 AS (
         SELECT CAST(MAX(left1) - SUM(a2 - a1) AS BIGINT) AS left2,
-               SUM(CASE WHEN a2 < avail THEN wt ELSE 0 END) AS w3
+               CAST(SUM(CASE WHEN a2 < avail THEN wt ELSE 0 END)
+                    AS DOUBLE) AS w3
         FROM r2
     ), r3 AS (
         SELECT source, avail, wt, a2,

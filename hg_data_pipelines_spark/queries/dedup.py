@@ -1928,7 +1928,8 @@ def _band_tuning_oracle() -> str:
                 AS BIGINT) AS n_true,
            CASE WHEN COUNT(*) = 0 THEN CAST(NULL AS BIGINT)
                 ELSE CAST(ROUND(1000000.0 *
-                     SUM(CASE WHEN eq >= {_TUNE_EQ_MIN} THEN 1 ELSE 0 END)
+                     CAST(SUM(CASE WHEN eq >= {_TUNE_EQ_MIN} THEN 1
+                              ELSE 0 END) AS BIGINT)
                      / COUNT(*)) AS BIGINT) END AS precision_micro,
            CASE bands {scurve} END AS s_curve_at_t_micro
     FROM cand GROUP BY bands, rows_per_band

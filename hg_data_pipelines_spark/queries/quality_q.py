@@ -920,7 +920,8 @@ def _fd_oracle() -> str:
                CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_violating_keys,
                CAST(MAX(k) AS BIGINT) AS max_fanout,
-               SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) = 0 AS holds
         FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS k
               FROM {table} WHERE {lhs} IS NOT NULL GROUP BY {lhs})""")
     return " UNION ALL ".join(arms)

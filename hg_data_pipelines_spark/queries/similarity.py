@@ -2532,8 +2532,8 @@ def _afp_fingerprint_sql(src: str) -> str:
         FROM dif
     ), fps AS (
         SELECT vec_id,
-               SUM(CASE WHEN f >= 1 THEN bit << ((f - 1) * 6 + (b - 1))
-                        ELSE 0 END) AS fingerprint
+               CAST(SUM(CASE WHEN f >= 1 THEN bit << ((f - 1) * 6 + (b - 1))
+                             ELSE 0 END) AS BIGINT) AS fingerprint
         FROM bits GROUP BY vec_id
     )"""
 

@@ -908,3 +908,88 @@ def schema_evolution_read(spark, sf_dir):
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+# --------------------------------------------------------------------------
+# S26: WRITE-AUDIT-PUBLISH — the governance pattern that keeps a 100 TB
+# table trustworthy: every batch lands in staging, audit gates run
+# against the staged files, and only all-green batches publish (a
+# manifest-level pointer swap, zero data rewrite). The scenario stages
+# three cumulative states: (1) the pre-1996 history — clean, publishes;
+# (2) the full history with an INJECTED corruption (negated totals for
+# custkey % 50 = 0 in the new rows) — the non-negative-total gate
+# catches it, publish ABORTS, live table provably untouched; (3) the
+# corrected full history — publishes. Declared output = the LIVE
+# table's final per-status aggregate plus the publish/reject counters;
+# the oracle recomputes from raw orders, so a WAP that leaked the bad
+# batch (wrong sums), double-published, or lost the abort would all
+# hash-mismatch.
+# --------------------------------------------------------------------------
+
+_WAP_CUTOFF = "1996-01-01"
+
+
+@query(
+    "S26_write_audit_publish",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_total')},
+           CAST(2 AS BIGINT) AS n_published,
+           CAST(1 AS BIGINT) AS n_rejected
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def write_audit_publish_query(spark, sf_dir):
+    import shutil
+
+    from ..snapshots import (
+        read_table_snapshot,
+        snapshot_versions,
+        write_audit_publish,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    wh = os.path.join(_warehouse_dir(sf_dir), "wap")
+    shutil.rmtree(wh, ignore_errors=True)
+    audits = [
+        ("negative_total", F.col("o_totalprice") < 0),
+        ("null_key", F.col("o_orderkey").isNull()),
+    ]
+    cut = F.col("o_orderdate") < F.lit(_WAP_CUTOFF).cast("date")
+    history = orders.filter(cut)
+    late = orders.filter(~cut)
+    corrupted = late.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 50 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    attempts = 0
+    # batch 1: clean history
+    v1, _rep1 = write_audit_publish(spark, history, wh, "orders_live", audits)
+    attempts += 1
+    assert v1 is not None
+    # batch 2: cumulative state with corrupted late rows — must ABORT
+    live = read_table_snapshot(spark, wh, "orders_live")
+    v2, rep2 = write_audit_publish(
+        spark, live.unionByName(corrupted), wh, "orders_live", audits
+    )
+    attempts += 1
+    if v2 is not None or not any(n > 0 for _, n in rep2):
+        raise AssertionError("WAP gate failed to reject the corrupted batch")
+    # batch 3: corrected cumulative state — publishes
+    live = read_table_snapshot(spark, wh, "orders_live")
+    v3, _rep3 = write_audit_publish(
+        spark, live.unionByName(late), wh, "orders_live", audits
+    )
+    attempts += 1
+    assert v3 is not None
+    published = len(snapshot_versions(wh, "orders_live"))
+    final = read_table_snapshot(spark, wh, "orders_live")
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_total"),
+        F.lit(published).cast("bigint").alias("n_published"),
+        F.lit(attempts - published).cast("bigint").alias("n_rejected"),
+    )

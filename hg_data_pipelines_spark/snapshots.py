@@ -222,3 +222,66 @@ def apply_change_feed(
         feed.select(*key_cols).distinct(), key_cols, "left_anti"
     )
     return survivors.unionByName(upserts)
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    audits: list[tuple[str, "Column"]],
+) -> tuple[int | None, list[tuple[str, int]]]:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP governance pattern)
+    on the snapshot store: the batch lands in a STAGING snapshot chain
+    (``{table}__staging``), the audit gates run against the staged files
+    (never the live table), and only an all-green batch is PUBLISHED —
+    by writing a manifest into the live table that points at the staged
+    data directory. Publication is manifest-only: zero data rewrite, one
+    atomic rename, and a failed audit leaves the live table bit-for-bit
+    untouched with the quarantined batch still on disk for debugging.
+
+    ``audits``: (name, violation_predicate) pairs — a row matching the
+    predicate is a violation; any violation count > 0 aborts the publish.
+    Returns (published_version | None, [(audit_name, n_violations)]).
+
+    Ownership note: after publish the staged data dir is referenced by
+    the live table's manifest, so ``expire_snapshots`` on the staging
+    chain must keep at least the published versions (or never run —
+    staging chains are cheap, they hold only manifests plus data the
+    live table needs anyway).
+    """
+    from pyspark.sql import functions as F
+
+    staging = f"{table}__staging"
+    staged_v = write_table_snapshot(df, warehouse_dir, staging)
+    staged = read_table_snapshot(spark, warehouse_dir, staging, staged_v)
+    counts = staged.agg(
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+            for name, pred in audits
+        ]
+    ).collect()[0]  # bounded: one row of audit counters
+    report = [(name, int(counts[name] or 0)) for name, _ in audits]
+    if any(v > 0 for _, v in report):
+        return None, report
+    with open(
+        os.path.join(_snap_dir(warehouse_dir, staging), f"v{staged_v}.json")
+    ) as fh:
+        data_dir = json.load(fh)["data_dir"]
+    versions = snapshot_versions(warehouse_dir, table)
+    version = (versions[-1] + 1) if versions else 1
+    snap_dir = _snap_dir(warehouse_dir, table)
+    os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "data_dir": data_dir,
+                "committed_at_unix": time.time(),
+                "published_from": {"table": staging, "version": staged_v},
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(snap_dir, f"v{version}.json"))
+    return version, report
