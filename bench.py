@@ -152,6 +152,7 @@ COVERAGE = [
     "X13_holt_winters_seasonal",     # seasonal state-space fit (r9)
     "X4_token_budget_mixture",       # water-filling mix planner (r9)
     "S26_write_audit_publish",       # WAP governance round-trip (r9)
+    "J16_polygon_containment_join",  # grid-blocked point-in-polygon (r9)
 ]
 
 

@@ -183,3 +183,63 @@ def grid_neighbor_join(
         .filter(F.col("dist") <= F.lit(float(radius)))
         .drop("_cx", "_cy")
     )
+
+
+def grid_containment_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    px: str,
+    py: str,
+    cell: float,
+) -> DataFrame:
+    """Point-in-CONVEX-polygon containment join with grid blocking — the
+    spatial CONTAINMENT sibling of ``grid_neighbor_join``'s radius join.
+
+    ``polygons``: (poly_id, xs array<double>, ys array<double>) with
+    vertices in counter-clockwise order; containment (boundary
+    inclusive) is the classic all-edges cross-product sign test — for a
+    convex CCW ring, P is inside iff every edge's cross product
+    (v2-v1) × (P-v1) is ≥ 0. Pure double arithmetic on literal-identical
+    vertices, so any engine agrees exactly.
+
+    Blocking: each polygon replicates to every grid cell its bbox
+    overlaps; each point hashes to its one cell; the equi-join on
+    (cx, cy) bounds candidate pairs by local density × polygon bbox
+    area. A point lives in exactly one cell, so no pair dedup is needed.
+    At 100 TB both sides shuffle once on a dense integer key — the same
+    contract as the neighbor join; the exact test runs post-join on the
+    bounded candidates.
+    """
+    cells = polygons.select(
+        "poly_id", "xs", "ys",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(array_min(xs) / {cell}) AS INT),"
+                f" CAST(floor(array_max(xs) / {cell}) AS INT))"
+            )
+        ).alias("cx"),
+    ).select(
+        "poly_id", "xs", "ys", "cx",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(array_min(ys) / {cell}) AS INT),"
+                f" CAST(floor(array_max(ys) / {cell}) AS INT))"
+            )
+        ).alias("cy"),
+    )
+    pts = points.withColumn(
+        "cx", F.floor(F.col(px) / cell).cast("int")
+    ).withColumn("cy", F.floor(F.col(py) / cell).cast("int"))
+    cand = pts.join(cells, ["cx", "cy"])
+    # all-edges sign test, vertices paired with their cyclic successor
+    inside = F.expr(
+        f"""forall(
+            zip_with(
+                arrays_zip(xs, ys),
+                concat(slice(arrays_zip(xs, ys), 2, size(xs) - 1),
+                       slice(arrays_zip(xs, ys), 1, 1)),
+                (v1, v2) -> (v2.xs - v1.xs) * ({py} - v1.ys)
+                          - (v2.ys - v1.ys) * ({px} - v1.xs) >= 0),
+            ok -> ok)"""
+    )
+    return cand.filter(inside).drop("cx", "cy", "xs", "ys")

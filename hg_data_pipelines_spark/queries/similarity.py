@@ -2692,3 +2692,101 @@ def graph_ann_warm_check(spark, sf_dir):
         | F.col("c_cos").isNull()
         | (F.col("w_cos") != F.col("c_cos"))
     ).select("query_id", "neighbor_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# J16: point-in-polygon CONTAINMENT join — the spatial-containment
+# sibling of J15's radius join (operators/rangejoin.py::
+# grid_containment_join). Five literal convex pentagons (CCW, 4dp
+# vertex literals — both engines parse the identical doubles) are
+# tested against the corpus points (embedding dims 0/1) with the
+# all-edges cross-product sign test; blocking replicates each polygon
+# to the grid cells its bbox overlaps and each point to exactly ONE
+# cell, so candidates are bounded by local density × bbox area and no
+# pair dedup is ever needed. The oracle re-evaluates every edge
+# inequality with the same literals, so membership — including
+# boundary-inclusive edge cases — is engine-exact. Output is the
+# per-polygon count plus an id checksum (identity errors, not just
+# cardinality, hash-mismatch).
+# --------------------------------------------------------------------------
+
+
+def _pentagon(pid: int, cx: float, cy: float, r: float):
+    import math
+
+    pts = [
+        (
+            round(cx + r * math.cos(math.radians(90 + 72 * k)), 4),
+            round(cy + r * math.sin(math.radians(90 + 72 * k)), 4),
+        )
+        for k in range(5)
+    ]
+    return pid, [p[0] for p in pts], [p[1] for p in pts]
+
+
+_J16_POLYGONS = [
+    _pentagon(1, -0.20, -0.20, 0.15),
+    _pentagon(2, 0.15, 0.10, 0.18),
+    _pentagon(3, 0.00, 0.25, 0.10),
+    _pentagon(4, -0.10, 0.15, 0.08),
+    _pentagon(5, 0.25, -0.25, 0.12),
+]
+_J16_CELL = 0.25
+
+
+def _j16_oracle() -> str:
+    arms = []
+    for pid, xs, ys in _J16_POLYGONS:
+        conds = []
+        for k in range(5):
+            x1, y1 = xs[k], ys[k]
+            x2, y2 = xs[(k + 1) % 5], ys[(k + 1) % 5]
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (y - {y1!r})"
+                f" - ({y2!r} - {y1!r}) * (x - {x1!r})) >= 0"
+            )
+        arms.append(f"""
+        SELECT {pid} AS poly_id, COUNT(*) AS n_points,
+               CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) AS id_checksum
+        FROM v WHERE {" AND ".join(conds)}""")
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    )
+    {" UNION ALL ".join(arms)}
+    """
+
+
+@query("J16_polygon_containment_join", _j16_oracle())
+def polygon_containment_join(spark, sf_dir):
+    from ..operators.rangejoin import grid_containment_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    polys = spark.createDataFrame(
+        _J16_POLYGONS, "poly_id int, xs array<double>, ys array<double>"
+    )
+    hits = grid_containment_join(pts, polys, "x", "y", _J16_CELL)
+    counts = hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("vec_id").cast("bigint").alias("id_checksum"),
+    )
+    # polygons with zero hits must still report (the oracle's per-arm
+    # aggregates always emit a row) — left-join the polygon list back
+    base = polys.select("poly_id")
+    return (
+        base.join(counts, "poly_id", "left")
+        .select(
+            "poly_id",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            F.coalesce("id_checksum", F.lit(0)).cast("bigint").alias(
+                "id_checksum"
+            ),
+        )
+    )

@@ -131,6 +131,15 @@ QUERIES = [
     "S25_schema_evolution_read",
     "X5_audio_fingerprint_neardups",
     "A28_exact_quantiles_twopass",
+    "DQ14_functional_dependency_audit",
+    "X13_holt_winters_seasonal",
+    "X4_token_budget_mixture",
+    "S26_write_audit_publish",
+    "J16_polygon_containment_join",
+    # excluded by contract: X2_lsh_band_tuning_report (fixture-scale
+    # design study), X3_graph_beam_search_portable / X3_graph_ann_warm_
+    # check (fixed-plane oracle fixtures — the auto-plane production
+    # sibling X3_graph_beam_search above IS the smoked scale path)
 ]
 
 
