@@ -107,23 +107,35 @@ from . import warehouse_q  # noqa: E402,F401
 # gives X5 a second in-window modality next to AVI/MJPEG). All three
 # entrants passed tools/check_window_safety.py at sf0.01; all three
 # rotated-out queries stay green in the full mirror.
+# Continuation-3 second wave: five MORE of this continuation's new
+# capabilities enter — A28 sort-free exact quantiles (replaces J8, whose
+# banded-join family stays covered by J6/J13/J14/J15/S21), DQ14
+# functional dependencies (replaces DQ7 — the FD audit subsumes
+# uniqueness: a held PK-shaped FD IS a uniqueness check), S26
+# write-audit-publish (replaces S19; S-family keeps S20/S21/S22/S25 and
+# S26 exercises the snapshot store end to end), J16 point-in-polygon
+# (replaces P1_P5 — projection/filter pushdown stays covered by P2_J2
+# and every scan-shaped query), and the X2 band-tuning report (replaces
+# SQL_lateral_topn; SQL family keeps the recursive CTE). All five
+# passed tools/check_window_safety.py at sf0.01; every rotated-out
+# query stays green in the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
-    "P1_P5_project_filter",         # projection + filter pushdown
+    "J16_polygon_containment_join", # point-in-polygon grid join (r9 cont. 3)
     "P2_J2_dim_lookup_chain",       # broadcast dim chain
     "N2_N1_nest_unnest_roundtrip",  # nested explode/collect
     "S21_bucketed_colocated_join",  # shuffle-free bucketed join (r9 cont.)
     "J4_bbox_iou_pairs",            # geometry theta join
     "J14_temporal_anti_join",         # time-banded anti-join (r9 cont.)
     "J6_asof_latest_order",         # as-of join
-    "J8_range_join_banded",         # banded range join
+    "A28_exact_quantiles_twopass",  # sort-free exact quantiles (r9 cont. 3)
     "X4_unigram_nll_scores",        # CCNet-style perplexity gate (r9)
     "X3_graph_beam_search_portable",  # graph-ANN beam walk (r9 cont. 3)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "X2_semdedup_prune",           # SemDeDup auto-k prune (r9 first-time)
     "X3_cosine_topk_ivf_portable",  # cell-restricted ANN (r9 cont.)
-    "S19_warehouse_delete_keys",    # GDPR targeted delete + read-back (r6)
+    "S26_write_audit_publish",      # WAP governance round-trip (r9 cont. 3)
     "A9_hll_sketch_rollup",        # mergeable HLL rollup, 5-sigma invariant (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
     "A20_equi_depth_histogram",
@@ -135,7 +147,7 @@ _WINDOW = [
     "O6_pareto_skyline",           # distributed skyline via prefix-min (r6)
     "F_string_funcs",
     "X2_component_best_quality",    # quality-weighted keep-list (r9 cont.)
-    "SQL_lateral_topn_per_group",
+    "X2_lsh_band_tuning_report",    # verified (b,r) design study (r9 cont. 3)
     "SQL_recursive_reachability",
     "X11_pagerank_ann_portable",    # ANN edges + PageRank hash-checked (r7)
     "U3_bbox_inverse",              # geometry UDF surface
@@ -156,7 +168,7 @@ _WINDOW = [
     "X8_session_window_agg",        # session windows
     "X4_contrastive_negatives",     # bucketed negative sampling (r9 cont.)
     "X12_funnel_conversion",        # behavioral analytics
-    "DQ7_uniqueness_audit",         # data-quality audits
+    "DQ14_functional_dependency_audit",  # FD hold/fail audit (r9 cont. 3)
     "S25_schema_evolution_read",    # add/drop-column evolution (r9 cont. 3)
     "X6_streaming_tumbling",        # real readStream twin
 ]
