@@ -230,3 +230,54 @@ class TestApplyChangeFeed:
             read_table_snapshot(spark, wh, "t", 1), feed, ["id"]
         )
         assert {tuple(r) for r in applied.collect()} == {(1, "x", None)}
+
+
+class TestWriteAuditPublish:
+    """WAP governance: stage → audit → publish-or-abort (S26's engine)."""
+
+    def test_abort_leaves_live_table_untouched(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.snapshots import (
+            read_table_snapshot,
+            snapshot_versions,
+            write_audit_publish,
+        )
+
+        wh = str(tmp_path)
+        good = spark.createDataFrame([(1, 10.0), (2, 5.0)], "k long, v double")
+        bad = spark.createDataFrame([(3, -1.0)], "k long, v double")
+        audits = [("neg_v", F.col("v") < 0)]
+        v1, rep1 = write_audit_publish(spark, good, wh, "t", audits)
+        assert v1 == 1 and rep1 == [("neg_v", 0)]
+        v2, rep2 = write_audit_publish(spark, bad, wh, "t", audits)
+        assert v2 is None and rep2 == [("neg_v", 1)]
+        # live table: still exactly v1's rows, still exactly one version
+        assert snapshot_versions(wh, "t") == [1]
+        rows = sorted(
+            (r["k"], r["v"])
+            for r in read_table_snapshot(spark, wh, "t").collect()
+        )
+        assert rows == [(1, 10.0), (2, 5.0)]
+        # quarantined batch still on disk in staging for debugging
+        assert len(snapshot_versions(wh, "t__staging")) == 2
+
+    def test_publish_is_manifest_only(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hg_data_pipelines_spark.snapshots import write_audit_publish
+
+        wh = str(tmp_path)
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        v, _ = write_audit_publish(spark, df, wh, "t", [("neg", F.col("v") < 0)])
+        assert v == 1
+        # the live table dir holds ONLY manifests — data lives in staging
+        live_data = os.path.join(wh, "t", "data")
+        assert not os.path.isdir(live_data)
+        import json
+
+        with open(os.path.join(wh, "t", "_snapshots", "v1.json")) as fh:
+            m = json.load(fh)
+        assert "t__staging" in m["data_dir"]
