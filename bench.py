@@ -153,6 +153,7 @@ COVERAGE = [
     "X4_token_budget_mixture",       # water-filling mix planner (r9)
     "S26_write_audit_publish",       # WAP governance round-trip (r9)
     "J16_polygon_containment_join",  # grid-blocked point-in-polygon (r9)
+    "S27_snapshot_branch_merge",     # branch isolation + fast-forward (r9)
 ]
 
 

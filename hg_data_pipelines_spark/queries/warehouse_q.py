@@ -993,3 +993,82 @@ def write_audit_publish_query(spark, sf_dir):
         F.lit(published).cast("bigint").alias("n_published"),
         F.lit(attempts - published).cast("bigint").alias("n_rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# S27: snapshot BRANCHING + fast-forward merge — the experimentation half
+# of the governance toolkit next to S26's WAP: heavy rewrites happen on
+# an isolated branch (its own manifest chain, zero data copy at branch
+# point), readers of main never see intermediate states, and the merge
+# is a manifest-only fast-forward. The scenario: main holds the pre-1996
+# history; a "backfill" branch takes TWO cumulative commits (1996, then
+# 1997+); main is PROVABLY still the original state between them
+# (asserted against the live read); fast-forward lands the branch head.
+# Declared output = final main per-status aggregate + version counters;
+# the oracle recomputes from raw orders — a branch leak into main, a
+# lost commit, or a botched fast-forward all hash-mismatch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "S27_snapshot_branch_merge",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_total')},
+           CAST(2 AS BIGINT) AS main_versions,
+           CAST(3 AS BIGINT) AS branch_versions
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_branch_merge(spark, sf_dir):
+    import shutil
+
+    from ..snapshots import (
+        create_branch,
+        fast_forward,
+        read_table_snapshot,
+        snapshot_versions,
+        write_table_snapshot,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    wh = os.path.join(_warehouse_dir(sf_dir), "branching")
+    shutil.rmtree(wh, ignore_errors=True)
+    y96 = F.lit("1996-01-01").cast("date")
+    y97 = F.lit("1997-01-01").cast("date")
+    write_table_snapshot(orders.filter(F.col("o_orderdate") < y96), wh, "ord")
+    baseline = read_table_snapshot(spark, wh, "ord").count()
+    create_branch(wh, "ord", "backfill")
+    b = "ord@backfill"
+    head = read_table_snapshot(spark, wh, b)
+    write_table_snapshot(
+        head.unionByName(
+            orders.filter(
+                (F.col("o_orderdate") >= y96) & (F.col("o_orderdate") < y97)
+            )
+        ),
+        wh, b,
+    )
+    head = read_table_snapshot(spark, wh, b)
+    write_table_snapshot(
+        head.unionByName(orders.filter(F.col("o_orderdate") >= y97)), wh, b
+    )
+    # branch isolation: main is still the untouched baseline
+    if (
+        len(snapshot_versions(wh, "ord")) != 1
+        or read_table_snapshot(spark, wh, "ord").count() != baseline
+    ):
+        raise AssertionError("branch commits leaked into main")
+    fast_forward(wh, "ord", "backfill")
+    final = read_table_snapshot(spark, wh, "ord")
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_total"),
+        F.lit(len(snapshot_versions(wh, "ord")))
+        .cast("bigint")
+        .alias("main_versions"),
+        F.lit(len(snapshot_versions(wh, b)))
+        .cast("bigint")
+        .alias("branch_versions"),
+    )

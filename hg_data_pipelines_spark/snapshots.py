@@ -285,3 +285,71 @@ def write_audit_publish(
         )
     os.replace(tmp, os.path.join(snap_dir, f"v{version}.json"))
     return version, report
+
+
+def create_branch(
+    warehouse_dir: str, table: str, branch: str, version: int | None = None
+) -> int:
+    """Branch the table at ``version`` (default: latest) — Iceberg-style
+    branch semantics on the snapshot store. A branch is its own manifest
+    chain (``{table}@{branch}``) whose v1 POINTS at the parent's data
+    directory: zero data copy, and commits to the branch never touch the
+    parent chain. Returns the branch's first version id (always 1).
+    """
+    versions = snapshot_versions(warehouse_dir, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots for table {table!r}")
+    if version is None:
+        version = versions[-1]
+    with open(
+        os.path.join(_snap_dir(warehouse_dir, table), f"v{version}.json")
+    ) as fh:
+        data_dir = json.load(fh)["data_dir"]
+    btable = f"{table}@{branch}"
+    snap_dir = _snap_dir(warehouse_dir, btable)
+    os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, ".v1.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": 1,
+                "data_dir": data_dir,
+                "committed_at_unix": time.time(),
+                "branched_from": {"table": table, "version": version},
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(snap_dir, "v1.json"))
+    return 1
+
+
+def fast_forward(warehouse_dir: str, table: str, branch: str) -> int:
+    """Fast-forward ``table`` to the head of ``branch`` — a manifest-only
+    publish of the branch head into the main chain (the merge half of
+    branch-based WAP/experimentation workflows). Returns the new main
+    version id."""
+    btable = f"{table}@{branch}"
+    bversions = snapshot_versions(warehouse_dir, btable)
+    if not bversions:
+        raise FileNotFoundError(f"branch {branch!r} of {table!r} not found")
+    with open(
+        os.path.join(_snap_dir(warehouse_dir, btable), f"v{bversions[-1]}.json")
+    ) as fh:
+        data_dir = json.load(fh)["data_dir"]
+    versions = snapshot_versions(warehouse_dir, table)
+    version = (versions[-1] + 1) if versions else 1
+    snap_dir = _snap_dir(warehouse_dir, table)
+    os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "data_dir": data_dir,
+                "committed_at_unix": time.time(),
+                "fast_forwarded_from": {"branch": branch, "version": bversions[-1]},
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(snap_dir, f"v{version}.json"))
+    return version

@@ -281,3 +281,36 @@ class TestWriteAuditPublish:
         with open(os.path.join(wh, "t", "_snapshots", "v1.json")) as fh:
             m = json.load(fh)
         assert "t__staging" in m["data_dir"]
+
+
+class TestBranching:
+    def test_branch_isolation_and_fast_forward(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            create_branch,
+            fast_forward,
+            read_table_snapshot,
+            snapshot_versions,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path)
+        write_table_snapshot(
+            spark.createDataFrame([(1,)], "k long"), wh, "t"
+        )
+        create_branch(wh, "t", "dev")
+        head = read_table_snapshot(spark, wh, "t@dev")
+        write_table_snapshot(
+            head.unionByName(spark.createDataFrame([(2,)], "k long")),
+            wh, "t@dev",
+        )
+        # main untouched by the branch commit
+        assert snapshot_versions(wh, "t") == [1]
+        assert read_table_snapshot(spark, wh, "t").count() == 1
+        v = fast_forward(wh, "t", "dev")
+        assert v == 2
+        got = sorted(r["k"] for r in read_table_snapshot(spark, wh, "t").collect())
+        assert got == [1, 2]
+        # branch point was a pointer, not a copy: branch v1 reads main v1's dir
+        import json, os
+        with open(os.path.join(wh, "t@dev", "_snapshots", "v1.json")) as fh:
+            assert json.load(fh)["branched_from"] == {"table": "t", "version": 1}
