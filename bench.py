@@ -154,6 +154,7 @@ COVERAGE = [
     "S26_write_audit_publish",       # WAP governance round-trip (r9)
     "J16_polygon_containment_join",  # grid-blocked point-in-polygon (r9)
     "S27_snapshot_branch_merge",     # branch isolation + fast-forward (r9)
+    "X3_cosine_topk_filtered_portable",  # pre-filter metadata ANN (r9)
 ]
 
 

@@ -2790,3 +2790,55 @@ def polygon_containment_join(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X3 FILTERED ANN — predicate-constrained top-k (the "metadata filter"
+# every production vector store serves: top-k among vectors WHERE
+# label ∈ {...}). The pre- vs post-filter choice is the classic design
+# fork: post-filtering a fixed-k shortlist under a selective predicate
+# returns too few rows; this declares the PRE-FILTER form — the label
+# predicate lands on the candidate side BEFORE scoring, so bucket
+# collisions with non-matching labels are never scored and k survivors
+# are guaranteed when the filtered corpus has them. Uses the portable
+# RHP bucketing, so DuckDB replays buckets → filtered candidates →
+# ranking, end to end. At scale the filter rides the bucket join's scan
+# (predicate pushdown into the signature build), cost ∝ |matching
+# collisions|, not |collisions|.
+# --------------------------------------------------------------------------
+
+_FILT_LABELS = (1, 3)  # selective-but-nonempty on the fixture's 8 labels
+
+
+@query(
+    "X3_cosine_topk_filtered_portable",
+    f"""
+    WITH {_portable_lsh_cands_sql(f"AND qs.vec_id < {_N_QUERIES}")}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT ca.query_id, ca.neighbor_id, {_SQL_COSINE} AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY ca.query_id
+                   ORDER BY {_SQL_COSINE} DESC, ca.neighbor_id
+               ) AS INTEGER) AS rank
+        FROM cands ca
+        JOIN embeddings q ON q.vec_id = ca.query_id
+        JOIN embeddings c ON c.vec_id = ca.neighbor_id
+        WHERE c.label IN {_FILT_LABELS}
+    ) WHERE rank <= {_K}
+    """,
+)
+def cosine_topk_filtered_portable(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    # PRE-filter: the corpus side is restricted before signatures are
+    # built, so non-matching vectors never reach the bucket join at all
+    corpus = emb.filter(F.col("label").isin(*_FILT_LABELS))
+    return lsh_topk(
+        queries,
+        corpus,
+        k=_K,
+        dim=_EMB_DIM,
+        n_planes=_LSH_PORTABLE_PLANES,
+        n_tables=_LSH_PORTABLE_TABLES,
+        portable=True,
+    )
