@@ -155,6 +155,8 @@ COVERAGE = [
     "J16_polygon_containment_join",  # grid-blocked point-in-polygon (r9)
     "S27_snapshot_branch_merge",     # branch isolation + fast-forward (r9)
     "X3_cosine_topk_filtered_portable",  # pre-filter metadata ANN (r9)
+    "S28_small_file_compaction",     # OPTIMIZE loop, oracle-checked (r9)
+    "X11_modularity_report",         # Newman Q for LPA communities (r9)
 ]
 
 

@@ -569,7 +569,13 @@ def triangle_counts_ann(spark, sf_dir):
 _LPA_ITERS = 3
 
 
-def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+def _lpa_sql(iters: int = _LPA_ITERS, materialized: bool = False) -> str:
+    # materialized=True pins und/dir (and so the O(n^2) kNN derivation)
+    # to a single evaluation — required by consumers that reference the
+    # edge set several times downstream (X11_modularity_report: degrees,
+    # edge count, intra-community joins), where plain CTEs re-execute
+    # the quadratic chain per reference and OOM DuckDB at sf0.1.
+    mat = "MATERIALIZED " if materialized else ""
     q = f"""
     WITH knn AS (
         SELECT q.vec_id AS src, c.vec_id AS dst
@@ -577,10 +583,10 @@ def _lpa_sql(iters: int = _LPA_ITERS) -> str:
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id
         ) <= {_KNN_K}
-    ), und AS (
+    ), und AS {mat}(
         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         FROM knn
-    ), dir AS (
+    ), dir AS {mat}(
         SELECT a AS node, b AS nbr FROM und
         UNION ALL
         SELECT b AS node, a AS nbr FROM und
@@ -686,3 +692,118 @@ def label_propagation_ann_portable(spark, sf_dir):
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
     return label_propagation(und, iters=_LPA_ITERS)
+
+
+# --------------------------------------------------------------------------
+# X11: community MODULARITY report — the quality measurement for the LPA
+# communities above (Newman's Q, the standard partition-quality metric).
+# Per community c: q_term = e_c/m - (d_c/2m)^2 with e_c intra-community
+# edges, d_c degree mass, m total undirected edges — computed as the
+# all-integer numerator (4·m·e_c - d_c²) over 4·m², one double division
+# rounded to micro units, so both engines agree exactly. The oracle
+# replays the kNN edge derivation, all three LPA rounds, AND the
+# modularity arithmetic. Scale: degrees and intra-edge counts are one
+# key-shuffle each over the (lineage-truncated) edge set — measurement
+# costs no more than one LPA round.
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    base = _lpa_sql(materialized=True)
+    tail = f" SELECT node, label FROM l{_LPA_ITERS}"
+    assert base.endswith(tail)
+    # MATERIALIZED is load-bearing: lab is referenced three times below
+    # and without it DuckDB re-executes the whole O(n^2) kNN + LPA chain
+    # per reference (observed: OOM at sf0.1 — the exact failure mode the
+    # verify notes warn about)
+    return base[: -len(tail)] + f""",
+    lab AS MATERIALIZED (SELECT node, label FROM l{_LPA_ITERS}),
+    mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM und),
+    deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM dir GROUP BY node),
+    comm AS (
+        SELECT l.label AS community, COUNT(*) AS n_nodes,
+               CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+        FROM lab l JOIN deg ON deg.node = l.node
+        GROUP BY l.label
+    ),
+    intra AS (
+        SELECT la.label AS community, COUNT(*) AS e_in
+        FROM und
+        JOIN lab la ON la.node = und.a
+        JOIN lab lb ON lb.node = und.b
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    )
+    SELECT c.community, c.n_nodes,
+           CAST(COALESCE(i.e_in, 0) AS BIGINT) AS intra_edges,
+           c.degree_sum,
+           CAST(ROUND((1000000.0 * (4 * mm.m * COALESCE(i.e_in, 0)
+                                    - c.degree_sum * c.degree_sum))
+                      / (4.0 * mm.m * mm.m)) AS BIGINT) AS q_term_micro
+    FROM comm c LEFT JOIN intra i ON i.community = c.community
+    CROSS JOIN mm
+    """
+
+
+@query("X11_modularity_report", _modularity_oracle())
+def modularity_report(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    knn = knn_graph_exact(emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    und = (
+        knn.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # shared by LPA, degrees, intra
+    )
+    lab = label_propagation(und, iters=_LPA_ITERS)
+    dirr = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = dirr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    mm = und.agg(F.count(F.lit(1)).alias("m"))
+    comm = (
+        lab.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    out = (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                (
+                    F.lit(1000000.0)
+                    * (
+                        4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                        - F.col("degree_sum") * F.col("degree_sum")
+                    )
+                )
+                / (F.lit(4.0) * F.col("m") * F.col("m"))
+            )
+            .cast("bigint")
+            .alias("q_term_micro"),
+        )
+    )
+    return out

@@ -1072,3 +1072,57 @@ def snapshot_branch_merge(spark, sf_dir):
         .cast("bigint")
         .alias("branch_versions"),
     )
+
+
+# --------------------------------------------------------------------------
+# S28: small-file COMPACTION as a declared, oracle-checked query — the
+# canonical warehouse maintenance op (io.compact_table) finally in the
+# correctness gate, not just pytest. A deliberately fragmented landing
+# (64 tiny files of the events fact) is compacted toward a large target;
+# the declared output re-aggregates the compacted table next to the
+# before/after file counts. The oracle recomputes the aggregate from raw
+# events and pins the counters as literals (the landing repartition and
+# the post-compaction ceil(bytes/target) = 1 are both deterministic), so
+# a compaction that lost/duplicated rows, or failed to actually reduce
+# files, hash-mismatches. At 100 TB this is the OPTIMIZE loop every
+# streaming/MERGE table needs weekly.
+# --------------------------------------------------------------------------
+
+_S28_FRAGMENTS = 64
+
+
+@query(
+    "S28_small_file_compaction",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 'sum_value')},
+           CAST({_S28_FRAGMENTS} AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def small_file_compaction(spark, sf_dir):
+    import glob
+    import shutil
+
+    from ..io import compact_table
+
+    utc(spark)
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(_warehouse_dir(sf_dir), "events_fragmented")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.repartition(_S28_FRAGMENTS).write.parquet(path)
+
+    def n_files() -> int:
+        return len(glob.glob(os.path.join(path, "*.parquet")))
+
+    before = n_files()
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    after = n_files()
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.lit(before).cast("bigint").alias("files_before"),
+        F.lit(after).cast("bigint").alias("files_after"),
+    )

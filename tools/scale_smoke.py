@@ -136,6 +136,7 @@ QUERIES = [
     "X4_token_budget_mixture",
     "S26_write_audit_publish",
     "J16_polygon_containment_join",
+    "S28_small_file_compaction",
     # excluded by contract: X2_lsh_band_tuning_report (fixture-scale
     # design study), X3_graph_beam_search_portable / X3_graph_ann_warm_
     # check (fixed-plane oracle fixtures — the auto-plane production
