@@ -268,6 +268,13 @@ COMPOSE_QUERIES = [
     # grows quadratically per decade (the near-dup-clique exclusion class).
     "X1_cdc_chunk_dedup",
     "A27_quantile_summary_rollup",
+    # round-9 continuation 3: the graph-ANN serve path under two decades
+    # (auto_planes 10 -> 13 across the composed decade; the walk budget
+    # is fixed, so the ratio isolates the edge build) and the audio
+    # fingerprint join (planted-pair structure is decade-invariant —
+    # copies of copies stay exact-fingerprint cliques of size 2).
+    "X3_graph_beam_search",
+    "X5_audio_fingerprint_neardups",
 ]
 
 
