@@ -157,6 +157,7 @@ COVERAGE = [
     "X3_cosine_topk_filtered_portable",  # pre-filter metadata ANN (r9)
     "S28_small_file_compaction",     # OPTIMIZE loop, oracle-checked (r9)
     "X11_modularity_report",         # Newman Q for LPA communities (r9)
+    "X4_preference_pairs",           # DPO/RM chosen-rejected pairing (r9)
 ]
 
 

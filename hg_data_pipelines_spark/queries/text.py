@@ -1079,3 +1079,141 @@ def quality_tier_sample(spark, sf_dir):
         .otherwise(F.lit(int(0.1 * _U32)))
     )
     return tiered.filter(F.col("u") < rate).select("doc_id", "tier")
+
+
+# --------------------------------------------------------------------------
+# X4: PREFERENCE-PAIR construction — reward-model / DPO data prep: per
+# source, the i-th BEST document (by the declared quality score) is
+# paired with the i-th WORST as (chosen, rejected), up to 5 pairs per
+# source, with the score margin in micro units. Deterministic by the
+# house ranking discipline (score rounded to 6dp before the windows,
+# doc_id tiebreaks, null scores filtered); chosen and rejected can never
+# collide because pair_rank is capped at n//2. The oracle replays the
+# full feature extraction, both rank windows, and the self-join pairing.
+# Scale: two windows per source partition + a rank equi-join — no
+# cross product; the expensive half is the feature scan the quality
+# gate already pays.
+# --------------------------------------------------------------------------
+
+_PREF_PAIRS_PER_SOURCE = 5
+_SQL_QSCORE = """
+           0.25 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+           + 0.25 * (1.0 - punct_ratio)
+           + 0.25 * (CASE WHEN stopword_ratio > 0.02 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * distinct_ratio
+"""
+
+
+@query(
+    "X4_preference_pairs",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, {_SQL_TOKS} AS toks,
+               length(text) AS nc,
+               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ), feat AS (
+        SELECT source, doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(n_punct AS DOUBLE) / nc AS punct_ratio,
+               CAST(len(list_filter(toks, x -> list_contains({{stops}}, x))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+        FROM t
+    ), sc AS (
+        SELECT source, doc_id, round({_SQL_QSCORE}, 6) AS q FROM feat
+        WHERE round({_SQL_QSCORE}, 6) IS NOT NULL
+    ), rk AS (
+        SELECT source, doc_id, q,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+                   AS rb,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY q ASC, doc_id)
+                   AS rw,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM sc
+    )
+    SELECT b.source, CAST(b.rb AS INTEGER) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           CAST(ROUND(1000000.0 * (b.q - w.q)) AS BIGINT) AS margin_micro
+    FROM rk b JOIN rk w
+      ON b.source = w.source AND b.rb = w.rw
+     AND b.rb <= LEAST({_PREF_PAIRS_PER_SOURCE}, b.n // 2)
+    """.replace("{stops}", "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"),
+)
+def preference_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", scan_parallel=True)
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    feat = docs.select(
+        "source",
+        "doc_id",
+        _toks().alias("toks"),
+        F.length("text").cast("long").alias("nc"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias("n_punct"),
+    ).select(
+        "source",
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        (F.col("n_punct").cast("double") / F.col("nc")).alias("punct_ratio"),
+        (
+            F.expr(
+                f"size(filter(toks, x -> array_contains(array({stop_arr}), x)))"
+            ).cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "distinct_ratio"
+        ),
+    )
+    score = (
+        0.25 * F.when(F.col("n_tokens") >= 20, 1.0).otherwise(F.col("n_tokens") / 20.0)
+        + 0.25 * (1.0 - F.col("punct_ratio"))
+        + 0.25 * F.when(F.col("stopword_ratio") > 0.02, 1.0).otherwise(0.0)
+        + 0.25 * F.col("distinct_ratio")
+    )
+    sc = (
+        feat.withColumn("q", F.round(score, 6))
+        .filter(F.col("q").isNotNull())
+        .select("source", "doc_id", "q")
+    )
+    rk = sc.select(
+        "source", "doc_id", "q",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id")))
+        .alias("rb"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.asc("q"), F.asc("doc_id")))
+        .alias("rw"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    b = rk.select(
+        "source", F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("qb"), "rb", "n",
+    )
+    w = rk.select(
+        F.col("source").alias("wsource"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("qw"), "rw",
+    )
+    return (
+        b.join(
+            w,
+            (F.col("source") == F.col("wsource")) & (F.col("rb") == F.col("rw")),
+        )
+        .filter(
+            F.col("rb")
+            <= F.least(
+                F.lit(_PREF_PAIRS_PER_SOURCE), F.expr("n div 2")
+            )
+        )
+        .select(
+            "source",
+            F.col("rb").cast("int").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            F.round(1_000_000.0 * (F.col("qb") - F.col("qw")))
+            .cast("bigint")
+            .alias("margin_micro"),
+        )
+    )

@@ -137,6 +137,7 @@ QUERIES = [
     "S26_write_audit_publish",
     "J16_polygon_containment_join",
     "S28_small_file_compaction",
+    "X4_preference_pairs",
     # excluded by contract: X2_lsh_band_tuning_report (fixture-scale
     # design study), X3_graph_beam_search_portable / X3_graph_ann_warm_
     # check (fixed-plane oracle fixtures — the auto-plane production
