@@ -203,13 +203,53 @@ def lsh_topk(
             F.posexplode(tables).alias("table", "bucket"),
         )
 
+    # Two physical shapes, one semantics. The plane count encodes corpus
+    # scale (auto_planes: planes >= 12 <=> n >= ~131k):
+    #
+    # - fixture/serve scale (planes < 12): vectors + norms ride THROUGH
+    #   the bucket join (the fewest shuffles; Catalyst broadcasts the
+    #   small side).
+    # - large scale (planes >= 12): the WIDE shape dies twice over —
+    #   Catalyst misestimates the posexploded signatures and broadcasts
+    #   a multi-GB HashedRelation, and even forced to sort-merge the
+    #   candidate explosion drags two 64-float vectors per row through
+    #   shuffle/sort (measured at 200k vectors x 16 tables: executor
+    #   heap death at 8g either way). So the bucket join carries IDS
+    #   ONLY (16-byte rows through the explosion), pairs dedup narrow,
+    #   and the two vector relations re-join once per surviving pair —
+    #   two extra well-keyed shuffles in exchange for a candidate
+    #   stream ~40x narrower. Same candidate set, same cosine
+    #   expression, bit-identical output.
+    wide = n_planes < 12
     qs = sig_table(queries, "query")
     cs = sig_table(corpus, "neighbor")
-    candidates = (
-        qs.join(cs, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    if wide:
+        candidates = (
+            qs.join(cs, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    else:
+        pairs = (
+            qs.select("table", "bucket", "query_id")
+            .join(
+                cs.select("table", "bucket", "neighbor_id").hint("merge"),
+                ["table", "bucket"],
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("queryv"),
+            _self_dot(vec_col).alias("_queryn"),
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighborv"),
+            _self_dot(vec_col).alias("_neighborn"),
+        )
+        candidates = pairs.join(qv, "query_id").join(cv, "neighbor_id")
     scored = candidates.select(
         "query_id",
         "neighbor_id",

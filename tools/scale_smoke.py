@@ -271,11 +271,17 @@ COMPOSE_QUERIES = [
     "A27_quantile_summary_rollup",
     # round-9 continuation 3: the graph-ANN serve path under two decades
     # (auto_planes 10 -> 13 across the composed decade; the walk budget
-    # is fixed, so the ratio isolates the edge build) and the audio
-    # fingerprint join (planted-pair structure is decade-invariant —
-    # copies of copies stay exact-fingerprint cliques of size 2).
+    # is fixed, so the ratio isolates the edge build). This run CAUGHT a
+    # real scale bug — see lsh_topk's narrow candidate path (heap death
+    # at 200k vectors -> 139.6s after the fix).
+    # X5_audio_fingerprint_neardups is deliberately NOT composed: the
+    # replica construction perturbs only embedding dim 0, which the
+    # coarse HK energy bits absorb, so every original becomes a k·k-way
+    # identical-fingerprint clique and the exact-match join's OUTPUT is
+    # quadratic BY CONSTRUCTION — the same near-dup-clique exclusion
+    # class as J15. Its per-pair cost is pinned by the plain 10x smoke
+    # (ratio 1.62 on the suffix-diversified replica).
     "X3_graph_beam_search",
-    "X5_audio_fingerprint_neardups",
 ]
 
 
