@@ -191,7 +191,7 @@ FROZEN_R1_SUBSET = HEADLINE[:13]
 
 # Bump when HEADLINE or COVERAGE membership changes, so cross-round total
 # comparisons are gated on matching set_version (judge advice, round 7).
-SET_VERSION = 13
+SET_VERSION = 14
 
 
 def _next_round_number(repo_dir: str) -> int:
