@@ -274,6 +274,7 @@ def embedding_neardup_lsh(
     n_planes: int = 4,
     n_tables: int = 16,
     round_dp: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine ≥ threshold) via RHP-LSH bucketing —
     the scale path for the exact all-pairs twin.
@@ -295,16 +296,31 @@ def embedding_neardup_lsh(
         .agg(F.collect_list("_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)), y ->"
-                    " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-                )
-            ).alias("p")
+    # max_bucket: the same occupancy guard as minhash_lsh_pairs — a
+    # degenerate bucket's all-pairs array is QUADRATIC in bucket size and
+    # is materialized as ONE in-memory value before explode (measured at
+    # 200k vectors with fixed 4-plane buckets: 12.5k-id buckets -> 78M
+    # struct arrays -> executor heap death). Oversized buckets
+    # star-expand (sorted-min member <-> rest); every member still
+    # reaches the exact-cosine check and components recover cliques
+    # transitively. None keeps exact all-pairs (the fixture setting).
+    all_pairs_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+    )
+    if max_bucket is not None:
+        buckets = buckets.withColumn("ids", F.array_sort("ids"))
+        pair_expr = (
+            f"CASE WHEN size(ids) > {int(max_bucket)} THEN"
+            " transform(slice(ids, 2, size(ids) - 1), y ->"
+            " struct(element_at(ids, 1) as id_a, y as id_b))"
+            f" ELSE {all_pairs_expr} END"
         )
+    else:
+        pair_expr = all_pairs_expr
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -206,10 +206,17 @@ def embedding_neardup_lsh_q(spark, sf_dir):
     """RHP-LSH scale path for X2_embedding_neardup_pairs (rows-only:
     candidate recall is probabilistic by design; pytest asserts exact
     precision and a recall floor against the exact twin)."""
-    from ..operators.similarity import embedding_neardup_lsh
+    from ..operators.similarity import auto_planes, embedding_neardup_lsh
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    return embedding_neardup_lsh(emb, _NEARDUP_COS, n_planes=4, n_tables=16)
+    # auto_planes + occupancy guard: at the fixture auto_planes resolves
+    # to the old fixed 4 (floor), so declared output is unchanged; at
+    # 200k vectors planes scale to 13 and the 1024-cap star expansion
+    # fences whatever residual skew remains (scale sweep, r9 cont. 3)
+    planes = auto_planes(emb.count())
+    return embedding_neardup_lsh(
+        emb, _NEARDUP_COS, n_planes=planes, n_tables=16, max_bucket=1024
+    )
 
 
 # --------------------------------------------------------------------------
