@@ -178,6 +178,54 @@ def jaccard_prefix_filter_pairs(
     )
 
 
+def capped_pair_expansion_expr(max_bucket: int | None) -> str:
+    """SQL expression expanding a bucket's ``ids`` array into candidate
+    pairs (struct<id_a, id_b>), with the LSH occupancy guard.
+
+    Buckets at or under ``max_bucket`` get exact all-pairs expansion.
+    Oversized buckets (degenerate band keys: verbatim-copy cliques,
+    boilerplate shingle sets — all-pairs is QUADRATIC and was measured at
+    78 GB spill/DNF on a 100× composed fixture) are CHUNKED into
+    overlapping windows of ``max_bucket`` sorted ids with stride
+    ``max_bucket - 1``: all-pairs within each window, adjacent windows
+    sharing one chaining element. Candidate volume stays LINEAR in bucket
+    size (≈ n·cap/2 pairs), every member pairs with ~cap-1 neighbors
+    (not a single hub, the recall flaw of star expansion), and the chain
+    keeps downstream connected components spanning the whole bucket.
+    Residual contract: a pair straddling a window boundary is emitted
+    only if it co-collides in another band/table — that recall loss is
+    bounded by the window width and disappears under any component pass.
+
+    Callers must ``array_sort`` the ids column first when a cap is set
+    (deterministic windows). ``None`` keeps exact all-pairs (the
+    oracle-twin setting).
+    """
+
+    def _all_pairs(arr: str) -> str:
+        return (
+            f"flatten(transform({arr}, (x, i) ->"
+            f" transform(slice({arr}, i + 2, size({arr})), y ->"
+            " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+        )
+
+    if max_bucket is None:
+        return _all_pairs("ids")
+    cap = int(max_bucket)
+    if cap < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {cap}")
+    stride = cap - 1
+    chunk = f"slice(ids, j * {stride} + 1, {cap})"
+    chunked = (
+        "flatten(transform(sequence(0,"
+        f" CAST(ceil((size(ids) - 1) / CAST({stride} AS DOUBLE)) AS INT) - 1),"
+        f" j -> {_all_pairs(chunk)}))"
+    )
+    return (
+        f"CASE WHEN size(ids) > {cap} THEN {chunked}"
+        f" ELSE {_all_pairs('ids')} END"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -195,18 +243,13 @@ def minhash_lsh_pairs(
     precision is exact and only recall is probabilistic (tuned by
     bands/rows-per-band around the threshold knee).
 
-    ``max_bucket`` is the occupancy guard (standard LSH skew control): a
-    bucket larger than that is a degenerate band key — a verbatim-copy
-    clique, a boilerplate shingle set — whose all-pairs expansion is
-    QUADRATIC in bucket size (measured: the composed 100× fixture with
-    100-way cliques spilled 78 GB and DNF'd). Oversized buckets are
-    STAR-expanded instead (sorted-min member ↔ every other member):
-    output stays linear in bucket size, every member still reaches the
-    exact-Jaccard check, and downstream connected components recover the
-    full clique transitively. The cost is direct edges between
-    non-representative members — only pair CONSUMERS that never cluster
-    (rare) see the difference. ``None`` keeps exact all-pairs expansion
-    (the oracle-twin setting).
+    ``max_bucket`` is the occupancy guard (standard LSH skew control):
+    oversized degenerate buckets expand via overlapping capped windows
+    instead of quadratic all-pairs — see
+    ``capped_pair_expansion_expr`` for the full contract (linear
+    candidate volume, ~cap-1 direct neighbors per member, chained
+    windows so components span the bucket). ``None`` keeps exact
+    all-pairs expansion (the oracle-twin setting).
     """
     base = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("toks")).select(
         "_id", word_shingles("toks", ngram).alias("shingles")
@@ -228,21 +271,9 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    all_pairs_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y ->"
-        " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-    )
     if max_bucket is not None:
         buckets = buckets.withColumn("ids", F.array_sort("ids"))
-        pair_expr = (
-            f"CASE WHEN size(ids) > {int(max_bucket)} THEN"
-            " transform(slice(ids, 2, size(ids) - 1), y ->"
-            " struct(element_at(ids, 1) as id_a, y as id_b))"
-            f" ELSE {all_pairs_expr} END"
-        )
-    else:
-        pair_expr = all_pairs_expr
+    pair_expr = capped_pair_expansion_expr(max_bucket)
     pairs = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")

@@ -672,12 +672,22 @@ def exact_quantiles_twopass(
         .filter(F.col("rn") == F.col("off"))
         .select("g", "q", "x")
     )
+    def _qname(q: float) -> str:
+        # deterministic: p{percent:02d} for 2-dp quantiles (q=0.5 -> p50,
+        # q=1.0 -> p100), full repr digits otherwise (q=0.125 -> p12_5) —
+        # never str().replace, whose output depends on float repr quirks
+        scaled = q * 100.0
+        if abs(scaled - round(scaled)) < 1e-9:
+            return f"p{int(round(scaled)):02d}"
+        return "p" + repr(scaled).replace(".", "_").rstrip("_0")
+
+    names = [_qname(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile column names collide: {names}")
     agg = picked.groupBy("g").agg(
         *[
-            F.max(F.when(F.col("q") == q, F.col("x"))).alias(
-                f"p{str(q).replace('0.', '').ljust(2, '0')}"
-            )
-            for q in quantiles
+            F.max(F.when(F.col("q") == q, F.col("x"))).alias(name)
+            for q, name in zip(quantiles, names)
         ]
     )
     return agg.withColumnRenamed("g", group_col)

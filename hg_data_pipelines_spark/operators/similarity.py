@@ -300,25 +300,16 @@ def embedding_neardup_lsh(
     # degenerate bucket's all-pairs array is QUADRATIC in bucket size and
     # is materialized as ONE in-memory value before explode (measured at
     # 200k vectors with fixed 4-plane buckets: 12.5k-id buckets -> 78M
-    # struct arrays -> executor heap death). Oversized buckets
-    # star-expand (sorted-min member <-> rest); every member still
-    # reaches the exact-cosine check and components recover cliques
-    # transitively. None keeps exact all-pairs (the fixture setting).
-    all_pairs_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y ->"
-        " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-    )
+    # struct arrays -> executor heap death). Oversized buckets expand via
+    # overlapping capped windows (see capped_pair_expansion_expr): linear
+    # candidate volume, ~cap-1 direct neighbors per member, chained so
+    # components span the bucket. None keeps exact all-pairs (the
+    # fixture setting).
+    from .dedup import capped_pair_expansion_expr
+
     if max_bucket is not None:
         buckets = buckets.withColumn("ids", F.array_sort("ids"))
-        pair_expr = (
-            f"CASE WHEN size(ids) > {int(max_bucket)} THEN"
-            " transform(slice(ids, 2, size(ids) - 1), y ->"
-            " struct(element_at(ids, 1) as id_a, y as id_b))"
-            f" ELSE {all_pairs_expr} END"
-        )
-    else:
-        pair_expr = all_pairs_expr
+    pair_expr = capped_pair_expansion_expr(max_bucket)
     pairs = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")

@@ -95,20 +95,58 @@ def read_table_snapshot(
     return spark.read.parquet(manifest["data_dir"])
 
 
+def _live_data_dirs(warehouse_dir: str) -> set[str]:
+    """Every data_dir referenced by any committed manifest in the
+    warehouse — across ALL chains (tables, ``@branch`` chains,
+    ``__staging`` chains). Manifests are tiny JSON, so this scan is
+    cheap even for warehouses with thousands of versions."""
+    refs: set[str] = set()
+    if not os.path.isdir(warehouse_dir):
+        return refs
+    for entry in os.listdir(warehouse_dir):
+        snap_dir = os.path.join(warehouse_dir, entry, "_snapshots")
+        if not os.path.isdir(snap_dir):
+            continue
+        for f in os.listdir(snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    refs.add(os.path.abspath(json.load(fh)["data_dir"]))
+    return refs
+
+
 def expire_snapshots(
     warehouse_dir: str, table: str, keep_latest: int = 2
 ) -> list[int]:
     """Vacuum: drop all but the newest ``keep_latest`` versions (manifest
     first, then data, so a concurrent reader never resolves a manifest to
-    deleted files). Returns the expired version ids."""
+    deleted files). Returns the expired version ids.
+
+    Data-file deletion is reference-counted across the WHOLE warehouse:
+    branch/WAP/fast-forward manifests legitimately point into another
+    chain's data directory (manifest-only publishes copy no data), so a
+    data dir is removed only when (a) it is OWNED by the chain being
+    expired (lives under ``<warehouse>/<table>/data/``) and (b) after the
+    expired manifests are gone, NO live manifest in any chain still
+    references it. Unowned or still-referenced dirs lose only their
+    manifest — the owning/consuming chain's own expiry reclaims the
+    bytes once the last reference drops.
+    """
     versions = snapshot_versions(warehouse_dir, table)
     expired = versions[:-keep_latest] if keep_latest > 0 else versions
+    owned_root = os.path.abspath(os.path.join(warehouse_dir, table, "data"))
+    candidates: list[str] = []
     for v in expired:
         manifest_path = os.path.join(_snap_dir(warehouse_dir, table), f"v{v}.json")
         with open(manifest_path) as fh:
-            data_dir = json.load(fh)["data_dir"]
+            data_dir = os.path.abspath(json.load(fh)["data_dir"])
         os.remove(manifest_path)
-        shutil.rmtree(data_dir, ignore_errors=True)
+        if os.path.commonpath([data_dir, owned_root]) == owned_root:
+            candidates.append(data_dir)
+    if candidates:
+        still_live = _live_data_dirs(warehouse_dir)
+        for data_dir in candidates:
+            if data_dir not in still_live:
+                shutil.rmtree(data_dir, ignore_errors=True)
     return expired
 
 
@@ -131,7 +169,13 @@ def compact_snapshot(
 
     df = read_table_snapshot(spark, warehouse_dir, table)
     versions = snapshot_versions(warehouse_dir, table)
-    cur_dir = os.path.join(warehouse_dir, table, "data", f"v{versions[-1]}")
+    # Resolve the data dir from the manifest: WAP/fast-forward versions
+    # point into another chain, so reconstructing <table>/data/v{N} would
+    # walk an empty path and ignore target_file_bytes.
+    with open(
+        os.path.join(_snap_dir(warehouse_dir, table), f"v{versions[-1]}.json")
+    ) as fh:
+        cur_dir = json.load(fh)["data_dir"]
     total = 0
     for root, _dirs, files in os.walk(cur_dir):
         for f in files:
@@ -245,10 +289,10 @@ def write_audit_publish(
     Returns (published_version | None, [(audit_name, n_violations)]).
 
     Ownership note: after publish the staged data dir is referenced by
-    the live table's manifest, so ``expire_snapshots`` on the staging
-    chain must keep at least the published versions (or never run —
-    staging chains are cheap, they hold only manifests plus data the
-    live table needs anyway).
+    the live table's manifest. ``expire_snapshots`` reference-counts data
+    dirs across every chain in the warehouse, so expiring either chain
+    is safe — the staged bytes survive until the LAST manifest pointing
+    at them (staging or published) is gone.
     """
     from pyspark.sql import functions as F
 
@@ -288,17 +332,36 @@ def write_audit_publish(
 
 
 def create_branch(
-    warehouse_dir: str, table: str, branch: str, version: int | None = None
+    warehouse_dir: str,
+    table: str,
+    branch: str,
+    version: int | None = None,
+    overwrite: bool = False,
 ) -> int:
     """Branch the table at ``version`` (default: latest) — Iceberg-style
     branch semantics on the snapshot store. A branch is its own manifest
     chain (``{table}@{branch}``) whose v1 POINTS at the parent's data
     directory: zero data copy, and commits to the branch never touch the
     parent chain. Returns the branch's first version id (always 1).
+
+    Re-branching an existing branch would rewrite its v1 to a new parent
+    while leaving v2+ intact — silently corrupting the branch's history —
+    so an existing chain raises unless ``overwrite=True``, which drops
+    the ENTIRE old chain's manifests first (data dirs owned by the old
+    branch chain are reclaimed via ``expire_snapshots`` reference
+    counting, never blindly here).
     """
     versions = snapshot_versions(warehouse_dir, table)
     if not versions:
         raise FileNotFoundError(f"no snapshots for table {table!r}")
+    existing = snapshot_versions(warehouse_dir, f"{table}@{branch}")
+    if existing:
+        if not overwrite:
+            raise FileExistsError(
+                f"branch {branch!r} of {table!r} already exists "
+                f"(versions {existing}); pass overwrite=True to replace it"
+            )
+        expire_snapshots(warehouse_dir, f"{table}@{branch}", keep_latest=0)
     if version is None:
         version = versions[-1]
     with open(

@@ -1041,6 +1041,27 @@ class TestExactQuantilesTwopass:
             )
             assert got[g] == want, (g, got[g], want)
 
+    def test_output_column_names_deterministic(self, spark):
+        """q=1.0 must name p100 (not 'p1.0'), 2-dp quantiles zero-pad,
+        and float-identical quantiles raise instead of silently
+        colliding (0.5 and 0.50 are the SAME float — callers passing
+        both get an error, not a duplicate column)."""
+        import pytest
+
+        from hg_data_pipelines_spark.operators.scale import (
+            exact_quantiles_twopass,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(10)], "g string, x double"
+        )
+        out = exact_quantiles_twopass(df, "g", "x", [0.05, 0.5, 1.0])
+        assert out.columns == ["g", "p05", "p50", "p100"]
+        row = out.collect()[0]
+        assert (row["p05"], row["p50"], row["p100"]) == (0.0, 4.0, 9.0)
+        with pytest.raises(ValueError, match="collide"):
+            exact_quantiles_twopass(df, "g", "x", [0.5, 0.50])
+
     def test_no_global_sort_in_plan(self, spark):
         from hg_data_pipelines_spark.operators.scale import (
             exact_quantiles_twopass,

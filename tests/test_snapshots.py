@@ -314,3 +314,104 @@ class TestBranching:
         import json, os
         with open(os.path.join(wh, "t@dev", "_snapshots", "v1.json")) as fh:
             assert json.load(fh)["branched_from"] == {"table": "t", "version": 1}
+
+    def test_rebranch_requires_overwrite(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import (
+            create_branch,
+            read_table_snapshot,
+            snapshot_versions,
+            write_table_snapshot,
+        )
+
+        wh = str(tmp_path)
+        write_table_snapshot(spark.createDataFrame([(1,)], "k long"), wh, "t")
+        create_branch(wh, "t", "dev")
+        write_table_snapshot(spark.createDataFrame([(2,)], "k long"), wh, "t@dev")
+        # silent v1 rewrite under existing v2 would corrupt branch history
+        with pytest.raises(FileExistsError):
+            create_branch(wh, "t", "dev")
+        # explicit overwrite replaces the WHOLE chain, not just v1
+        write_table_snapshot(spark.createDataFrame([(9,)], "k long"), wh, "t")
+        assert create_branch(wh, "t", "dev", overwrite=True) == 1
+        assert snapshot_versions(wh, "t@dev") == [1]
+        assert [r["k"] for r in read_table_snapshot(spark, wh, "t@dev").collect()] == [9]
+
+
+class TestExpireOwnership:
+    """expire_snapshots must never delete data referenced by another
+    chain: branch/WAP/fast-forward manifests point into foreign data
+    dirs (manifest-only publishes copy no bytes)."""
+
+    def test_expiring_parent_keeps_branch_referenced_data(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import create_branch
+
+        wh = str(tmp_path)
+        write_table_snapshot(spark.createDataFrame([(1,)], "k long"), wh, "t")
+        create_branch(wh, "t", "dev")  # dev v1 points at t/data/v1
+        write_table_snapshot(spark.createDataFrame([(2,)], "k long"), wh, "t")
+        write_table_snapshot(spark.createDataFrame([(3,)], "k long"), wh, "t")
+        expired = expire_snapshots(wh, "t", keep_latest=1)
+        assert expired == [1, 2]
+        # v1's bytes survive: the branch still references them
+        assert read_table_snapshot(spark, wh, "t@dev").count() == 1
+        # v2's bytes (unreferenced) are gone
+        assert not os.path.isdir(os.path.join(wh, "t", "data", "v2"))
+
+    def test_expiring_staging_keeps_published_data(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import write_audit_publish
+
+        wh = str(tmp_path)
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        v, _ = write_audit_publish(
+            spark, df, wh, "t", [("neg", F.col("v") < 0)]
+        )
+        assert v == 1
+        # vacuum the staging chain entirely: manifests go, bytes stay
+        # (the live table's manifest still references them)
+        expired = expire_snapshots(wh, "t__staging", keep_latest=0)
+        assert expired == [1]
+        assert read_table_snapshot(spark, wh, "t").count() == 1
+
+    def test_expiring_consumer_never_deletes_foreign_dir(self, spark, tmp_path):
+        from hg_data_pipelines_spark.snapshots import create_branch
+
+        wh = str(tmp_path)
+        write_table_snapshot(spark.createDataFrame([(1,)], "k long"), wh, "t")
+        create_branch(wh, "t", "dev")
+        write_table_snapshot(spark.createDataFrame([(2,)], "k long"), wh, "t@dev")
+        # expire the branch's pointer-version: parent data must survive
+        expired = expire_snapshots(wh, "t@dev", keep_latest=1)
+        assert expired == [1]
+        assert read_table_snapshot(spark, wh, "t", version=1).count() == 1
+
+
+class TestCompactPublishedTable:
+    def test_compact_resolves_data_dir_from_manifest(self, spark, tmp_path):
+        """A WAP-published version's data lives in the staging chain, so
+        reconstructing <table>/data/v{N} walks an empty path, totals 0
+        bytes, and silently ignores target_file_bytes."""
+        from hg_data_pipelines_spark.snapshots import (
+            compact_snapshot,
+            write_audit_publish,
+        )
+
+        wh = str(tmp_path)
+        df = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartition(16)
+        v, _ = write_audit_publish(
+            spark, df, wh, "t", [("neg", F.col("v") < 0)]
+        )
+        assert v == 1
+        # tiny target forces MANY output files iff sizing saw real bytes
+        v2 = compact_snapshot(spark, wh, "t", target_file_bytes=1024)
+        assert v2 == 2
+        d = os.path.join(wh, "t", "data", "v2")
+        n = sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        assert n > 1
+        assert read_table_snapshot(spark, wh, "t").count() == 2000
