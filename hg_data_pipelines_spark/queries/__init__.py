@@ -119,6 +119,28 @@ from . import warehouse_q  # noqa: E402,F401
 # SQL_lateral_topn; SQL family keeps the recursive CTE). All five
 # passed tools/check_window_safety.py at sf0.01; every rotated-out
 # query stays green in the full mirror.
+# Round-10 rotation: nine never-driver-checked queries enter —
+# S27_snapshot_branch_merge + S28_small_file_compaction (the snapshot
+# store's branch/compaction surface, including this round's
+# reference-counted expire + manifest-resolved compaction fixes),
+# S23_incremental_join_maintenance, A27_quantile_summary_rollup
+# (mergeable bounded-error summaries next to in-window A28 exact),
+# X13_holt_winters_seasonal (the IEEE-fold discipline's hardest case),
+# DQ13_order_total_reconciliation, X12_funnel_time_to_convert
+# (replaces sibling X12_funnel_conversion — same family, deeper
+# semantics), X21_ab_cuped_adjustment, and X4_preference_pairs (RM/DPO
+# prep, b97bb39). Slots freed by multiply-driver-green members whose
+# families stay covered: J6_asof (J13 point-in-time keeps temporal-
+# correctness joins; J4/J14/J15/J16/S21 keep the join family),
+# W1_best_order (W12 keeps windows; A3-argmax shape embedded in many
+# queries), U3_bbox_inverse (U10 + J4's UDF math keep U), X6_streaming_
+# tumbling (X7/X8 keep true-streaming), A20_equi_depth_histogram
+# (A1/A9/A28 + entrant A27 keep A), X12_funnel_conversion (family
+# sibling enters), X4_unigram_nll_scores + X4_bigram_nll_scores
+# (X4_kneser_ney subsumes both n-gram NLL shapes; X4 keeps 5 members),
+# X3_lsh_ndcg_report (X3 keeps beam/IVF/IVF+PQ/MMR). All nine entrants
+# passed tools/check_window_safety.py at sf0.01; all nine rotated-out
+# queries stay green in the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A7_q1_pricing_summary",        # TPC-H flagship agg
@@ -128,9 +150,9 @@ _WINDOW = [
     "S21_bucketed_colocated_join",  # shuffle-free bucketed join (r9 cont.)
     "J4_bbox_iou_pairs",            # geometry theta join
     "J14_temporal_anti_join",         # time-banded anti-join (r9 cont.)
-    "J6_asof_latest_order",         # as-of join
+    "S27_snapshot_branch_merge",    # branch/merge governance (r10)
     "A28_exact_quantiles_twopass",  # sort-free exact quantiles (r9 cont. 3)
-    "X4_unigram_nll_scores",        # CCNet-style perplexity gate (r9)
+    "DQ13_order_total_reconciliation",  # cross-table invariant audit (r10)
     "X3_graph_beam_search_portable",  # graph-ANN beam walk (r9 cont. 3)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
     "X2_semdedup_prune",           # SemDeDup auto-k prune (r9 first-time)
@@ -138,8 +160,8 @@ _WINDOW = [
     "S26_write_audit_publish",      # WAP governance round-trip (r9 cont. 3)
     "A9_hll_sketch_rollup",        # mergeable HLL rollup, 5-sigma invariant (r9)
     "X7_streaming_watermarked_window",  # append-contract invariant (r9)
-    "A20_equi_depth_histogram",
-    "W1_best_order_per_customer",
+    "X13_holt_winters_seasonal",    # IEEE-fold seasonal smoothing (r10)
+    "S28_small_file_compaction",    # snapshot-safe compaction (r10)
     "J13_point_in_time_features",  # SCD2 state as-of observation (r9)
     "J15_grid_neighbor_join",       # grid-blocked 2D neighbor join (r9 cont.)
     "W12_running_distinct_users",   # global running distinct, prefix-sum (r6)
@@ -150,11 +172,11 @@ _WINDOW = [
     "X2_lsh_band_tuning_report",    # verified (b,r) design study (r9 cont. 3)
     "SQL_recursive_reachability",
     "X11_pagerank_ann_portable",    # ANN edges + PageRank hash-checked (r7)
-    "U3_bbox_inverse",              # geometry UDF surface
-    "X3_lsh_ndcg_report",           # graded retrieval quality (r9 cont.)
+    "S23_incremental_join_maintenance",  # materialized-join delta upkeep (r10)
+    "X4_preference_pairs",          # chosen-rejected RM/DPO pairing (r10)
     "U10_grouped_agg_mean",         # pandas UDAF
     "X4_dsir_importance_weights",   # DSIR domain weighting (r9)
-    "X4_bigram_nll_scores",         # bigram LM surprisal (r9)
+    "X21_ab_cuped_adjustment",      # CUPED variance reduction (r10)
     "S22_snapshot_diff",            # change-feed classification (r9 cont.)
     "X4_curation_funnel_chunks",    # 8-stage pipeline composition (r9 cont.)
     "X3_mmr_rerank",                # greedy MMR as one cogrouped map (r9)
@@ -167,10 +189,10 @@ _WINDOW = [
     "S20_range_sorted_write",       # range-partitioned sorted layout (r9)
     "X8_session_window_agg",        # session windows
     "X4_contrastive_negatives",     # bucketed negative sampling (r9 cont.)
-    "X12_funnel_conversion",        # behavioral analytics
+    "X12_funnel_time_to_convert",   # funnel latency quantiles (r10)
     "DQ14_functional_dependency_audit",  # FD hold/fail audit (r9 cont. 3)
     "S25_schema_evolution_read",    # add/drop-column evolution (r9 cont. 3)
-    "X6_streaming_tumbling",        # real readStream twin
+    "A27_quantile_summary_rollup",  # mergeable quantile summaries (r10)
 ]
 
 
