@@ -62,25 +62,48 @@ def scd2_apply(
     (a natural lineage cut), so plans stay constant-size; when chaining
     many folds in one session, localCheckpoint the result between folds
     (the ``connected_components`` contract).
+
+    Shuffle shape (round-10 tightening): the per-key first-timestamp
+    summary is sliced out of the batch's OWN window pass (a top-1
+    row_number slice Spark executes as WindowGroupLimit), and the whole
+    current table takes ONE left join — a ``when(is_current)`` gate
+    closes exactly the touched open rows, so there is no open/closed
+    filter split and no union that duplicates ``current``'s lineage per
+    apply (the round-9 shape re-planned the current subtree three times
+    per fold: 14 exchanges over three batches; this one spends 5).
     """
     order = [ts_col, *(tiebreak_cols or [])]
-    batch = scd2_init(updates, key_cols, ts_col, tiebreak_cols)
-    first_ts = updates.groupBy(*key_cols).agg(
-        F.min(ts_col).alias("_first_ts")
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    batch = updates.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("_rn"),
     )
-    open_rows = current.filter(F.col("is_current"))
-    closed_rows = current.filter(~F.col("is_current"))
+    first_ts = batch.filter(F.col("_rn") == 1).select(
+        *key_cols, F.col("valid_from").alias("_first_ts")
+    )
     # no broadcast hint: the per-key batch summary is usually small (AQE
-    # upgrades the join at runtime) but a backfill batch may not be
-    touched = open_rows.join(first_ts, key_cols)
-    closing = touched.select(
-        *[c for c in current.columns if c not in ("valid_to", "is_current")],
-        F.col("_first_ts").alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    ).select(*current.columns)
-    untouched = open_rows.join(first_ts, key_cols, "left_anti")
-    return (
-        closed_rows.unionByName(closing)
-        .unionByName(untouched)
-        .unionByName(batch.select(*current.columns))
+    # upgrades the join at runtime) but a backfill batch may not be.
+    # Closed rows pass through the join untouched (is_current gates the
+    # rewrite); open rows carry valid_to = NULL, so coalesce closes
+    # exactly the touched keys.
+    merged = (
+        current.join(first_ts, key_cols, "left")
+        .select(
+            *[c for c in current.columns if c not in ("valid_to", "is_current")],
+            F.when(
+                F.col("is_current"),
+                F.coalesce(F.col("_first_ts"), F.col("valid_to")),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            (F.col("is_current") & F.col("_first_ts").isNull()).alias(
+                "is_current"
+            ),
+        )
+        .select(*current.columns)
     )
+    return merged.unionByName(batch.select(*current.columns))

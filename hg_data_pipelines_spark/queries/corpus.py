@@ -1696,7 +1696,11 @@ def bigram_nll_scores(spark, sf_dir):
 # axis. Same fixed-point PSI contract as DQ10 (DOUBLE-forced shares,
 # round(term·1e6) BIGINT, exact integer per-source sums).
 # Scale shape: one vocabulary-sized aggregation, a broadcast top-100
-# membership join, then bins×sources-sized arithmetic (tiny).
+# membership join, ONE (source, bin) aggregation — eagerly checkpointed,
+# it is |sources|×101 rows — and everything downstream (marginals, the
+# dense grid, PSI terms) derives from that tiny relation with broadcast
+# joins. The round-9 shape re-executed the token explode once per
+# marginal (18 shuffles); this one shuffles the corpus exactly twice.
 # --------------------------------------------------------------------------
 
 _VD_TOP = 100
@@ -1764,7 +1768,14 @@ def vocab_drift_by_source(spark, sf_dir):
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     tok = docs.select("source", F.explode(_toks()).alias("token"))
     glob = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    top = glob.orderBy(F.desc("c"), "token").limit(_VD_TOP).select("token")
+    # 100 rows; eager checkpoint so the binning join and the bin axis
+    # don't each re-run the vocabulary aggregation
+    top = (
+        glob.orderBy(F.desc("c"), "token")
+        .limit(_VD_TOP)
+        .select("token")
+        .localCheckpoint(eager=True)
+    )
     binned = tok.join(
         F.broadcast(top.withColumn("_is_top", F.lit(1))), "token", "left"
     ).select(
@@ -1773,8 +1784,13 @@ def vocab_drift_by_source(spark, sf_dir):
         .otherwise(F.lit("__OTHER__"))
         .alias("bin"),
     )
-    sb = binned.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sb")
+    # the ONLY corpus-sized aggregation; |sources|×101 rows after it, so
+    # the eager checkpoint pins every downstream marginal to this result
+    # instead of re-executing the explode per branch
+    sb = (
+        binned.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sb"))
+        .localCheckpoint(eager=True)
     )
     bins = top.select(F.col("token").alias("bin")).unionAll(
         spark.createDataFrame([("__OTHER__",)], "bin string")
@@ -1783,13 +1799,19 @@ def vocab_drift_by_source(spark, sf_dir):
         sb.select("source")
         .distinct()
         .crossJoin(F.broadcast(bins))
-        .join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(sb), ["source", "bin"], "left")
         .select(
             "source",
             "bin",
             F.coalesce("n_sb", F.lit(0)).cast("bigint").alias("n_sb"),
         )
     )
+    # marginals over the DENSE grid, not sparse sb: a bin with zero mass
+    # everywhere (e.g. __OTHER__ when the whole vocab fits in top-100)
+    # must still reach the smoothed PSI term with n_b = 0 — dropping it
+    # via an inner join to a sparse marginal shifts every source's score.
+    # grid is |sources|×101 rows over the checkpointed sb, so these
+    # aggregations never touch the corpus again.
     btot = grid.groupBy("bin").agg(F.sum("n_sb").cast("bigint").alias("n_b"))
     stot = grid.groupBy("source").agg(
         F.sum("n_sb").cast("bigint").alias("n_s")

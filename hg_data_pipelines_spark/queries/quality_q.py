@@ -896,9 +896,11 @@ def order_total_reconciliation(spark, sf_dir):
 # a denormalization that drifted". Mixed on purpose: three FDs that must
 # HOLD on this schema (primary-key shaped) and three that must FAIL
 # (attribute fan-outs), so the audit's discrimination — not just its
-# plumbing — is what the oracle hash-checks. Scale: one partial-agg
-# groupBy per FD over projected columns only (column-pruned scans), the
-# cheapest possible shape per dependency.
+# plumbing — is what the oracle hash-checks. Scale: ALL six FDs ride ONE
+# aggregation pipeline — each table contributes a column-pruned
+# (fd, lhs, rhs) projection, the union is grouped once by (fd, key) and
+# once by fd — so the audit costs ~3 shuffles total instead of one
+# groupBy + one global agg per FD (the round-9 shape spent 18).
 # --------------------------------------------------------------------------
 
 _FD_CANDIDATES = [
@@ -929,20 +931,24 @@ def _fd_oracle() -> str:
 
 @query("DQ14_functional_dependency_audit", _fd_oracle())
 def functional_dependency_audit(spark, sf_dir):
-    out = None
+    # One pipeline for all FDs: the fd label rides as a grouping column,
+    # so the per-key distinct count and the per-fd rollup each shuffle
+    # ONCE over the union instead of once per dependency. lhs/rhs cast
+    # to string for the union (int->string is injective, so the distinct
+    # count per key is unchanged).
+    rows = None
     for label, table, lhs, rhs in _FD_CANDIDATES:
         df = load(spark, sf_dir, table)
-        per_key = (
-            df.filter(F.col(lhs).isNotNull())
-            .groupBy(lhs)
-            .agg(F.countDistinct(rhs).alias("k"))
-        )
-        rep = per_key.agg(
+        part = df.filter(F.col(lhs).isNotNull()).select(
             F.lit(label).alias("fd"),
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum((F.col("k") > 1).cast("bigint")).alias("n_violating_keys"),
-            F.max("k").cast("bigint").alias("max_fanout"),
-            (F.sum((F.col("k") > 1).cast("bigint")) == 0).alias("holds"),
+            F.col(lhs).cast("string").alias("x"),
+            F.col(rhs).cast("string").alias("y"),
         )
-        out = rep if out is None else out.unionByName(rep)
-    return out
+        rows = part if rows is None else rows.unionByName(part)
+    per_key = rows.groupBy("fd", "x").agg(F.countDistinct("y").alias("k"))
+    return per_key.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("k") > 1).cast("bigint")).alias("n_violating_keys"),
+        F.max("k").cast("bigint").alias("max_fanout"),
+        (F.sum((F.col("k") > 1).cast("bigint")) == 0).alias("holds"),
+    )
