@@ -456,6 +456,234 @@ def knn_graph_exact(
     )
 
 
+def knn_graph_blocked(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    n_cells: int | None = None,
+    candidate_buffer: int = 32,
+) -> DataFrame:
+    """EXACT k-NN graph via pivot-pruned blocked search — the scale path
+    that still matches the full-quadratic oracle bit-for-bit.
+
+    ``knn_graph_exact`` scores every (query, corpus) pair: O(n²) kernel
+    work by contract. This operator prunes with the classic metric-space
+    bound (Burkhard-Keller / exact-IVF): on UNIT vectors, cosine order ≡
+    L2 order (d² = 2 − 2·cos), and for any member m of pivot cell c,
+    d(q, m) ≥ d(q, pivot_c) − radius_c. So a cell whose lower bound
+    exceeds the query's current k-th-best distance cannot contain a
+    top-k member and is never scanned. The result is EXACT regardless of
+    pivot quality — pivots only affect COST — so the quadratic-oracle
+    hash match PROVES the pruning lost nothing (the J15 grid-join
+    pattern lifted to metric space).
+
+    Three phases, all bounded:
+    1. P = ~√n deterministic pivots (smallest xxhash64(id); collected,
+       P×dim doubles). Every row is assigned map-side to its nearest
+       pivot; per-cell max-distance radii are collected (P rows).
+    2. τ̂ per query = k-th-nearest distance within its OWN cell (one
+       grouped kernel; any subset gives a valid upper bound on the true
+       k-th distance — sparse cells fall back to τ̂ = ∞ and simply scan
+       more).
+    3. Each query emits (query, cell) for every cell passing
+       lb² ≤ τ̂² + 2·10^-{round_dp} (the slack covers rounded-cosine
+       ties exactly: cos = 1 − d²/2 on unit vectors, so a candidate
+       within one rounding step of the k-th best is within 2e-6 in d²);
+       a cogrouped kernel scores candidates with the SAME index-order
+       IEEE accumulation as ``knn_graph_exact`` and the same final
+       rounded-cosine window ranks them.
+
+    Balanced cells give Σ|cell|² ≈ n²/P = n^1.5 kernel work (vs n²);
+    the shuffled volume is candidates only, never all pairs. Zero-norm
+    rows keep the NaN-greatest contract: as members their cell radius
+    becomes +∞ (the cell is never pruned, so they reach every query's
+    candidate set); as queries τ̂ = ∞ (full scan, exact by brute force).
+
+    Same output contract as ``knn_graph_exact`` incl. the
+    >buffer-way-rounding-tie caveat, now per cell.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    n = corpus.count()  # bounded action: one columnar count (sizing only)
+    if n == 0:
+        return knn_graph_exact(corpus, k=k, id_col=id_col, vec_col=vec_col,
+                               round_dp=round_dp, force=True)
+    P = n_cells or max(8, int(math.ceil(math.sqrt(n))))
+    m_take = k + candidate_buffer
+    slack = 2.0 * (10.0 ** (-round_dp)) + 1e-9
+
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # deterministic pivot draw: P smallest (xxhash64(id), id) rows —
+    # collected ONCE, P×dim doubles (√n-bounded)
+    pivot_rows = (
+        v.orderBy(F.xxhash64(F.col("_id").cast("string")), "_id")
+        .limit(P)
+        .collect()
+    )
+    piv = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in pivot_rows])
+    piv_norm = np.sqrt((piv * piv).sum(axis=1))
+    piv_unit = np.divide(
+        piv, piv_norm[:, None], out=np.zeros_like(piv), where=piv_norm[:, None] > 0
+    )
+
+    id_type = corpus.schema[id_col].dataType
+    assign_schema = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_v", corpus.schema[vec_col].dataType),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField("_dq", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xu = np.divide(
+                x, xn[:, None], out=np.zeros_like(x), where=xn[:, None] > 0
+            )
+            d2 = np.maximum(0.0, 2.0 - 2.0 * (xu @ piv_unit.T))
+            cell = d2.argmin(axis=1).astype(np.int32)  # ties: lowest index
+            dq = np.sqrt(d2[np.arange(len(x)), cell])
+            dq = np.where(xn > 0, dq, np.inf)  # zero-norm: unprunable cell
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "_v": pdf["_v"], "_cell": cell, "_dq": dq}
+            )
+
+    assigned = v.mapInPandas(assign, schema=assign_schema)
+    assigned = assigned.localCheckpoint(eager=True)  # reused by 3 phases
+
+    # bounded collect: P rows of (cell, radius)
+    radius = np.zeros(P)
+    for r in assigned.groupBy("_cell").agg(F.max("_dq").alias("r")).collect():
+        radius[r["_cell"]] = r["r"]
+
+    tau_schema = T.StructType(
+        [T.StructField("_id", id_type), T.StructField("_tau", T.DoubleType())]
+    )
+
+    def tau_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        xu = np.divide(x, xn[:, None], out=np.zeros_like(x), where=xn[:, None] > 0)
+        d2 = np.maximum(0.0, 2.0 - 2.0 * (xu @ xu.T))
+        np.fill_diagonal(d2, np.inf)
+        d2[xn == 0, :] = np.inf  # zero-norm queries: full scan
+        d2[:, xn == 0] = np.inf  # NaN cosine isn't a distance bound
+        if d2.shape[1] > k:
+            kth = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
+        else:
+            kth = np.full(len(x), np.inf)
+        kth = np.where(np.isfinite(kth), kth, np.inf)
+        return pd.DataFrame({"_id": pdf["_id"], "_tau": kth})
+
+    taus = assigned.groupBy("_cell").applyInPandas(tau_kernel, schema=tau_schema)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_v", corpus.schema[vec_col].dataType),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xu = np.divide(
+                x, xn[:, None], out=np.zeros_like(x), where=xn[:, None] > 0
+            )
+            dqp = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * (xu @ piv_unit.T)))
+            lb = np.maximum(0.0, dqp - radius[None, :])
+            tau = pdf["_tau"].to_numpy()
+            keep = (lb * lb) <= (tau * tau)[:, None] + slack
+            keep[xn == 0, :] = True  # zero-norm query: scan everything
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy()[qi],
+                    "_v": pdf["_v"].to_numpy()[qi],
+                    "_cell": ci.astype(np.int32),
+                }
+            )
+
+    cand = assigned.join(taus, "_id").mapInPandas(expand, schema=cand_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_cell(queries_pdf: pd.DataFrame, members_pdf: pd.DataFrame) -> pd.DataFrame:
+        if queries_pdf.empty or members_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"cosine": "float64"})
+        q_ids = queries_pdf["_id"].to_numpy()
+        c_ids = members_pdf["_id"].to_numpy()
+        q = np.stack(queries_pdf["_v"].to_numpy()).astype(np.float64)
+        c = np.stack(members_pdf["_v"].to_numpy()).astype(np.float64)
+        nb, dim = len(c_ids), q.shape[1]
+        dots = np.zeros((len(q_ids), nb))
+        qn = np.zeros(len(q_ids))
+        cn = np.zeros(nb)
+        for d in range(dim):  # index-order accumulation == SQL fold order
+            dots += q[:, d : d + 1] * c[None, :, d]
+            qn += q[:, d] * q[:, d]
+            cn += c[:, d] * c[:, d]
+        cos = dots / np.sqrt(qn[:, None] * cn[None, :])
+        cos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        sort_key = np.where(np.isnan(cos), np.inf, cos)
+        take = min(m_take, nb)
+        order = np.lexsort((np.broadcast_to(c_ids, cos.shape), -sort_key), axis=1)
+        top = order[:, :take]
+        rows = np.arange(len(q_ids))[:, None]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, take),
+                "neighbor_id": c_ids[top].ravel(),
+                "cosine": cos[rows, top].ravel(),
+            }
+        )
+        return out[np.isfinite(out["cosine"]) | np.isnan(out["cosine"])]
+
+    scored = (
+        cand.groupBy("_cell")
+        .cogroup(assigned.select("_id", "_v", "_cell").groupBy("_cell"))
+        .applyInPandas(score_cell, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), round_dp)), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), round_dp).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def _cell_sims(vcol: str, centroids: dict[int, list[float]]) -> F.Column:
     """``array<struct<negsim, cid>>`` of the row's rounded cosine against
     every centroid LITERAL, sorted best-first — the kmeans fixed-point

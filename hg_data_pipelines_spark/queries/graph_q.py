@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.graph import SCALE, pagerank_fixed_point
-from ..operators.similarity import knn_graph_exact
+from ..operators.similarity import knn_graph_blocked, knn_graph_exact
 from .common import load, query
 from .similarity import _KNN_K, _SQL_COSINE
 
@@ -614,10 +614,15 @@ def _lpa_sql(iters: int = _LPA_ITERS, materialized: bool = False) -> str:
 
 @query("X11_label_propagation", _lpa_sql())
 def label_propagation_query(spark, sf_dir):
+    # Edges from the pivot-pruned BLOCKED exact search (round 10): the
+    # oracle stays the full quadratic kNN CTE, so the hash match proves
+    # the metric-space pruning dropped no edge — the J15 proven-complete
+    # pattern lifted to cosine space. The verification anchor itself now
+    # scales ~n^1.5 instead of n^2.
     from ..operators.graph import label_propagation
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    knn = knn_graph_exact(emb, k=_KNN_K).select(
+    knn = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     und = knn.select(
@@ -747,10 +752,12 @@ def _modularity_oracle() -> str:
 
 @query("X11_modularity_report", _modularity_oracle())
 def modularity_report(spark, sf_dir):
+    # Blocked exact kNN edges (see X11_label_propagation) — quadratic
+    # oracle, ~n^1.5 Spark side, hash-proven complete.
     from ..operators.graph import label_propagation
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    knn = knn_graph_exact(emb, k=_KNN_K).select(
+    knn = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     und = (

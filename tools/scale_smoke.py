@@ -138,6 +138,12 @@ QUERIES = [
     "J16_polygon_containment_join",
     "S28_small_file_compaction",
     "X4_preference_pairs",
+    # round-10: LPA + modularity unfenced — their edges now come from the
+    # pivot-pruned BLOCKED exact kNN (knn_graph_blocked, ~n^1.5), hash-
+    # proven complete against the quadratic oracle, so even the exact
+    # verification anchors scale
+    "X11_label_propagation",
+    "X11_modularity_report",
     # excluded by contract: X2_lsh_band_tuning_report (fixture-scale
     # design study), X3_graph_beam_search_portable / X3_graph_ann_warm_
     # check (fixed-plane oracle fixtures — the auto-plane production
@@ -384,6 +390,10 @@ def clique(spark, k: int, budget_s: float = 600.0) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if a not in ("--compose", "--clique")]
+    only: list[str] = []
+    if "--only" in args:  # smoke a subset: [K] --only name1 name2 ...
+        i = args.index("--only")
+        only, args = args[i + 1 :], args[:i]
     k = int(args[0]) if args else 10
     from hg_data_pipelines_spark.session import get_spark
 
@@ -400,12 +410,16 @@ def main() -> None:
         spark.stop()
         return
     build(spark, k, out_dir)
-    small = run(spark, SRC, QUERIES)
-    big = run(spark, out_dir, QUERIES)
+    names = only or QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"--only names not in the smoke list: {unknown}")
+    small = run(spark, SRC, names)
+    big = run(spark, out_dir, names)
     report = {
         n: {"sf0.1": small[n], f"x{k}": big[n],
             "ratio": round(big[n] / max(small[n], 1e-9), 2)}
-        for n in QUERIES
+        for n in names
     }
     print(json.dumps({"k": k, "queries": report}))
     spark.stop()
