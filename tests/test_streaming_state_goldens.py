@@ -32,6 +32,9 @@ _GOLDENS = {
     "X6_streaming_tumbling": (1000, 987, 0),
     "X7_streaming_watermarked_window": (1000, 1, 0),
     "X10_streaming_stream_join": (2000, 3, 0),
+    # left-outer: same bounded join state as the inner form — the null
+    # emission path reads evicted state, it must not RETAIN more
+    "X10_streaming_left_outer_join": (2000, 3, 0),
     "X9_streaming_dedup_within_watermark": (1000, 1, 0),
     "X17_streaming_session_window": (1000, 946, 0),
     "X6_streaming_ohlc": (1000, 868, 0),

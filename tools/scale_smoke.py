@@ -351,6 +351,92 @@ def compose(spark, k: int) -> None:
     print(json.dumps({"k": k, "composed": k * k, "queries": report}))
 
 
+# Composed-regime warehouse-maintenance family (judge r9 item 5): the
+# snapshot/CDC/delta-join paths had never run past 10×. S22/S23/S15 are
+# declared queries (each builds its own snapshot warehouse from the
+# given sf_dir); the MERGE upsert path has no declared query and is
+# timed directly below.
+WAREHOUSE_QUERIES = [
+    "S22_snapshot_diff",
+    "S23_incremental_join_maintenance",
+    "S15_cdc_apply_roundtrip",
+]
+
+
+def warehouse(spark, k: int) -> None:
+    """Composed k×k regime for warehouse maintenance: time S22 snapshot
+    diff, S23 incremental join maintenance, S15 CDC diff→apply, and a
+    direct MERGE upsert (orders partitioned by order month; the incoming
+    batch touches 2 months — the rewrite must stay ∝ delta partitions at
+    every decade) at the k× and k·k× replicas."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hg_data_pipelines_spark.io import (
+        merge_warehouse_table,
+        write_warehouse_table,
+    )
+    from hg_data_pipelines_spark.queries import QUERIES as REG
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d1 = os.path.join(repo, ".scale_smoke", f"sf{k}x")
+    d2 = os.path.join(repo, ".scale_smoke", f"sf{k * k}x")
+    build(spark, k, d1)
+    build(spark, k, d2, src_dir=d1, offset_scale=k)
+
+    def timed(fn, label, sf_label):
+        t0 = time.time()
+        try:
+            fn()
+            t = round(time.time() - t0, 3)
+            print(f"{sf_label:>12} {t:7.2f}s {label}", flush=True)
+            return t
+        except Exception as e:  # noqa: BLE001 — DNF is a result here
+            print(f"{sf_label:>12}     DNF {label}: {type(e).__name__}",
+                  flush=True)
+            return None
+
+    report = {}
+    for n in WAREHOUSE_QUERIES:
+        def _q(d=None, n=n):
+            REG[n](spark, d).write.format("noop").mode("overwrite").save()
+        mid = timed(lambda: _q(d1), n, f"x{k}")
+        big = timed(lambda: _q(d2), n, f"x{k * k}")
+        report[n] = {
+            f"x{k}": mid, f"x{k * k}": big,
+            "decade2_ratio": round(big / mid, 2) if mid and big else None,
+        }
+
+    def merge_path(sf_dir, tag):
+        wh = os.path.join(repo, ".scale_smoke", f"merge_wh_{tag}")
+        shutil.rmtree(wh, ignore_errors=True)
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        base = orders.withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        write_warehouse_table(base, wh, "orders", partition_by=["o_month"])
+        updates = base.filter(
+            F.col("o_month").isin("1997-01", "1997-02")
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 1.01)
+        merge_warehouse_table(
+            spark, updates, wh, "orders",
+            keys=["o_orderkey"], order=["o_orderdate"],
+            partition_by=["o_month"],
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+
+    mid = timed(lambda: merge_path(d1, f"x{k}"), "merge_upsert_2months", f"x{k}")
+    big = timed(
+        lambda: merge_path(d2, f"x{k * k}"), "merge_upsert_2months", f"x{k * k}"
+    )
+    report["merge_upsert_2months"] = {
+        f"x{k}": mid, f"x{k * k}": big,
+        "decade2_ratio": round(big / mid, 2) if mid and big else None,
+    }
+    print(json.dumps({"k": k, "composed": k * k, "warehouse": report}))
+
+
 def clique(spark, k: int, budget_s: float = 600.0) -> None:
     """Adversarial mega-clique regime: documents-only composed replicas
     where the decade-1 suffix trick applies at BOTH decades, so duplicate
@@ -389,7 +475,10 @@ def clique(spark, k: int, budget_s: float = 600.0) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--compose", "--clique")]
+    args = [
+        a for a in sys.argv[1:]
+        if a not in ("--compose", "--clique", "--warehouse")
+    ]
     only: list[str] = []
     if "--only" in args:  # smoke a subset: [K] --only name1 name2 ...
         i = args.index("--only")
@@ -407,6 +496,10 @@ def main() -> None:
         return
     if "--clique" in sys.argv[1:]:
         clique(spark, k)
+        spark.stop()
+        return
+    if "--warehouse" in sys.argv[1:]:
+        warehouse(spark, k)
         spark.stop()
         return
     build(spark, k, out_dir)
