@@ -570,7 +570,11 @@ def knn_graph_blocked(
         radius[r["_cell"]] = r["r"]
 
     tau_schema = T.StructType(
-        [T.StructField("_id", id_type), T.StructField("_tau", T.DoubleType())]
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_v", corpus.schema[vec_col].dataType),
+            T.StructField("_tau", T.DoubleType()),
+        ]
     )
 
     def tau_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -586,7 +590,9 @@ def knn_graph_blocked(
         else:
             kth = np.full(len(x), np.inf)
         kth = np.where(np.isfinite(kth), kth, np.inf)
-        return pd.DataFrame({"_id": pdf["_id"], "_tau": kth})
+        # rows ride along with their tau — the expand phase consumes this
+        # directly, so no id-keyed join (and its two exchanges) is needed
+        return pd.DataFrame({"_id": pdf["_id"], "_v": pdf["_v"], "_tau": kth})
 
     taus = assigned.groupBy("_cell").applyInPandas(tau_kernel, schema=tau_schema)
 
@@ -621,7 +627,7 @@ def knn_graph_blocked(
                 }
             )
 
-    cand = assigned.join(taus, "_id").mapInPandas(expand, schema=cand_schema)
+    cand = taus.mapInPandas(expand, schema=cand_schema)
 
     out_schema = T.StructType(
         [

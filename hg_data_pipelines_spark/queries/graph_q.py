@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.graph import SCALE, pagerank_fixed_point
-from ..operators.similarity import knn_graph_blocked, knn_graph_exact
+from ..operators.similarity import knn_graph_blocked
 from .common import load, query
 from .similarity import _KNN_K, _SQL_COSINE
 
@@ -73,7 +73,7 @@ def _pagerank_oracle(
 @query("X11_pagerank_knn", _pagerank_oracle())
 def pagerank_knn(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    edges = knn_graph_exact(emb, k=_KNN_K).select(
+    edges = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank_fixed_point(edges, n_iter=_PR_ITER)
@@ -254,7 +254,7 @@ def triangle_count(spark, sf_dir):
     from ..operators.graph import triangle_total
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    knn = knn_graph_exact(emb, k=_KNN_K).select(
+    knn = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     und = knn.select(
@@ -309,7 +309,7 @@ def sssp_knn(spark, sf_dir):
     from ..operators.graph import shortest_paths_bounded
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    edges = knn_graph_exact(emb, k=_KNN_K).select(
+    edges = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),
         F.round((1 - F.col("cosine")) * _W_SCALE)
@@ -385,7 +385,7 @@ def personalized_pagerank_knn(spark, sf_dir):
     from ..operators.graph import personalized_pagerank_fixed_point
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    edges = knn_graph_exact(emb, k=_KNN_K).select(
+    edges = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     seeds = emb.filter(F.col("vec_id") < _PPR_SEEDS).select(
@@ -507,7 +507,7 @@ def triangle_counts(spark, sf_dir):
     from ..operators.graph import triangle_census
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    dir_edges = knn_graph_exact(emb, k=_KNN_K).select(
+    dir_edges = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     und = (

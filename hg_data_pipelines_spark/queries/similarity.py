@@ -275,10 +275,12 @@ def embedding_neardup_lsh_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # X3: k-NN graph — EVERY vector's top-k neighbor list (the input to
 # graph-based semantic dedup, SNN clustering, and connectivity pruning).
-# The exact form is the fenced fixture-scale twin (all-pairs, fine at 500
-# vectors on both engines); X3_knn_graph_lsh is the identical contract
-# through RHP-LSH bucketing — at 100 TB the bucket join replaces the
-# quadratic scan, the same substitution as X2 MinHash for Jaccard pairs.
+# Since round 10 the declared exact form runs the pivot-pruned BLOCKED
+# search (knn_graph_blocked): output bit-identical to the all-pairs
+# kernel, the full-quadratic SQL stays the oracle, so the hash match
+# proves the metric pruning complete — the exact graph is no longer a
+# fixture-fenced twin. X3_knn_graph_lsh remains the probabilistic
+# 100 TB path (bucket collisions, not exactness-preserving pruning).
 # --------------------------------------------------------------------------
 
 _KNN_K = 3
@@ -297,7 +299,7 @@ _KNN_K = 3
     """,
 )
 def knn_graph_exact(spark, sf_dir):
-    from ..operators.similarity import knn_graph_exact as knn_op
+    from ..operators.similarity import knn_graph_blocked as knn_op
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     return knn_op(emb, k=_KNN_K).withColumn("rank", F.col("rank").cast("int"))
