@@ -1940,9 +1940,17 @@ def _band_tuning_oracle() -> str:
 def lsh_band_tuning_report(spark, sf_dir):
     docs = load(spark, sf_dir, "documents", scan_parallel=True)
     sig = _portable_sig(docs).localCheckpoint(eager=True)  # shared by 6 arms
-    reports = []
+    # ONE tagged relation instead of one self-join per layout: the (b, r)
+    # config rides as grouping columns, so all six arms share a single
+    # bucket join + distinct + verify join (12 -> ~4 shuffles; identical
+    # candidate volume, the per-arm joins just stop paying per-arm
+    # exchanges). Missing arms (zero candidates) are restored by the
+    # left join from the literal layout axis.
+    arms = None
     for nb, r in _TUNE_LAYOUTS:
-        bands = sig.select(
+        arm = sig.select(
+            F.lit(nb).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
             "doc_id",
             F.explode(
                 F.array(
@@ -1960,57 +1968,59 @@ def lsh_band_tuning_report(spark, sf_dir):
                 )
             ).alias("bkey"),
         )
-        pairs = (
-            bands.alias("a")
-            .join(bands.alias("b"), "bkey")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-            )
-            .distinct()
+        arms = arm if arms is None else arms.unionByName(arm)
+    pairs = (
+        arms.alias("a")
+        .join(arms.alias("b"), ["bands", "rows_per_band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
         )
-        eq = sum(
-            (
-                F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
-                for i in range(_MH_K)
+        .distinct()
+    )
+    eq = sum(
+        (
+            F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+            for i in range(_MH_K)
+        ),
+        F.lit(0),
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(sig.alias("sa")),
+            F.col("id_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            F.broadcast(sig.alias("sb")),
+            F.col("id_b") == F.col("sb.doc_id"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            (eq >= _TUNE_EQ_MIN).cast("int").alias("is_true"),
+        )
+    )
+    agg = scored.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.sum("is_true").cast("bigint").alias("n_true"),
+    )
+    layouts = spark.createDataFrame(
+        [(nb, r, _scurve_micro(nb, r)) for nb, r in _TUNE_LAYOUTS],
+        "bands int, rows_per_band int, s_curve_at_t_micro bigint",
+    )
+    return layouts.join(agg, ["bands", "rows_per_band"], "left").select(
+        "bands",
+        "rows_per_band",
+        F.coalesce("n_cands", F.lit(0)).cast("bigint").alias("n_cands"),
+        F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+        F.when(
+            F.col("n_cands") > 0,
+            F.round(1_000_000.0 * F.col("n_true") / F.col("n_cands")).cast(
+                "bigint"
             ),
-            F.lit(0),
-        )
-        scored = (
-            pairs.join(
-                F.broadcast(sig.alias("sa")),
-                F.col("id_a") == F.col("sa.doc_id"),
-            )
-            .join(
-                F.broadcast(sig.alias("sb")),
-                F.col("id_b") == F.col("sb.doc_id"),
-            )
-            .select((eq >= _TUNE_EQ_MIN).cast("int").alias("is_true"))
-        )
-        reports.append(
-            scored.agg(
-                F.lit(nb).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                F.count(F.lit(1)).alias("n_cands"),
-                F.sum("is_true").cast("bigint").alias("n_true"),
-            ).select(
-                "bands",
-                "rows_per_band",
-                "n_cands",
-                "n_true",
-                F.when(
-                    F.col("n_cands") > 0,
-                    F.round(
-                        1_000_000.0 * F.col("n_true") / F.col("n_cands")
-                    ).cast("bigint"),
-                ).alias("precision_micro"),
-                F.lit(_scurve_micro(nb, r)).cast("bigint").alias(
-                    "s_curve_at_t_micro"
-                ),
-            )
-        )
-    out = reports[0]
-    for rep in reports[1:]:
-        out = out.unionByName(rep)
-    return out
+        ).alias("precision_micro"),
+        "s_curve_at_t_micro",
+    )

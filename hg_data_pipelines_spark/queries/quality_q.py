@@ -589,6 +589,9 @@ def psi_value_drift(spark, sf_dir):
     ev = ev_raw.select(
         "event_type", "value", F.col("ts").cast("date").alias("day")
     ).join(F.broadcast(days), "day")
+    # |event_type| rows; eager checkpoint so the binning join and the bin
+    # axis don't each re-run the percentile aggregation (the r10 vocab-
+    # drift treatment — this query previously spent 16 shuffles)
     cuts = (
         ev.filter(F.col("half") == 1)
         .groupBy("event_type")
@@ -598,24 +601,31 @@ def psi_value_drift(spark, sf_dir):
                 for i, q in enumerate(_DQ10_CUTS)
             ]
         )
+        .localCheckpoint(eager=True)
     )
     bucketed = ev.join(F.broadcast(cuts), "event_type").select(
         "event_type", "half", F.expr(_dq10_bucket_sql("value", "")).alias("bin")
+    )
+    # aggregate BEFORE the bin-axis join: the old shape shuffled raw
+    # corpus rows on (event_type, bin) through a left join with no
+    # map-side combine — a full-corpus shuffle at 100 TB; this one
+    # partial-aggregates to |event_type|×bins rows first
+    cnt = bucketed.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("cc"),
     )
     bins = cuts.select("event_type").crossJoin(
         spark.range(1, _DQ10_BINS + 1).select(F.col("id").cast("int").alias("bin"))
     )
     counts = (
-        bins.join(bucketed, ["event_type", "bin"], "left")
-        .groupBy("event_type", "bin")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("half") == 1, 1).otherwise(0)), F.lit(0)
-            ).alias("cb"),
-            F.coalesce(
-                F.sum(F.when(F.col("half") == 2, 1).otherwise(0)), F.lit(0)
-            ).alias("cc"),
+        bins.join(cnt, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
         )
+        .localCheckpoint(eager=True)  # |event_type|×bins rows, read twice
     )
     tot = counts.groupBy("event_type").agg(
         F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
