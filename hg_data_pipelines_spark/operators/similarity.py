@@ -581,14 +581,24 @@ def knn_graph_blocked(
         x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         xn = np.sqrt((x * x).sum(axis=1))
         xu = np.divide(x, xn[:, None], out=np.zeros_like(x), where=xn[:, None] > 0)
-        d2 = np.maximum(0.0, 2.0 - 2.0 * (xu @ xu.T))
-        np.fill_diagonal(d2, np.inf)
-        d2[xn == 0, :] = np.inf  # zero-norm queries: full scan
-        d2[:, xn == 0] = np.inf  # NaN cosine isn't a distance bound
-        if d2.shape[1] > k:
-            kth = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
-        else:
-            kth = np.full(len(x), np.inf)
+        n_rows = len(x)
+        zero = xn == 0
+        kth = np.empty(n_rows)
+        # row-blocked pairwise matrix: a skew cell (dense region pivot at
+        # 1M vectors) can hold tens of thousands of members, and the full
+        # m×m float64 matrix is what OOM'd the 8 GB 1M sweep — blocks
+        # bound it at 256×m
+        for lo in range(0, n_rows, 256):
+            hi = min(lo + 256, n_rows)
+            d2 = np.maximum(0.0, 2.0 - 2.0 * (xu[lo:hi] @ xu.T))
+            for i in range(lo, hi):
+                d2[i - lo, i] = np.inf  # self
+            d2[:, zero] = np.inf  # NaN cosine isn't a distance bound
+            if d2.shape[1] > k:
+                kth[lo:hi] = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
+            else:
+                kth[lo:hi] = np.inf
+        kth[zero] = np.inf  # zero-norm queries: full scan
         kth = np.where(np.isfinite(kth), kth, np.inf)
         # rows ride along with their tau — the expand phase consumes this
         # directly, so no id-keyed join (and its two exchanges) is needed
@@ -642,32 +652,46 @@ def knn_graph_blocked(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"cosine": "float64"})
-        q_ids = queries_pdf["_id"].to_numpy()
+        all_q_ids = queries_pdf["_id"].to_numpy()
         c_ids = members_pdf["_id"].to_numpy()
-        q = np.stack(queries_pdf["_v"].to_numpy()).astype(np.float64)
+        all_q = np.stack(queries_pdf["_v"].to_numpy()).astype(np.float64)
         c = np.stack(members_pdf["_v"].to_numpy()).astype(np.float64)
-        nb, dim = len(c_ids), q.shape[1]
-        dots = np.zeros((len(q_ids), nb))
-        qn = np.zeros(len(q_ids))
+        nb, dim = len(c_ids), all_q.shape[1]
         cn = np.zeros(nb)
-        for d in range(dim):  # index-order accumulation == SQL fold order
-            dots += q[:, d : d + 1] * c[None, :, d]
-            qn += q[:, d] * q[:, d]
+        for d in range(dim):
             cn += c[:, d] * c[:, d]
-        cos = dots / np.sqrt(qn[:, None] * cn[None, :])
-        cos[q_ids[:, None] == c_ids[None, :]] = -np.inf
-        sort_key = np.where(np.isnan(cos), np.inf, cos)
         take = min(m_take, nb)
-        order = np.lexsort((np.broadcast_to(c_ids, cos.shape), -sort_key), axis=1)
-        top = order[:, :take]
-        rows = np.arange(len(q_ids))[:, None]
-        out = pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids, take),
-                "neighbor_id": c_ids[top].ravel(),
-                "cosine": cos[rows, top].ravel(),
-            }
-        )
+        parts = []
+        # query-blocked scoring: a popular cell can be probed by very
+        # many queries, and the full (q × m) float64 matrix is what
+        # OOM'd the 8 GB 1M sweep — blocks bound it at 256×m. Each dot
+        # still accumulates in dim index order (the SQL fold contract).
+        for lo in range(0, len(all_q_ids), 256):
+            hi = min(lo + 256, len(all_q_ids))
+            q, q_ids = all_q[lo:hi], all_q_ids[lo:hi]
+            dots = np.zeros((len(q_ids), nb))
+            qn = np.zeros(len(q_ids))
+            for d in range(dim):  # index-order accumulation == SQL fold
+                dots += q[:, d : d + 1] * c[None, :, d]
+                qn += q[:, d] * q[:, d]
+            cos = dots / np.sqrt(qn[:, None] * cn[None, :])
+            cos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            sort_key = np.where(np.isnan(cos), np.inf, cos)
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, cos.shape), -sort_key), axis=1
+            )
+            top = order[:, :take]
+            rows = np.arange(len(q_ids))[:, None]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, take),
+                        "neighbor_id": c_ids[top].ravel(),
+                        "cosine": cos[rows, top].ravel(),
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True)
         return out[np.isfinite(out["cosine"]) | np.isnan(out["cosine"])]
 
     scored = (

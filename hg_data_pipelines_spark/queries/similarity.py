@@ -264,8 +264,9 @@ def embedding_neardup_lsh_q(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     # auto_planes + occupancy guard: at the fixture auto_planes resolves
     # to the old fixed 4 (floor), so declared output is unchanged; at
-    # 200k vectors planes scale to 13 and the 1024-cap star expansion
-    # fences whatever residual skew remains (scale sweep, r9 cont. 3)
+    # 200k vectors planes scale to 13 and the 1024-cap chained-window
+    # expansion fences whatever residual skew remains (r9 sweep; windows
+    # replaced star expansion in r10 — advisor recall fix)
     planes = auto_planes(emb.count())
     return embedding_neardup_lsh(
         emb, _NEARDUP_COS, n_planes=planes, n_tables=16, max_bucket=1024

@@ -58,7 +58,7 @@ def build_corpus(spark, n: int, path: str) -> None:
     out.limit(n).repartition(32).write.mode("overwrite").parquet(path)
 
 
-def sweep(spark, n: int, repo: str) -> dict:
+def sweep(spark, n: int, repo: str, only: list | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from hg_data_pipelines_spark.operators.similarity import (
@@ -87,34 +87,55 @@ def sweep(spark, n: int, repo: str) -> dict:
             print(f"n={n:>9,}      DNF {label}: {type(e).__name__}", flush=True)
             return {"sec": None, "rows": None, "dnf": type(e).__name__}
 
-    out = {"n": n, "auto_planes": planes}
-    out["lsh_topk"] = timed(
-        "lsh_topk(auto_planes)",
-        lambda: lsh_topk(queries, emb, k=K_TOP, n_planes=planes, n_tables=16),
-    )
-    out["ivf_topk"] = timed("ivf_topk", lambda: ivf_topk(queries, emb, k=K_TOP))
-    out["pq_topk"] = timed("pq_topk", lambda: pq_topk(queries, emb, k=K_TOP))
-    out["embedding_neardup_lsh"] = timed(
-        "embedding_neardup_lsh(cap=1024)",
-        lambda: embedding_neardup_lsh(
-            emb, 0.45, n_planes=planes, n_tables=16, max_bucket=1024
+    paths = {
+        "lsh_topk": (
+            "lsh_topk(auto_planes)",
+            lambda: lsh_topk(queries, emb, k=K_TOP, n_planes=planes, n_tables=16),
         ),
-    )
-    out["knn_graph_blocked"] = timed(
-        "knn_graph_blocked(k=3)", lambda: knn_graph_blocked(emb, k=3)
-    )
+        "ivf_topk": ("ivf_topk", lambda: ivf_topk(queries, emb, k=K_TOP)),
+        "pq_topk": ("pq_topk", lambda: pq_topk(queries, emb, k=K_TOP)),
+        "embedding_neardup_lsh": (
+            "embedding_neardup_lsh(cap=1024)",
+            lambda: embedding_neardup_lsh(
+                emb, 0.45, n_planes=planes, n_tables=16, max_bucket=1024
+            ),
+        ),
+        "knn_graph_blocked": (
+            "knn_graph_blocked(k=3)",
+            lambda: knn_graph_blocked(emb, k=3),
+        ),
+    }
+    out = {"n": n, "auto_planes": planes}
+    for key, (label, fn) in paths.items():
+        if only and key not in only:
+            continue
+        out[key] = timed(label, fn)
     return out
 
 
 def main() -> None:
     from hg_data_pipelines_spark.session import get_spark
 
-    sizes = [int(a) for a in sys.argv[1:]] or [200_000, 1_000_000]
+    only = []
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only, argv = argv[i + 1 :], argv[:i]
+    sizes = [int(a) for a in argv] or [200_000, 1_000_000]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # modest-executor posture: the sweep must survive an 8 GB heap
-    spark = get_spark("ann_sweep", extra_conf={"spark.driver.memory": "8g"})
+    # modest-executor posture: the sweep must survive an 8 GB heap. The
+    # shuffle-partition count scales with the largest corpus — the 100 TB
+    # rule that partitions must fit executor memory: the first 1M run
+    # OOM'd shuffle read-ahead because ~10 GB of near-dup candidate pairs
+    # landed on 32 reduce tasks running 32-way concurrent on that heap.
+    parts = max(64, max(sizes) // 4_000)
+    spark = get_spark(
+        "ann_sweep",
+        shuffle_partitions=parts,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    report = [sweep(spark, n, repo) for n in sizes]
+    report = [sweep(spark, n, repo, only=only) for n in sizes]
     print(json.dumps({"sizes": sizes, "sweep": report}))
     spark.stop()
 
