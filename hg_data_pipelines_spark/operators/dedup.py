@@ -178,52 +178,57 @@ def jaccard_prefix_filter_pairs(
     )
 
 
-def capped_pair_expansion_expr(max_bucket: int | None) -> str:
-    """SQL expression expanding a bucket's ``ids`` array into candidate
-    pairs (struct<id_a, id_b>), with the LSH occupancy guard.
+def pair_expansion_expr() -> str:
+    """SQL expression expanding an ``ids`` array into all unordered
+    candidate pairs (struct<id_a, id_b>). Apply AFTER
+    ``capped_window_slices_expr`` when an occupancy cap is in force, so
+    the largest single materialized array is C(cap, 2) structs."""
+    return (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+    )
 
-    Buckets at or under ``max_bucket`` get exact all-pairs expansion.
-    Oversized buckets (degenerate band keys: verbatim-copy cliques,
-    boilerplate shingle sets — all-pairs is QUADRATIC and was measured at
-    78 GB spill/DNF on a 100× composed fixture) are CHUNKED into
-    overlapping windows of ``max_bucket`` sorted ids with stride
-    ``max_bucket - 1``: all-pairs within each window, adjacent windows
-    sharing one chaining element. Candidate volume stays LINEAR in bucket
-    size (≈ n·cap/2 pairs), every member pairs with ~cap-1 neighbors
-    (not a single hub, the recall flaw of star expansion), and the chain
-    keeps downstream connected components spanning the whole bucket.
-    Residual contract: a pair straddling a window boundary is emitted
-    only if it co-collides in another band/table — that recall loss is
-    bounded by the window width and disappears under any component pass.
 
-    Callers must ``array_sort`` the ids column first when a cap is set
-    (deterministic windows). ``None`` keeps exact all-pairs (the
-    oracle-twin setting).
+def capped_window_slices_expr(max_bucket: int | None) -> str:
+    """SQL expression turning a sorted ``ids`` array into an ARRAY OF
+    WINDOW ARRAYS — the LSH occupancy guard.
+
+    Buckets at or under ``max_bucket`` pass through whole
+    (``array(ids)``). Oversized buckets (degenerate band keys:
+    verbatim-copy cliques, boilerplate shingle sets — all-pairs is
+    QUADRATIC and was measured at 78 GB spill/DNF on a 100× composed
+    fixture) are CHUNKED into overlapping windows of ``max_bucket``
+    sorted ids with stride ``max_bucket - 1``: all-pairs within each
+    window, adjacent windows sharing one chaining element. Candidate
+    volume stays LINEAR in bucket size (≈ n·cap/2 pairs), every member
+    pairs with ~cap-1 neighbors (not a single hub, the recall flaw of
+    the round-7 star expansion), and the chain keeps downstream
+    connected components spanning the whole bucket. Residual contract:
+    a pair straddling a window boundary is emitted only if it
+    co-collides in another band/table — that loss is bounded by the
+    window width and disappears under any component pass.
+
+    Callers explode the WINDOWS first and pair-expand each window row
+    separately (``pair_expansion_expr``): a 30k-id degenerate bucket
+    then materializes ~30 independent ≤C(cap,2) arrays across rows
+    instead of one ~15M-struct value (measured: a single 243 MB
+    allocation → GCLocker heap death at 1M vectors). Callers must
+    ``array_sort`` ids first when a cap is set (deterministic windows).
+    ``None`` keeps exact all-pairs (the oracle-twin setting).
     """
-
-    def _all_pairs(arr: str) -> str:
-        return (
-            f"flatten(transform({arr}, (x, i) ->"
-            f" transform(slice({arr}, i + 2, size({arr})), y ->"
-            " struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-        )
-
     if max_bucket is None:
-        return _all_pairs("ids")
+        return "array(ids)"
     cap = int(max_bucket)
     if cap < 2:
         raise ValueError(f"max_bucket must be >= 2, got {cap}")
     stride = cap - 1
-    chunk = f"slice(ids, j * {stride} + 1, {cap})"
     chunked = (
-        "flatten(transform(sequence(0,"
+        "transform(sequence(0,"
         f" CAST(ceil((size(ids) - 1) / CAST({stride} AS DOUBLE)) AS INT) - 1),"
-        f" j -> {_all_pairs(chunk)}))"
+        f" j -> slice(ids, j * {stride} + 1, {cap}))"
     )
-    return (
-        f"CASE WHEN size(ids) > {cap} THEN {chunked}"
-        f" ELSE {_all_pairs('ids')} END"
-    )
+    return f"CASE WHEN size(ids) > {cap} THEN {chunked} ELSE array(ids) END"
 
 
 def minhash_lsh_pairs(
@@ -273,9 +278,11 @@ def minhash_lsh_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.withColumn("ids", F.array_sort("ids"))
-    pair_expr = capped_pair_expansion_expr(max_bucket)
+    windows = buckets.select(
+        F.explode(F.expr(capped_window_slices_expr(max_bucket))).alias("ids")
+    )
     pairs = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        windows.select(F.explode(F.expr(pair_expansion_expr())).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -300,18 +300,21 @@ def embedding_neardup_lsh(
     # degenerate bucket's all-pairs array is QUADRATIC in bucket size and
     # is materialized as ONE in-memory value before explode (measured at
     # 200k vectors with fixed 4-plane buckets: 12.5k-id buckets -> 78M
-    # struct arrays -> executor heap death). Oversized buckets expand via
-    # overlapping capped windows (see capped_pair_expansion_expr): linear
-    # candidate volume, ~cap-1 direct neighbors per member, chained so
-    # components span the bucket. None keeps exact all-pairs (the
-    # fixture setting).
-    from .dedup import capped_pair_expansion_expr
+    # struct arrays -> executor heap death). Oversized buckets explode
+    # into overlapping capped WINDOW ROWS first, then pair-expand per
+    # window (see capped_window_slices_expr): linear candidate volume,
+    # ~cap-1 direct neighbors per member, chained so components span the
+    # bucket, and no single materialized array above C(cap, 2). None
+    # keeps exact all-pairs (the fixture setting).
+    from .dedup import capped_window_slices_expr, pair_expansion_expr
 
     if max_bucket is not None:
         buckets = buckets.withColumn("ids", F.array_sort("ids"))
-    pair_expr = capped_pair_expansion_expr(max_bucket)
+    windows = buckets.select(
+        F.explode(F.expr(capped_window_slices_expr(max_bucket))).alias("ids")
+    )
     pairs = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        windows.select(F.explode(F.expr(pair_expansion_expr())).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 
 from hg_data_pipelines_spark.operators.dedup import (
-    capped_pair_expansion_expr,
+    capped_window_slices_expr,
     connected_components,
     minhash_lsh_pairs,
 )
@@ -75,7 +75,7 @@ class TestMinhashOccupancyGuard:
         import pytest
 
         with pytest.raises(ValueError):
-            capped_pair_expansion_expr(1)
+            capped_window_slices_expr(1)
 
     def test_capped_pairs_recover_full_clique_component(self, spark):
         pairs = minhash_lsh_pairs(_docs(spark), threshold=0.2, max_bucket=4)

@@ -32,7 +32,16 @@ N_QUERIES = 100
 K_TOP = 5
 
 
-def build_corpus(spark, n: int, path: str) -> None:
+def build_corpus(spark, n: int, path: str, organic: bool = False) -> None:
+    """Replica corpus. Default (dense) regime: copies perturb only dim 0
+    by i·0.001 — every original becomes a ~K-way near-dup clique, the
+    HARD case for top-k bucket occupancy. ``organic``: copies get a
+    deterministic per-copy sign scramble on half the dims — copies are
+    NOT near-dups, so pair-output operators see volume ∝ n (the same
+    organic-vs-clique split tools/scale_smoke.py documents: a pair
+    operator's output on K-way cliques is quadratic BY CONSTRUCTION —
+    measured here as >78 GB of shuffle spill at n=1M — which answers
+    'the corpus is degenerate', not 'the operator is')."""
     from pyspark.sql import functions as F
 
     if os.path.isdir(path):
@@ -43,7 +52,16 @@ def build_corpus(spark, n: int, path: str) -> None:
     parts = []
     for i in range(copies):
         c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
-        if i > 0:
+        if i > 0 and organic:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, j) -> CAST(CASE WHEN"
+                    f" pmod(xxhash64(CAST(j * 7919 + {i} AS STRING)), 2) = 0"
+                    " THEN x ELSE -x END AS FLOAT))"
+                ),
+            )
+        elif i > 0:
             c = c.withColumn(
                 "embedding",
                 F.expr(
@@ -75,6 +93,13 @@ def sweep(spark, n: int, repo: str, only: list | None = None) -> dict:
     emb = spark.read.parquet(path)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     planes = auto_planes(n)
+    # pair-output operator: organic replicas (copies are not near-dups),
+    # output ∝ n; the dense-clique regime for this operator is recorded
+    # at 200k (148 s, 10M pairs) and excluded at 1M (output quadratic by
+    # corpus construction — see build_corpus)
+    org_path = os.path.join(repo, ".scale_smoke", f"ann_sweep_org_{n}.parquet")
+    build_corpus(spark, n, org_path, organic=True)
+    emb_org = spark.read.parquet(org_path)
 
     def timed(label, fn):
         t0 = time.time()
@@ -95,9 +120,9 @@ def sweep(spark, n: int, repo: str, only: list | None = None) -> dict:
         "ivf_topk": ("ivf_topk", lambda: ivf_topk(queries, emb, k=K_TOP)),
         "pq_topk": ("pq_topk", lambda: pq_topk(queries, emb, k=K_TOP)),
         "embedding_neardup_lsh": (
-            "embedding_neardup_lsh(cap=1024)",
+            "embedding_neardup_lsh(cap=1024, organic)",
             lambda: embedding_neardup_lsh(
-                emb, 0.45, n_planes=planes, n_tables=16, max_bucket=1024
+                emb_org, 0.45, n_planes=planes, n_tables=16, max_bucket=1024
             ),
         ),
         "knn_graph_blocked": (
@@ -129,8 +154,14 @@ def main() -> None:
     # OOM'd shuffle read-ahead because ~10 GB of near-dup candidate pairs
     # landed on 32 reduce tasks running 32-way concurrent on that heap.
     parts = max(64, max(sizes) // 4_000)
+    # 16 threads on the 8 GB heap = 512 MB per concurrent task — still
+    # HALF of the most conservative real executor sizing (≥1 GB/core),
+    # so passing here under-claims what a cluster would have. 32 threads
+    # (256 MB/task) OOM'd shuffle read-ahead on the 10 GB near-dup pair
+    # shuffle regardless of partition count.
     spark = get_spark(
         "ann_sweep",
+        cpus=16,
         shuffle_partitions=parts,
         extra_conf={"spark.driver.memory": "8g"},
     )
