@@ -467,6 +467,7 @@ def knn_graph_blocked(
     round_dp: int = 6,
     n_cells: int | None = None,
     candidate_buffer: int = 32,
+    small_n: int = 8192,
 ) -> DataFrame:
     """EXACT k-NN graph via pivot-pruned blocked search — the scale path
     that still matches the full-quadratic oracle bit-for-bit.
@@ -506,6 +507,15 @@ def knn_graph_blocked(
 
     Same output contract as ``knn_graph_exact`` incl. the
     >buffer-way-rounding-tie caveat, now per cell.
+
+    Size-gated dispatch: below ``small_n`` rows the pivot/τ̂/cogroup
+    machinery (plus its extra Exchange) costs more than the O(n²)
+    kernel it prunes — measured 2-3.6× at the 2k-row fixture — so the
+    all-pairs chunked kernel handles small inputs and the blocked
+    search takes over above the gate. Both kernels are bit-identical
+    by contract (pinned in tests/test_knn_blocked.py), so the dispatch
+    can never move a result; pass ``small_n=0`` to force the blocked
+    path regardless of size (the parity tests do).
     """
     import math
 
@@ -516,9 +526,11 @@ def knn_graph_blocked(
 
     spark = corpus.sparkSession
     n = corpus.count()  # bounded action: one columnar count (sizing only)
-    if n == 0:
-        return knn_graph_exact(corpus, k=k, id_col=id_col, vec_col=vec_col,
-                               round_dp=round_dp, force=True)
+    if n <= max(small_n, 0):
+        return knn_graph_exact(
+            corpus, k=k, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp, candidate_buffer=candidate_buffer, force=True,
+        )
     P = n_cells or max(8, int(math.ceil(math.sqrt(n))))
     m_take = k + candidate_buffer
     slack = 2.0 * (10.0 ** (-round_dp)) + 1e-9
