@@ -264,14 +264,28 @@ def main() -> None:
         return timings
 
     # Calibration probes bracket the timed work (before / between / after)
-    # so bursty host steal during the run is visible, not inferred.
+    # so bursty host steal during the run is visible, not inferred. The
+    # single-threaded probe cannot see MULTI-core contention (r10's
+    # committed record was inflated ~1.7x at probe ~1.0 by a concurrent
+    # multi-core load), so 1-minute loadavg is recorded too. Only the
+    # PRE-run sample measures EXTERNAL load (mid/post samples are
+    # dominated by the bench's own 32-core work and are recorded for
+    # context only); the record is flagged contended when the pre-run
+    # loadavg exceeds the threshold — cross-round per-query comparisons
+    # on a contended record are noise.
+    LOADAVG_CONTENTION = 4.0
+    loadavg_pre = round(os.getloadavg()[0], 2)
+    loadavgs = [loadavg_pre]
     probes = [_calibration_probe()]
     timings = run_set(HEADLINE)
+    loadavgs.append(round(os.getloadavg()[0], 2))
     probes.append(_calibration_probe())
     coverage = run_set(COVERAGE)
+    loadavgs.append(round(os.getloadavg()[0], 2))
     probes.append(_calibration_probe())
 
     probe_min = min(probes)
+    contended = loadavg_pre > LOADAVG_CONTENTION
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -297,9 +311,16 @@ def main() -> None:
             "kernel": "numpy elementwise 2000x2000 x8, single-threaded",
             "probe_runs_sec": probes,
             "probe_min_sec": probe_min,
+            "loadavg_1min": loadavgs,
+            "loadavg_pre_run": loadavg_pre,
+            "contended": contended,
             "note": (
                 "machine-speed probe: compare probe_min_sec across "
-                "BENCH_r{N}.json before reading query drift as regression"
+                "BENCH_r{N}.json before reading query drift as regression; "
+                "contended=true (pre-run 1-min loadavg > "
+                f"{LOADAVG_CONTENTION:g}) means external multi-core load "
+                "the single-threaded probe cannot see — do not read "
+                "per-query drift off a contended record"
             ),
         },
         "sf": sf,
@@ -334,6 +355,8 @@ def main() -> None:
         "frozen_r1_total": out["frozen_r1_total"],
         "coverage_total": out["coverage_total"],
         "probe_min_sec": probe_min,
+        "loadavg_pre_run": loadavg_pre,
+        "contended": contended,
         "queries": {n: timings[n] for n in FROZEN_R1_SUBSET},
         "full_record": os.path.basename(local_path),
     }
