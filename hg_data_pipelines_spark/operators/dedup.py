@@ -251,7 +251,7 @@ def minhash_lsh_pairs(
     ``max_bucket`` is the occupancy guard (standard LSH skew control):
     oversized degenerate buckets expand via overlapping capped windows
     instead of quadratic all-pairs — see
-    ``capped_pair_expansion_expr`` for the full contract (linear
+    ``capped_window_slices_expr`` + ``pair_expansion_expr`` for the full contract (linear
     candidate volume, ~cap-1 direct neighbors per member, chained
     windows so components span the bucket). ``None`` keeps exact
     all-pairs expansion (the oracle-twin setting).

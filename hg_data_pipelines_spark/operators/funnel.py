@@ -35,6 +35,14 @@ def funnel_user_times(
     Lazily checkpointed — every stage table and count derives from this
     single fold without re-executing it per consumer."""
     keys = [user_col] if isinstance(user_col, str) else list(user_col)
+    if len(set(stages)) != len(stages):
+        # The nested-when stage index maps each event TYPE to one slot, so
+        # a repeated stage type could never fill its second slot — the
+        # funnel would silently stall instead of converting. Refuse loudly.
+        raise ValueError(
+            f"funnel stages must be distinct event types, got {stages!r} "
+            "(a repeated type can never fill its later slot)"
+        )
     k = len(stages)
     tstype = events.schema[ts_col].dataType.simpleString()
     idx = F.lit(None).cast("int")

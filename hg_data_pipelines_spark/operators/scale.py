@@ -674,12 +674,19 @@ def exact_quantiles_twopass(
     )
     def _qname(q: float) -> str:
         # deterministic: p{percent:02d} for 2-dp quantiles (q=0.5 -> p50,
-        # q=1.0 -> p100), full repr digits otherwise (q=0.125 -> p12_5) —
-        # never str().replace, whose output depends on float repr quirks
+        # q=1.0 -> p100); otherwise fixed-point digits from the Decimal
+        # of q*100 (q=0.125 -> p12_5) — Decimal formatting never emits
+        # scientific notation or float-repr tail digits (advisor fix:
+        # repr(scaled) gave p10_100000000000001 for q=0.101 and 1e-05
+        # style output for tiny q)
+        from decimal import Decimal
+
         scaled = q * 100.0
         if abs(scaled - round(scaled)) < 1e-9:
             return f"p{int(round(scaled)):02d}"
-        return "p" + repr(scaled).replace(".", "_").rstrip("_0")
+        d = (Decimal(repr(q)) * 100).normalize()
+        body = format(d, "f")  # plain fixed-point, no exponent
+        return "p" + body.replace("-", "m").replace(".", "_")
 
     names = [_qname(q) for q in quantiles]
     if len(set(names)) != len(names):

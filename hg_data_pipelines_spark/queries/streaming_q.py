@@ -462,11 +462,21 @@ def streaming_left_outer_join(spark, sf_dir):
     # every batch before it (deterministic: the staged replay is
     # globally time-ordered with fixed chunking)
     batches = sorted(_glob.glob(stage + "/batch_*"))
-    prev_mx = (
-        spark.read.parquet(*batches[:-1]).agg(F.max("ts")).collect()[0][0]
+    # Spark's GLOBAL watermark is the MIN across both inputs of each
+    # side's post-filter max event time (minus the delay) — the all-types
+    # max over-requires when one side thins out near the tail (advisor
+    # finding, round 10). Deriving wm_safe from the per-side min makes
+    # the required-null set a guaranteed subset of what Spark must emit.
+    prev = spark.read.parquet(*batches[:-1])
+    side_mx = (
+        prev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(F.min("mx"))
+        .collect()[0][0]
     )
     wm_safe = (
-        prev_mx.replace(tzinfo=None) - datetime.timedelta(minutes=10)
+        side_mx.replace(tzinfo=None) - datetime.timedelta(minutes=10)
     )
     horizon = F.col("l_ts") + F.expr("INTERVAL 30 minutes")
 

@@ -53,3 +53,15 @@ class TestFunnelCounts:
         ]
         got = _counts(spark, rows)
         assert got["purchase"] == 1
+
+    def test_repeated_stage_type_rejected(self, spark):
+        # the single-shuffle fold maps each event TYPE to one slot, so a
+        # repeated stage could never fill its later slot — it must raise,
+        # not silently stall (advisor finding, round 10)
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, _t(0), "view")], ["user_id", "ts", "event_type"]
+        )
+        with pytest.raises(ValueError, match="distinct"):
+            funnel_counts(df, ["view", "click", "view"])

@@ -20,7 +20,7 @@ from hg_data_pipelines_spark.operators.dedup import (
 
 
 def _expected_window_pairs(ids, cap):
-    """Reference model of capped_pair_expansion_expr's oversized path."""
+    """Reference model of capped_window_slices_expr + pair_expansion_expr's oversized path."""
     ids = sorted(ids)
     stride = cap - 1
     pairs = set()
