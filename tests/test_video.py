@@ -37,10 +37,22 @@ class TestVideoCodec:
         assert got.shape == frames.shape + (1,)
 
     def test_real_container_seams(self):
-        with pytest.raises(NotImplementedError, match="MP4"):
-            decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
-        with pytest.raises(NotImplementedError, match="Matroska"):
-            decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)
+        # MP4/Matroska route to the pyav seam: without the optional
+        # `video` extra the seam must raise the actionable error naming
+        # the extra (the branch this container exercises); with pyav
+        # installed these truncated headers fail inside the demuxer
+        # instead, so the error-contract assertions only apply without it
+        try:
+            import av  # noqa: F401
+
+            has_av = True
+        except ImportError:
+            has_av = False
+        if not has_av:
+            with pytest.raises(NotImplementedError, match="MP4.*video"):
+                decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+            with pytest.raises(NotImplementedError, match="Matroska.*video"):
+                decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)
         with pytest.raises(ValueError):
             decode_video(b"garbage")
 
