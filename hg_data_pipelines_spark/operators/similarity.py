@@ -160,6 +160,38 @@ def auto_planes(n_vectors: int, target_bucket: int = 32, floor: int = 4) -> int:
     return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def tables_for_recall(
+    threshold: float, n_planes: int, target: float = 0.95
+) -> int:
+    """Table count that holds per-pair RHP recall at ``target`` for pairs
+    AT the cosine ``threshold`` — the recall-side companion of
+    ``auto_planes`` (the cost side).
+
+    Random-hyperplane collision probability per plane is
+    s = 1 − θ/π (θ = arccos(threshold)), so one table collides with
+    p = s^n_planes and T tables miss with (1−p)^T; solving
+    (1−p)^T ≤ 1−target gives T = ⌈ln(1−target)/ln(1−p)⌉.
+
+    Cost note — this is only cheap when the threshold is a real
+    near-dup gate: at cosine ≥ 0.9, s ≈ 0.86 and even 13-15 planes
+    (the 200k-1M ``auto_planes`` regime) keep p large enough that T
+    stays ≈ 16-20. Asking for high recall at a LOW threshold under many
+    planes is the documented anti-pattern: p decays exponentially in
+    planes, so T explodes — if T comes back in the hundreds, the right
+    move is a higher threshold, fewer planes (bigger buckets), or the
+    IVF path, not more tables.
+    """
+    import math
+
+    if not 0.0 < target < 1.0:
+        raise ValueError(f"target must be in (0, 1), got {target}")
+    s = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p = s ** n_planes
+    if p >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target) / math.log(1.0 - p)))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -254,23 +254,82 @@ def ivf_recall_invariant(spark, sf_dir):
     return _recall_violations(approx, exact, "ivf_recall_at_k", 0.5)
 
 
-@query("X2_embedding_neardup_lsh")
+@query("X2_neardup_lsh_invariant", _RECALL_INVARIANT_ORACLE)
 def embedding_neardup_lsh_q(spark, sf_dir):
-    """RHP-LSH scale path for X2_embedding_neardup_pairs (rows-only:
-    candidate recall is probabilistic by design; pytest asserts exact
-    precision and a recall floor against the exact twin)."""
-    from ..operators.similarity import auto_planes, embedding_neardup_lsh
+    """RHP-LSH embedding near-dup under its DECLARED precision + recall
+    contract (was rows-only `X2_embedding_neardup_lsh`). Two violation
+    forms share the invariant schema:
+
+    - ``neardup_lsh_precision_pair``: an emitted pair whose cosine,
+      recomputed INDEPENDENTLY from the vectors (not the operator's own
+      verify column), falls below the threshold — precision must be
+      exact because the operator cosine-verifies every candidate, and
+      this declares that contract instead of trusting it;
+    - ``neardup_lsh_recall``: overall recall vs the exact all-pairs twin
+      below the 0.7 floor (tests/test_similarity.py::
+      test_lsh_pairs_subset_of_exact_with_recall_floor).
+
+    The exact side reuses the fenced quadratic twin's shape, so this
+    invariant is itself a fixture-scale oracle anchor (same exclusion
+    class as X2_embedding_neardup_pairs — kept out of scale smokes); the
+    production operator it checks stays banded/linear.
+
+    auto_planes + occupancy guard: at the fixture auto_planes resolves
+    to the old fixed 4 (floor); at 200k vectors planes scale to 13 and
+    the 1024-cap chained-window expansion fences residual skew. Table
+    count comes from ``tables_for_recall`` — auto_planes pins bucket
+    occupancy (cost), tables_for_recall buys the recall back at the
+    declared threshold (16 tables at 4 planes, 39 at the sf0.1 audit's
+    6 planes, measured recall 0.96/0.97) — so the floor holds at every
+    test scale instead of only where planes bottom out."""
+    from ..operators.guards import fence_rows
+    from ..operators.similarity import (
+        _cosine,
+        auto_planes,
+        embedding_neardup_lsh,
+        tables_for_recall,
+    )
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    # auto_planes + occupancy guard: at the fixture auto_planes resolves
-    # to the old fixed 4 (floor), so declared output is unchanged; at
-    # 200k vectors planes scale to 13 and the 1024-cap chained-window
-    # expansion fences whatever residual skew remains (r9 sweep; windows
-    # replaced star expansion in r10 — advisor recall fix)
     planes = auto_planes(emb.count())
-    return embedding_neardup_lsh(
-        emb, _NEARDUP_COS, n_planes=planes, n_tables=16, max_bucket=1024
+    tables = tables_for_recall(_NEARDUP_COS, planes, target=0.95)
+    got = embedding_neardup_lsh(
+        emb, _NEARDUP_COS, n_planes=planes, n_tables=tables, max_bucket=1024
     )
+
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
+    recomputed = (
+        got.select("id_a", "id_b")
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_cosine("qv", "cv"), 6).alias("_c"))
+    )
+    prec_viol = recomputed.filter(F.col("_c") < _NEARDUP_COS).select(
+        F.lit("neardup_lsh_precision_pair").alias("metric"),
+        F.round(F.col("_c") * 1e6).cast("bigint").alias("recall_micro"),
+        F.lit(int(_NEARDUP_COS * 1e6)).cast("bigint").alias("floor_micro"),
+    )
+
+    fenced = fence_rows(
+        emb,
+        what="X2_neardup_lsh_invariant (exact recall side)",
+        scale_path="pytest recall floor on a sample",
+    )
+    exact = (
+        fenced.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+        .crossJoin(vb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_cosine("qv", "cv"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_COS)
+    )
+    rec_viol = _recall_violations(
+        got.select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")),
+        exact.select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")),
+        "neardup_lsh_recall",
+        0.7,
+    )
+    return prec_viol.unionByName(rec_viol)
 
 
 # --------------------------------------------------------------------------
@@ -306,17 +365,25 @@ def knn_graph_exact(spark, sf_dir):
     return knn_op(emb, k=_KNN_K).withColumn("rank", F.col("rank").cast("int"))
 
 
-@query("X3_knn_graph_lsh")
+@query("X3_knn_graph_lsh_recall_invariant", _RECALL_INVARIANT_ORACLE)
 def knn_graph_lsh(spark, sf_dir):
-    """Rows-only LSH twin of X3_knn_graph (xxhash64 planes not in DuckDB);
-    pytest pins recall vs the exact graph. Plane count scales with the
-    corpus (``auto_planes``) so bucket occupancy — and the candidate
-    join's collision volume — stays constant instead of quadratic."""
-    from ..operators.similarity import auto_planes
+    """LSH kNN-graph scale path under its DECLARED recall contract
+    (was rows-only `X3_knn_graph_lsh`; xxhash64 planes aren't
+    DuckDB-replayable, the recall floor is): the graph over ALL vectors
+    must recall ≥ 0.6 of the exact blocked-search graph — the floor
+    tests/test_similarity.py::test_lsh_graph_recall_vs_exact pins. The
+    exact side is the pivot-pruned n^1.5 search (bit-identical to the
+    quadratic oracle), so the invariant itself scales. Plane count
+    scales with the corpus (``auto_planes``) so bucket occupancy — and
+    the candidate join's collision volume — stays constant instead of
+    quadratic."""
+    from ..operators.similarity import auto_planes, knn_graph_blocked
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     planes = auto_planes(emb.count())
-    return lsh_topk(emb, emb, k=_KNN_K, n_planes=planes, n_tables=16)
+    approx = lsh_topk(emb, emb, k=_KNN_K, n_planes=planes, n_tables=16)
+    exact = knn_graph_blocked(emb, k=_KNN_K)
+    return _recall_violations(approx, exact, "knn_graph_lsh_recall", 0.6)
 
 
 # --------------------------------------------------------------------------
@@ -2421,9 +2488,27 @@ _BEAM_ROUNDS = 4  # fixed expansion rounds (no converged-check → unrollable)
 _BEAM_SEEDS = 8   # fixed entry points: the lowest vec_ids
 # Sized for recall 0.71 vs exact top-5 on the 500-vector fixture (floor
 # 0.55 pinned in tests/test_similarity.py) — comparable to the LSH-table
-# family on the same weak-similarity corpus. A fixed walk budget is the
-# contract: at larger n recall is bought with degree/beam/rounds (all
-# O(|Q|) serve-side), never with corpus scans.
+# family on the same weak-similarity corpus. At larger n recall is
+# bought with degree/beam/rounds (all O(|Q|) serve-side, independent of
+# corpus size), never with corpus scans — _beam_budget below is that
+# rule made executable.
+
+
+def _beam_budget(n: int) -> tuple[int, int, int, int]:
+    """(degree, beam, rounds, seeds) for an n-vector corpus: the walk
+    budget that holds the recall floor as auto_planes thins the edge
+    graph. One step per doubling past 1024 vectors — degree 8→16, +8
+    beam and +1 round per step (capped: the walk stays O(|Q|·beam·deg·
+    rounds) regardless of n). Base budget below 1024 keeps the fixture
+    walk IDENTICAL to the portable twin's. Measured at the sf0.1 audit
+    (n=2000, 6 planes): base budget recall 0.39 < floor; stepped budget
+    (16, 24, 5, 8) recall 0.83."""
+    import math
+
+    steps = max(0, math.ceil(math.log2(max(n, 1) / 1024)))
+    if steps == 0:
+        return _BEAM_DEG, _BEAM_WIDTH, _BEAM_ROUNDS, _BEAM_SEEDS
+    return 16, min(_BEAM_WIDTH + 8 * steps, 48), min(_BEAM_ROUNDS + steps, 8), _BEAM_SEEDS
 
 
 def _beam_oracle() -> str:
@@ -2504,31 +2589,43 @@ def graph_beam_search_portable(spark, sf_dir):
     )
 
 
-@query("X3_graph_beam_search")
+@query("X3_beam_recall_invariant", _RECALL_INVARIANT_ORACLE)
 def graph_beam_search_production(spark, sf_dir):
-    """Production sibling of X3_graph_beam_search_portable: the IDENTICAL
-    walk (8 seeds, 4 rounds, beam 16, top-5) over kNN edges built with
-    ``auto_planes`` + xxhash64 RHP — plane count scales with the corpus so
-    bucket occupancy (and the edge-build join) stays linear-ish at any n,
-    exactly the X3_cosine_topk_lsh contract. Rows-only (xxhash64 planes
-    aren't DuckDB-replayable); the walk MACHINERY is hash-checked through
-    the portable twin, and pytest pins recall + layout-independence."""
+    """Production graph-ANN serve path under its DECLARED recall contract
+    (was rows-only `X3_graph_beam_search`): the same walk as
+    X3_graph_beam_search_portable over kNN edges built with
+    ``auto_planes`` + xxhash64 RHP — plane count scales with the corpus
+    so bucket occupancy (and the edge-build join) stays linear-ish at
+    any n, and the walk budget scales with ``_beam_budget`` (O(|Q|)
+    serve-side) so recall survives the thinner buckets. At the fixture
+    (n ≤ 1024) both knobs bottom out and the walk is IDENTICAL to the
+    portable twin's. xxhash64 planes aren't DuckDB-replayable, but the
+    recall floor is: recall@5 vs the exact brute-force top-5 (bounded:
+    |Q| queries × linear corpus) must clear the 0.55 floor
+    tests/test_similarity.py::test_recall_floor_vs_exact pins, or
+    violation rows appear. The walk MACHINERY stays hash-checked
+    end-to-end through the portable twin."""
     from ..operators.similarity import auto_planes, graph_beam_search, lsh_topk
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
-    planes = auto_planes(emb.count())
-    edges = lsh_topk(emb, emb, k=_BEAM_DEG, n_planes=planes, n_tables=16).select(
+    n = emb.count()
+    planes = auto_planes(n)
+    deg, beam, rounds, seeds = _beam_budget(n)
+    edges = lsh_topk(emb, emb, k=deg, n_planes=planes, n_tables=16).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    return graph_beam_search(
-        emb.filter(F.col("vec_id") < _N_QUERIES),
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    approx = graph_beam_search(
+        queries,
         emb,
         edges,
         k=_K,
-        beam=_BEAM_WIDTH,
-        rounds=_BEAM_ROUNDS,
-        n_seeds=_BEAM_SEEDS,
+        beam=beam,
+        rounds=rounds,
+        n_seeds=seeds,
     )
+    exact = cosine_topk(queries, emb, k=_K)
+    return _recall_violations(approx, exact, "beam_search_recall", 0.55)
 
 
 # --------------------------------------------------------------------------

@@ -467,3 +467,66 @@ class TestGraphBeamSearch:
             reach |= {d for s in list(reach) for d in adj.get(s, ())}
         got = graph_beam_search(q, emb, edges, k=K, beam=16, rounds=4, n_seeds=8).collect()
         assert got and all(r["neighbor_id"] in reach for r in got)
+
+
+class TestInvariantNonVacuity:
+    """The declared recall/precision invariants (X3_*_recall_invariant,
+    X2_neardup_lsh_invariant) return EMPTY on pass — these pins prove
+    the violation paths actually FIRE on bad inputs, so an empty result
+    is evidence, not a broken comparator (the A9/X7 non-vacuity
+    pattern)."""
+
+    def test_recall_violation_fires_on_bad_approx(self, spark):
+        from hg_data_pipelines_spark.queries.similarity import (
+            _recall_violations,
+        )
+
+        exact = spark.createDataFrame(
+            [(1, 2), (1, 3)], "query_id long, neighbor_id long"
+        )
+        # approx misses everything -> recall 0 -> one violation row
+        empty = exact.filter(F.lit(False))
+        rows = _recall_violations(empty, exact, "m", 0.5).collect()
+        assert len(rows) == 1
+        assert rows[0]["metric"] == "m"
+        assert rows[0]["recall_micro"] == 0
+        # and a perfect approx emits nothing
+        assert _recall_violations(exact, exact, "m", 0.5).count() == 0
+
+    def test_neardup_precision_violation_fires(self, spark):
+        # Run the operator at a LOWER gate (0.3) and recheck emitted
+        # pairs against the declared 0.45 threshold with the invariant's
+        # own recompute expressions: pairs in [0.3, 0.45) must surface
+        # as precision violations — proving the recompute-and-filter
+        # path can fire, not just that the operator's verify stage
+        # happens to agree with it.
+        from hg_data_pipelines_spark.operators.similarity import (
+            _cosine,
+            embedding_neardup_lsh,
+        )
+        from hg_data_pipelines_spark.queries.similarity import _NEARDUP_COS
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        got = embedding_neardup_lsh(emb, 0.3, n_planes=4, n_tables=16)
+        va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+        vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
+        recomputed = (
+            got.select("id_a", "id_b")
+            .join(va, "id_a")
+            .join(vb, "id_b")
+            .select(F.round(_cosine("qv", "cv"), 6).alias("_c"))
+        )
+        assert recomputed.filter(F.col("_c") < _NEARDUP_COS).count() > 0
+
+    def test_tables_for_recall_anchors_and_monotonicity(self, spark):
+        from hg_data_pipelines_spark.operators.similarity import (
+            tables_for_recall,
+        )
+
+        # fixture anchor: the 4-plane / 0.45-threshold regime must keep
+        # the historical 16 tables (declared output unchanged at sf<=0.01)
+        assert tables_for_recall(0.45, 4, target=0.95) == 16
+        # more planes -> more tables (recall is bought back)
+        assert tables_for_recall(0.45, 6, target=0.95) > 16
+        # a REAL near-dup gate stays cheap even at 1M-scale plane counts
+        assert tables_for_recall(0.92, 15, target=0.95) <= 24

@@ -92,7 +92,7 @@ QUERIES = [
     # round-6: the ANN scale path for the kNN-graph family (adaptive
     # plane count) next to the exact O(n²) oracle twins
     "X11_pagerank_ann",
-    "X3_knn_graph_lsh",
+    "X3_knn_graph_lsh_recall_invariant",  # r11: now the DECLARED recall contract (exact side = blocked n^1.5 search)
     # round-7: corpus LM scoring (token-join shapes), PSI drift audit,
     # and the graph-motif census
     "X4_unigram_nll_scores",
@@ -126,8 +126,9 @@ QUERIES = [
     # edge build — the portable twin's FIXED plane count is an oracle
     # fixture, quadratic at 10x by construction like the other portable
     # twins, so the scale smoke runs the auto-scaling sibling): the ratio
-    # should track the EDGE BUILD (LSH), the walk itself is O(|Q|)
-    "X3_graph_beam_search",
+    # should track the EDGE BUILD (LSH), the walk itself is O(|Q|); r11:
+    # the declared form is the recall INVARIANT (walk + bounded exact side)
+    "X3_beam_recall_invariant",
     "S25_schema_evolution_read",
     "X5_audio_fingerprint_neardups",
     "A28_exact_quantiles_twopass",
@@ -147,7 +148,9 @@ QUERIES = [
     # excluded by contract: X2_lsh_band_tuning_report (fixture-scale
     # design study), X3_graph_beam_search_portable / X3_graph_ann_warm_
     # check (fixed-plane oracle fixtures — the auto-plane production
-    # sibling X3_graph_beam_search above IS the smoked scale path)
+    # sibling X3_beam_recall_invariant above IS the smoked scale path);
+    # X2_neardup_lsh_invariant (its exact recall side is the FENCED
+    # quadratic all-pairs twin — same exclusion class as the twin itself)
 ]
 
 
@@ -287,7 +290,7 @@ COMPOSE_QUERIES = [
     # quadratic BY CONSTRUCTION — the same near-dup-clique exclusion
     # class as J15. Its per-pair cost is pinned by the plain 10x smoke
     # (ratio 1.62 on the suffix-diversified replica).
-    "X3_graph_beam_search",
+    "X3_beam_recall_invariant",
 ]
 
 
