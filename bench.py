@@ -160,6 +160,9 @@ COVERAGE = [
     "X4_preference_pairs",           # DPO/RM chosen-rejected pairing (r9)
     "X10_streaming_left_outer_join", # watermark-proven null emission (r10)
     "X3_lsh_recall_invariant",       # declared ANN recall contract (r10)
+    "X10_streaming_full_outer_join", # both-direction null emission (r11)
+    "X3_beam_recall_invariant",      # graph-ANN walk recall contract (r11)
+    "X3_knn_graph_lsh_recall_invariant",  # kNN-graph LSH recall contract (r11)
 ]
 
 
@@ -193,7 +196,7 @@ FROZEN_R1_SUBSET = HEADLINE[:13]
 
 # Bump when HEADLINE or COVERAGE membership changes, so cross-round total
 # comparisons are gated on matching set_version (judge advice, round 7).
-SET_VERSION = 15
+SET_VERSION = 16
 
 
 def _next_round_number(repo_dir: str) -> int:

@@ -56,3 +56,50 @@ class TestStreamOuterJoin:
         assert nulls >= 100
         # every null row is a click the batch join cannot match
         assert nulls + matched <= 210
+
+
+class TestStreamFullOuterJoin:
+    def test_both_null_directions_actually_emit(self, spark):
+        """Non-vacuity for X10_streaming_full_outer_join: a full-outer
+        join that silently behaved as left-outer (or inner) would pass
+        the empty-violation check only if the violation query were
+        broken too — so BOTH null directions must demonstrably fire."""
+        from hg_data_pipelines_spark.queries.streaming_q import (
+            _run_available_now,
+            _stage_event_batches,
+        )
+        from hg_data_pipelines_spark.streaming import stream_stream_join
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stage = _stage_event_batches(spark, "/root/testdata/sf0.001")
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def _side(event_type):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage + "/batch_*")
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .filter(F.col("event_type") == event_type)
+            )
+
+        out = _run_available_now(
+            spark,
+            stream_stream_join(
+                _side("click"), _side("purchase"),
+                watermark="10 minutes", within="30 minutes",
+                how="full_outer",
+            ),
+            "append",
+        )
+        left_nulls = out.filter(F.col("r_event_id").isNull()).count()
+        right_nulls = out.filter(F.col("l_event_id").isNull()).count()
+        matched = out.filter(
+            F.col("l_event_id").isNotNull() & F.col("r_event_id").isNotNull()
+        ).count()
+        assert matched == 2
+        assert left_nulls >= 100   # unmatched clicks
+        assert right_nulls >= 100  # unmatched purchases

@@ -35,6 +35,9 @@ _GOLDENS = {
     # left-outer: same bounded join state as the inner form — the null
     # emission path reads evicted state, it must not RETAIN more
     "X10_streaming_left_outer_join": (2000, 3, 0),
+    # full-outer: both null directions read evicted state; the buffered
+    # footprint must stay the inner form's
+    "X10_streaming_full_outer_join": (2000, 3, 0),
     "X9_streaming_dedup_within_watermark": (1000, 1, 0),
     "X17_streaming_session_window": (1000, 946, 0),
     "X6_streaming_ohlc": (1000, 868, 0),
