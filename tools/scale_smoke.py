@@ -291,10 +291,14 @@ COMPOSE_QUERIES = [
     # class as J15. Its per-pair cost is pinned by the plain 10x smoke
     # (ratio 1.62 on the suffix-diversified replica).
     "X3_beam_recall_invariant",
+    # round-11 (judge advice): the FLAGSHIP composition itself — its 8
+    # stages were each composed-smoked by r9/r10, the one-query pipeline
+    # never was; decade-2 budget = the worst of its stages
+    "X4_curation_funnel_chunks",
 ]
 
 
-def compose(spark, k: int) -> None:
+def compose(spark, k: int, only: list[str] | None = None) -> None:
     """Composed k×k step: build the k× replica's own k× replica (organic
     decade-2 growth — documents diluted so duplicate cliques do NOT grow;
     see build()) and time the worst-ratio queries at both decades.
@@ -327,7 +331,7 @@ def compose(spark, k: int) -> None:
             return None
 
     report = {}
-    for n in COMPOSE_QUERIES:
+    for n in (only or COMPOSE_QUERIES):
         mid, big = timed(d1, n), timed(d2, n)
         report[n] = {
             f"x{k}": mid, f"x{k * k}": big,
@@ -494,7 +498,7 @@ def main() -> None:
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     if "--compose" in sys.argv[1:]:
-        compose(spark, k)
+        compose(spark, k, only or None)
         spark.stop()
         return
     if "--clique" in sys.argv[1:]:
