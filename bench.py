@@ -189,6 +189,35 @@ def _calibration_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _mc_probe(threads: int = 16) -> float:
+    """Multi-core machine-speed probe: the same numpy kernel run on
+    ``threads`` concurrent OS threads (numpy releases the GIL inside
+    elementwise kernels), 2 iterations each, wall-clock for ALL to
+    finish. Host-level multi-core steal — the r10/r11 contamination that
+    inflates every 32-thread Spark stage while the single-threaded probe
+    and loadavg both read clean — shows up here as mc/sc ratio drift:
+    on unthrottled hardware mc ≈ (2/8)·sc·(threads/physical-cores
+    overcommit), so compare mc_probe ACROSS records at equal threads
+    rather than against a formula."""
+    import concurrent.futures
+
+    import numpy as np
+
+    def work(seed: int) -> float:
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((2000, 2000))
+        acc = 0.0
+        for _ in range(2):
+            acc += float(np.sum(np.sqrt(np.abs(np.sin(a) * np.cos(a) + 1.0))))
+        return acc
+
+    t0 = time.time()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+        acc = sum(f.result() for f in [ex.submit(work, s) for s in range(threads)])
+    assert acc > 0
+    return round(time.time() - t0, 3)
+
+
 # The frozen round-1 headline subset: the only total comparable across ALL
 # rounds. HEADLINE/COVERAGE grow per round, so their totals are set-growth,
 # not performance drift — compare rounds on this subset (or per-query).
@@ -279,15 +308,19 @@ def main() -> None:
     LOADAVG_CONTENTION = 4.0
     loadavg_pre = round(os.getloadavg()[0], 2)
     loadavgs = [loadavg_pre]
+    mc_probes = [_mc_probe()]
     probes = [_calibration_probe()]
     timings = run_set(HEADLINE)
     loadavgs.append(round(os.getloadavg()[0], 2))
+    mc_probes.append(_mc_probe())
     probes.append(_calibration_probe())
     coverage = run_set(COVERAGE)
     loadavgs.append(round(os.getloadavg()[0], 2))
+    mc_probes.append(_mc_probe())
     probes.append(_calibration_probe())
 
     probe_min = min(probes)
+    mc_probe_min = min(mc_probes)
     contended = loadavg_pre > LOADAVG_CONTENTION
     out = {
         "metric": "headline_queries_total_runtime",
@@ -314,6 +347,9 @@ def main() -> None:
             "kernel": "numpy elementwise 2000x2000 x8, single-threaded",
             "probe_runs_sec": probes,
             "probe_min_sec": probe_min,
+            "mc_probe_runs_sec": mc_probes,
+            "mc_probe_min_sec": mc_probe_min,
+            "mc_probe_threads": 16,
             "loadavg_1min": loadavgs,
             "loadavg_pre_run": loadavg_pre,
             "contended": contended,
@@ -358,6 +394,7 @@ def main() -> None:
         "frozen_r1_total": out["frozen_r1_total"],
         "coverage_total": out["coverage_total"],
         "probe_min_sec": probe_min,
+        "mc_probe_min_sec": mc_probe_min,
         "loadavg_pre_run": loadavg_pre,
         "contended": contended,
         "queries": {n: timings[n] for n in FROZEN_R1_SUBSET},
