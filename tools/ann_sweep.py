@@ -98,8 +98,12 @@ def sweep(spark, n: int, repo: str, only: list | None = None) -> dict:
     # at 200k (148 s, 10M pairs) and excluded at 1M (output quadratic by
     # corpus construction — see build_corpus)
     org_path = os.path.join(repo, ".scale_smoke", f"ann_sweep_org_{n}.parquet")
-    build_corpus(spark, n, org_path, organic=True)
-    emb_org = spark.read.parquet(org_path)
+    emb_org = None
+    if not only or "embedding_neardup_lsh" in only:
+        # the organic corpus only feeds the pair-output operator — don't
+        # spend a 2M-row build when --only excludes it
+        build_corpus(spark, n, org_path, organic=True)
+        emb_org = spark.read.parquet(org_path)
 
     def timed(label, fn):
         t0 = time.time()
