@@ -161,7 +161,10 @@ def auto_planes(n_vectors: int, target_bucket: int = 32, floor: int = 4) -> int:
 
 
 def tables_for_recall(
-    threshold: float, n_planes: int, target: float = 0.95
+    threshold: float,
+    n_planes: int,
+    target: float = 0.95,
+    max_tables: int | None = None,
 ) -> int:
     """Table count that holds per-pair RHP recall at ``target`` for pairs
     AT the cosine ``threshold`` — the recall-side companion of
@@ -179,7 +182,9 @@ def tables_for_recall(
     planes is the documented anti-pattern: p decays exponentially in
     planes, so T explodes — if T comes back in the hundreds, the right
     move is a higher threshold, fewer planes (bigger buckets), or the
-    IVF path, not more tables.
+    IVF path, not more tables. Pass ``max_tables`` to make that failure
+    DECLARED: the derived T exceeding it raises with this guidance
+    instead of silently returning an uneconomic table count.
     """
     import math
 
@@ -189,7 +194,25 @@ def tables_for_recall(
     p = s ** n_planes
     if p >= 1.0:
         return 1
-    return max(1, math.ceil(math.log(1.0 - target) / math.log(1.0 - p)))
+    if p <= 0.0:
+        # threshold = -1.0 makes s = 0, and extreme n_planes underflow
+        # s^n to 0.0 — no table count can hold recall for pairs that
+        # never collide; log(1-p) would be a ZeroDivisionError below.
+        raise ValueError(
+            f"per-table collision probability underflowed to 0 "
+            f"(threshold={threshold}, n_planes={n_planes}): no T holds "
+            f"recall {target}; raise the threshold or reduce planes"
+        )
+    t = max(1, math.ceil(math.log(1.0 - target) / math.log(1.0 - p)))
+    if max_tables is not None and t > max_tables:
+        raise ValueError(
+            f"tables_for_recall({threshold}, {n_planes}, {target}) = {t} "
+            f"exceeds max_tables={max_tables} — high recall at a low "
+            f"threshold under many planes is the documented anti-pattern "
+            f"(p decays exponentially in planes); raise the threshold, "
+            f"reduce planes (bigger buckets), or use the IVF path"
+        )
+    return t
 
 
 def lsh_topk(

@@ -164,13 +164,38 @@ from . import warehouse_q  # noqa: E402,F401
 # ordered stats). All eleven entrants passed
 # tools/check_window_safety.py at sf0.01; every leaver stays green in
 # the full mirror.
+# Round-12 rotation (judge r11 item 3): ten never-driver-checked
+# value-hash first-timers enter — A10_exact_percentiles,
+# A12_pivot_priority_counts, X16_entity_resolution,
+# X18_attribution_last_touch, DQ3_benford_first_digit,
+# S14_dpp_weekend_dates, W13_longest_streak_per_user,
+# X6_ohlc_downsample, U12_cogrouped_reconciliation,
+# U13_arrow_native_udf. Slots freed: the five r11 zero-row invariant
+# entries (X10_streaming_full/left_outer_join, X3_lsh/ivf/pq_recall_
+# invariant — each now driver-green once, with non-vacuity permanently
+# pytest-pinned in tests/test_stream_outer_join.py and
+# tests/test_similarity.py; empty≡empty hashes are weaker evidence than
+# a value hash, so their window job is done) plus five multiply-driver-
+# green members whose families stay covered: X11_pagerank_ann_portable
+# (5x; X11 keeps label_propagation), X4_bpe_merges (4x; X4 keeps
+# kneser_ney/dsir/preference_pairs/contrastive/temperature/funnel),
+# X3_cosine_topk_ivfpq_portable (3x; X3 keeps beam/IVF/MMR),
+# X2_semdedup_prune (3x; X2 keeps component_best_quality/band_tuning),
+# X1_winnowing_matches (3x; X1 keeps cdc_chunk_dedup). All ten entrants
+# passed tools/check_window_safety.py at sf0.01; every leaver stays
+# green in the full mirror.
 # --------------------------------------------------------------------------
 _WINDOW = [
-    "X10_streaming_full_outer_join",  # both-direction null emission (r11)
-    "X10_streaming_left_outer_join",  # watermark-proven left nulls (r10)
-    "X3_lsh_recall_invariant",      # declared LSH recall contract (r10)
-    "X3_ivf_recall_invariant",      # declared IVF recall contract (r10)
-    "X3_pq_recall_invariant",       # declared PQ recall contract (r10)
+    "A10_exact_percentiles",        # exact ordered stats (r12 first-time)
+    "A12_pivot_priority_counts",    # pivot/unpivot shapes (r12 first-time)
+    "X16_entity_resolution",        # blocking + transitive merge (r12)
+    "X18_attribution_last_touch",   # attribution windows (r12 first-time)
+    "DQ3_benford_first_digit",      # Benford fraud audit (r12 first-time)
+    "S14_dpp_weekend_dates",        # dynamic partition pruning (r12)
+    "W13_longest_streak_per_user",  # gaps-and-islands streaks (r12)
+    "X6_ohlc_downsample",           # OHLC time-series downsample (r12)
+    "U12_cogrouped_reconciliation", # cogrouped applyInPandas (r12)
+    "U13_arrow_native_udf",         # arrow-optimized python UDF (r12)
     "X1_cdc_chunk_dedup",           # content-defined chunking dedup (r9)
     "S24_partition_evolution",      # partition-spec evolution audit (r9)
     "X4_temperature_mixture_sample",  # tempered mixture sampling (r9)
@@ -186,17 +211,14 @@ _WINDOW = [
     "DQ13_order_total_reconciliation",  # cross-table invariant audit (r10)
     "X3_graph_beam_search_portable",  # graph-ANN beam walk (r9 cont. 3)
     "A1_grouped_map_user_stats",    # pandas grouped-map agg
-    "X2_semdedup_prune",           # SemDeDup auto-k prune (r9 first-time)
     "X3_cosine_topk_ivf_portable",  # cell-restricted ANN (r9 cont.)
     "S26_write_audit_publish",      # WAP governance round-trip (r9 cont. 3)
     "X13_holt_winters_seasonal",    # IEEE-fold seasonal smoothing (r10)
     "S28_small_file_compaction",    # snapshot-safe compaction (r10)
     "J13_point_in_time_features",  # SCD2 state as-of observation (r9)
     "J15_grid_neighbor_join",       # grid-blocked 2D neighbor join (r9 cont.)
-    "X1_winnowing_matches",        # MOSS winnowing fingerprints (r9)
     "X2_component_best_quality",    # quality-weighted keep-list (r9 cont.)
     "X2_lsh_band_tuning_report",    # verified (b,r) design study (r9 cont. 3)
-    "X11_pagerank_ann_portable",    # ANN edges + PageRank hash-checked (r7)
     "S23_incremental_join_maintenance",  # materialized-join delta upkeep (r10)
     "X4_preference_pairs",          # chosen-rejected RM/DPO pairing (r10)
     "X4_dsir_importance_weights",   # DSIR domain weighting (r9)
@@ -206,10 +228,8 @@ _WINDOW = [
     "X3_mmr_rerank",                # greedy MMR as one cogrouped map (r9)
     "X11_label_propagation",        # deterministic LPA communities (r9 cont.)
     "X5_audio_fingerprint_neardups",  # HK audio fingerprints (r9 cont. 3)
-    "X4_bpe_merges",                # BPE training, unrolled-CTE oracle (r8)
     "X4_kneser_ney_nll_scores",     # KN-smoothed LM gate (r9 cont.)
     "X5_avi_mjpeg_codec_stats",     # real AVI container + own JPEG (r8)
-    "X3_cosine_topk_ivfpq_portable",  # composed IVF+PQ ADC (r9 cont.)
     "S20_range_sorted_write",       # range-partitioned sorted layout (r9)
     "X4_contrastive_negatives",     # bucketed negative sampling (r9 cont.)
     "X12_funnel_time_to_convert",   # funnel latency quantiles (r10)

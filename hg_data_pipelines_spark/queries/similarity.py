@@ -228,7 +228,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     emb = fence_rows(
         load(spark, sf_dir, "embeddings", scan_parallel=True),
         what="X2_embedding_neardup_pairs",
-        scale_path="X2_embedding_neardup_lsh",
+        scale_path="X2_neardup_lsh_invariant",
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
@@ -292,7 +292,12 @@ def embedding_neardup_lsh_q(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
     planes = auto_planes(emb.count())
-    tables = tables_for_recall(_NEARDUP_COS, planes, target=0.95)
+    # max_tables=64: at this fixture-tail threshold (0.45) the derived T
+    # blows up exponentially past ~6 planes (auto_planes(200k)=13 →
+    # T≈833 — the docstring's anti-pattern). The cap makes that scale
+    # failure DECLARED (clear ValueError naming the fix) instead of
+    # relying on the exact side's row fence to fire first.
+    tables = tables_for_recall(_NEARDUP_COS, planes, target=0.95, max_tables=64)
     got = embedding_neardup_lsh(
         emb, _NEARDUP_COS, n_planes=planes, n_tables=tables, max_bucket=1024
     )

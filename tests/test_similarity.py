@@ -530,3 +530,24 @@ class TestInvariantNonVacuity:
         assert tables_for_recall(0.45, 6, target=0.95) > 16
         # a REAL near-dup gate stays cheap even at 1M-scale plane counts
         assert tables_for_recall(0.92, 15, target=0.95) <= 24
+
+    def test_tables_for_recall_declared_failures(self, spark):
+        """Degenerate inputs fail DECLARED, not with a ZeroDivisionError
+        (threshold=-1 → per-plane collision prob 0) and the exponential
+        low-threshold blowup is caught by max_tables with guidance."""
+        import pytest
+
+        from hg_data_pipelines_spark.operators.similarity import (
+            tables_for_recall,
+        )
+
+        with pytest.raises(ValueError, match="underflowed to 0"):
+            tables_for_recall(-1.0, 4)
+        with pytest.raises(ValueError, match="underflowed to 0"):
+            tables_for_recall(0.45, 10_000)  # s^n underflows to 0.0
+        # the anti-pattern regime the invariant query caps: 13 planes at
+        # the fixture-tail threshold derives ~833 tables
+        with pytest.raises(ValueError, match="max_tables"):
+            tables_for_recall(0.45, 13, target=0.95, max_tables=64)
+        # the cap is inert when the derived T is economic
+        assert tables_for_recall(0.45, 4, target=0.95, max_tables=64) == 16

@@ -58,6 +58,54 @@ class TestStreamOuterJoin:
         assert nulls + matched <= 210
 
 
+class TestStreamRightOuterJoin:
+    def test_null_side_actually_emits(self, spark):
+        """right_outer passthrough (streaming/jobs.py passes `how`
+        straight to the join): unmatched PURCHASES must emit with a null
+        left side, and the left-null direction must stay closed — the
+        mirror of the left-outer pin, so the one untested `how` value
+        carries the same non-vacuity evidence as the other three."""
+        from hg_data_pipelines_spark.queries.streaming_q import (
+            _run_available_now,
+            _stage_event_batches,
+        )
+        from hg_data_pipelines_spark.streaming import stream_stream_join
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stage = _stage_event_batches(spark, "/root/testdata/sf0.001")
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def _side(event_type):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage + "/batch_*")
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .filter(F.col("event_type") == event_type)
+            )
+
+        out = _run_available_now(
+            spark,
+            stream_stream_join(
+                _side("click"), _side("purchase"),
+                watermark="10 minutes", within="30 minutes",
+                how="right_outer",
+            ),
+            "append",
+        )
+        nulls = out.filter(F.col("l_event_id").isNull()).count()
+        matched = out.filter(F.col("l_event_id").isNotNull()).count()
+        # same 2 matched pairs as the other direction; unmatched
+        # purchases with closed horizons must actually emit
+        assert matched == 2
+        assert nulls >= 100
+        # a right-outer must never emit unmatched LEFT rows
+        assert out.filter(F.col("r_event_id").isNull()).count() == 0
+
+
 class TestStreamFullOuterJoin:
     def test_both_null_directions_actually_emit(self, spark):
         """Non-vacuity for X10_streaming_full_outer_join: a full-outer

@@ -37,22 +37,32 @@ class TestVideoCodec:
         assert got.shape == frames.shape + (1,)
 
     def test_real_container_seams(self):
-        # MP4/Matroska route to the pyav seam: without the optional
-        # `video` extra the seam must raise the actionable error naming
-        # the extra (the branch this container exercises); with pyav
-        # installed these truncated headers fail inside the demuxer
-        # instead, so the error-contract assertions only apply without it
+        # MP4/Matroska route to the pyav seam. Both environments pin a
+        # contract (no silent skip, matching the TWS no-skip pattern):
+        # - without the optional `video` extra: the actionable
+        #   NotImplementedError naming the extra;
+        # - with pyav installed: these truncated headers must fail
+        #   loudly inside av's demuxer (its FFmpegError family) or in
+        #   our no-frames check — never return a frames array.
         try:
             import av  # noqa: F401
 
             has_av = True
         except ImportError:
             has_av = False
+        mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+        mkv = b"\x1a\x45\xdf\xa3" + b"\x00" * 16
         if not has_av:
             with pytest.raises(NotImplementedError, match="MP4.*video"):
-                decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+                decode_video(mp4)
             with pytest.raises(NotImplementedError, match="Matroska.*video"):
-                decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)
+                decode_video(mkv)
+        else:
+            # av.FFmpegError subclasses OSError; a truncated moov-less
+            # blob may instead demux zero frames → our ValueError.
+            for blob in (mp4, mkv):
+                with pytest.raises((av.FFmpegError, OSError, ValueError)):
+                    decode_video(blob)
         with pytest.raises(ValueError):
             decode_video(b"garbage")
 

@@ -298,7 +298,9 @@ COMPOSE_QUERIES = [
 ]
 
 
-def compose(spark, k: int, only: list[str] | None = None) -> None:
+def compose(
+    spark, k: int, only: list[str] | None = None, nowarm: bool = False
+) -> None:
     """Composed k×k step: build the k× replica's own k× replica (organic
     decade-2 growth — documents diluted so duplicate cliques do NOT grow;
     see build()) and time the worst-ratio queries at both decades.
@@ -315,9 +317,10 @@ def compose(spark, k: int, only: list[str] | None = None) -> None:
 
     def timed(sf_dir, name):
         try:
-            REG[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()  # warmup
+            if not nowarm:  # --nowarm: single pass for ≥20-min queries
+                REG[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()  # warmup
             t0 = time.time()
             REG[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -484,7 +487,7 @@ def clique(spark, k: int, budget_s: float = 600.0) -> None:
 def main() -> None:
     args = [
         a for a in sys.argv[1:]
-        if a not in ("--compose", "--clique", "--warehouse")
+        if a not in ("--compose", "--clique", "--warehouse", "--nowarm")
     ]
     only: list[str] = []
     if "--only" in args:  # smoke a subset: [K] --only name1 name2 ...
@@ -498,7 +501,7 @@ def main() -> None:
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     if "--compose" in sys.argv[1:]:
-        compose(spark, k, only or None)
+        compose(spark, k, only or None, nowarm="--nowarm" in sys.argv[1:])
         spark.stop()
         return
     if "--clique" in sys.argv[1:]:
