@@ -158,6 +158,7 @@ COVERAGE = [
     "S28_small_file_compaction",     # OPTIMIZE loop, oracle-checked (r9)
     "X11_modularity_report",         # Newman Q for LPA communities (r9)
     "X4_preference_pairs",           # DPO/RM chosen-rejected pairing (r9)
+    "X16_entity_resolution_snm",     # sorted-neighborhood ER scale path (r12)
     "X10_streaming_left_outer_join", # watermark-proven null emission (r10)
     "X3_lsh_recall_invariant",       # declared ANN recall contract (r10)
     "X10_streaming_full_outer_join", # both-direction null emission (r11)
@@ -225,7 +226,7 @@ FROZEN_R1_SUBSET = HEADLINE[:13]
 
 # Bump when HEADLINE or COVERAGE membership changes, so cross-round total
 # comparisons are gated on matching set_version (judge advice, round 7).
-SET_VERSION = 16
+SET_VERSION = 17
 
 
 def _next_round_number(repo_dir: str) -> int:

@@ -184,6 +184,10 @@ from . import warehouse_q  # noqa: E402,F401
 # X1_winnowing_matches (3x; X1 keeps cdc_chunk_dedup). All ten entrants
 # passed tools/check_window_safety.py at sf0.01; every leaver stays
 # green in the full mirror.
+# Round-12 late swap: X16_entity_resolution_snm (NEW this round — the
+# sorted-neighborhood scale path next to the entering brand-exact X16)
+# replaces X4_dsir_importance_weights (driver-green r9/r10/r11; X4 keeps
+# kneser_ney/preference_pairs/contrastive/temperature/funnel in-window).
 # --------------------------------------------------------------------------
 _WINDOW = [
     "A10_exact_percentiles",        # exact ordered stats (r12 first-time)
@@ -196,6 +200,7 @@ _WINDOW = [
     "X6_ohlc_downsample",           # OHLC time-series downsample (r12)
     "U12_cogrouped_reconciliation", # cogrouped applyInPandas (r12)
     "U13_arrow_native_udf",         # arrow-optimized python UDF (r12)
+    "X16_entity_resolution_snm",    # sorted-neighborhood ER scale path (r12)
     "X1_cdc_chunk_dedup",           # content-defined chunking dedup (r9)
     "S24_partition_evolution",      # partition-spec evolution audit (r9)
     "X4_temperature_mixture_sample",  # tempered mixture sampling (r9)
@@ -221,7 +226,6 @@ _WINDOW = [
     "X2_lsh_band_tuning_report",    # verified (b,r) design study (r9 cont. 3)
     "S23_incremental_join_maintenance",  # materialized-join delta upkeep (r10)
     "X4_preference_pairs",          # chosen-rejected RM/DPO pairing (r10)
-    "X4_dsir_importance_weights",   # DSIR domain weighting (r9)
     "X21_ab_cuped_adjustment",      # CUPED variance reduction (r10)
     "S22_snapshot_diff",            # change-feed classification (r9 cont.)
     "X4_curation_funnel_chunks",    # 8-stage pipeline composition (r9 cont.)

@@ -591,9 +591,13 @@ def edit_distance_pairs(spark, sf_dir):
 # record per entity (cheapest member, partkey tiebreak). The oracle
 # recomputes the same components with a recursive transitive-closure CTE
 # (fixture-scale only) and the same window pick, so entity ids, canonical
-# keys, and flags all hash-match. Scale: pair generation is block-bounded
-# like every pair operator here, CC is O(diameter) shuffles, and the
-# canonical pick is one window over small clusters.
+# keys, and flags all hash-match. Scale: CC is O(diameter) shuffles and
+# the canonical pick is one window over small clusters — but the match
+# rule itself blocks on p_brand, a FIXED-cardinality key (25 brands), so
+# block size grows ∝n and within-block candidates ∝n²: the brand-exact
+# rule is the declared fixture-scale contract, and the scale path is the
+# sorted-neighborhood sibling X16_entity_resolution_snm below (candidates
+# ∝ n·w, no block-quadratic join anywhere).
 # --------------------------------------------------------------------------
 
 
@@ -646,6 +650,105 @@ def entity_resolution(spark, sf_dir):
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.levenshtein("name_a", "name_b") <= 4)
         .select("key_a", "key_b")
+    )
+    labels = connected_components(pairs, src="key_a", dst="key_b")
+    joined = labels.join(
+        part.select("p_partkey", "p_retailprice"),
+        labels["node"] == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("comp").orderBy("p_retailprice", "node")
+    first = F.first("node").over(w)
+    return joined.select(
+        F.col("node").alias("p_partkey"),
+        F.col("comp").alias("entity_id"),
+        first.alias("canonical_key"),
+        (F.col("node") == first).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X16 (scale path): sorted-neighborhood entity resolution — the classic
+# SNM blocking (Hernández & Stolfo, "The merge/purge problem") that fixes
+# the brand-block's ∝n² candidate growth: within each brand, records sort
+# by their name prefix and only pairs within w positions of each other
+# are compared, so candidates are ∝ n·w at ANY scale. The candidate set
+# is generated with w stacked lead() columns over ONE window (a single
+# sort shuffle, no join, no per-block buffering); clustering and
+# canonicalization are identical to X16_entity_resolution. The recall
+# tradeoff is the declared SNM contract: matches more than w sort
+# positions apart are not candidates — the rule the oracle replays
+# exactly (rn-banded self-join), so components, canonical keys, and
+# flags all hash-match.
+# --------------------------------------------------------------------------
+
+_SNM_W = 10
+
+
+@query(
+    "X16_entity_resolution_snm",
+    f"""
+    WITH RECURSIVE ranked AS (
+        SELECT p_partkey, p_brand, substr(p_name, 1, 15) AS name15,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY substr(p_name, 1, 15), p_partkey
+               ) AS rn
+        FROM part
+    ), prs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM ranked a JOIN ranked b
+          ON a.p_brand = b.p_brand
+         AND b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}
+        WHERE levenshtein(a.name15, b.name15) <= 4
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION
+        SELECT id_b, id_a FROM prs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS entity_id FROM reach GROUP BY a
+    )
+    SELECT c.node AS p_partkey, c.entity_id,
+           FIRST_VALUE(c.node) OVER w AS canonical_key,
+           c.node = FIRST_VALUE(c.node) OVER w AS is_canonical
+    FROM comp c JOIN part p ON p.p_partkey = c.node
+    WINDOW w AS (
+        PARTITION BY c.entity_id ORDER BY p.p_retailprice, c.node
+    )
+    """,
+)
+def entity_resolution_snm(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    part = load(spark, sf_dir, "part")
+    ranked = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key"),
+        F.substring("p_name", 1, 15).alias("name15"),
+    )
+    # w lead() columns over ONE window spec → Catalyst plans a single
+    # Window operator (one sort exchange on brand); candidates ∝ n·w.
+    wspec = Window.partitionBy("brand").orderBy("name15", "key")
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead("key", i).over(wspec).alias("key_b"),
+                F.lead("name15", i).over(wspec).alias("name_b"),
+            )
+            for i in range(1, _SNM_W + 1)
+        ]
+    )
+    pairs = (
+        ranked.select("key", "name15", neighbors.alias("_ns"))
+        .select("key", "name15", F.explode("_ns").alias("n"))
+        .filter(F.col("n.key_b").isNotNull())
+        .filter(F.levenshtein("name15", F.col("n.name_b")) <= 4)
+        .select(F.col("key").alias("key_a"), F.col("n.key_b").alias("key_b"))
     )
     labels = connected_components(pairs, src="key_a", dst="key_b")
     joined = labels.join(

@@ -145,6 +145,11 @@ QUERIES = [
     # verification anchors scale
     "X11_label_propagation",
     "X11_modularity_report",
+    # round-12: sorted-neighborhood ER — the scale path for the
+    # brand-blocked exact X16 (candidates ∝ n·w via stacked leads; the
+    # brand-exact sibling is block-quadratic by its declared match rule
+    # and stays out, same exclusion class as the portable twins)
+    "X16_entity_resolution_snm",
     # excluded by contract: X2_lsh_band_tuning_report (fixture-scale
     # design study), X3_graph_beam_search_portable / X3_graph_ann_warm_
     # check (fixed-plane oracle fixtures — the auto-plane production
