@@ -2263,6 +2263,58 @@ def curation_funnel_chunks(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X4 (scale path): the SAME 8-stage curation pipeline in its PRODUCTION
+# configuration — banded MinHash-LSH near-dup candidates (exact-Jaccard
+# verified) and RHP-LSH semantic edges instead of the two exact all-pairs
+# stages. Rows-only by the same rule as the other engine-hash paths:
+# minhash/RHP signatures ride xxhash64 (not DuckDB-expressible) and LSH
+# recall is probabilistic — the exact-mode twin above IS the oracle
+# anchor for the composition's semantics, and each probabilistic stage
+# carries its own declared recall contract (X2_neardup_lsh_invariant,
+# X2_minhash_lsh recall floor). THIS is the form the composed ×10/×100
+# scale smoke measures: the exact twin's semantic stage is all-pairs
+# cosine over embeddings — candidates ∝ n², quadratic BY CONSTRUCTION
+# (measured: its decade-2 stage alone extrapolates to ~33 h at the 100×
+# replica) — the same exclusion class as the portable twins, while this
+# production form keeps every stage banded/bucketed/linear.
+# --------------------------------------------------------------------------
+
+
+@query("X4_curation_funnel_chunks_production")
+def curation_funnel_chunks_production(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..jobs import run_pipeline
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"funnel_prod_wh_{os.getpid()}_"
+        f"{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    ctx = run_pipeline(
+        spark,
+        "llm_corpus_curation",
+        wh,
+        {
+            "sf_dir": sf_dir,
+            "neardup_method": "minhash",
+            "semantic_method": "lsh",
+        },
+    )
+    chunks = spark.read.parquet(ctx.reports["corpus_chunks"]["path"])
+    return chunks.select(
+        "doc_id",
+        F.col("split").cast("string").alias("split"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X4: token-BUDGET mixture planner — the aggregate-level complement of
 # the mixture SAMPLERS above: given per-source token inventories and a
 # hard corpus budget (half the total), allocate tokens per source by

@@ -298,8 +298,15 @@ COMPOSE_QUERIES = [
     "X3_beam_recall_invariant",
     # round-11 (judge advice): the FLAGSHIP composition itself — its 8
     # stages were each composed-smoked by r9/r10, the one-query pipeline
-    # never was; decade-2 budget = the worst of its stages
-    "X4_curation_funnel_chunks",
+    # never was; decade-2 budget = the worst of its stages.
+    # round-12 CORRECTION: the r11 entry pinned the EXACT-mode funnel
+    # (force_exact), whose semantic stage is all-pairs cosine over
+    # embeddings — candidates ∝ n², quadratic BY CONSTRUCTION (measured:
+    # ×10 = 1462 s dominated by that stage; its ×100 stage extrapolates
+    # to ~33 h and was killed, the J15/audio exclusion class). The
+    # composed flagship is the PRODUCTION configuration (banded MinHash
+    # near-dup + RHP-LSH semantic edges — every stage banded/linear):
+    "X4_curation_funnel_chunks_production",
 ]
 
 
