@@ -61,6 +61,32 @@ def _with_scan_parallelism(
     return df
 
 
+def dir_scan_parallelism(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """``_with_scan_parallelism`` for a parquet DIRECTORY (a landed
+    warehouse/stage table): same size gate, directory bytes summed over
+    data files. The round-12 composed flagship smoke caught the failure
+    mode this closes: a pipeline stage's ~100 MB compressed text table
+    packs into 1-2 input splits on re-read, and the next stage's
+    compute-dense map side (bigram explode + aggregate) runs as ONE task
+    spilling for minutes while 31 cores idle. Size-gated like the scan
+    helper, so it is a no-op both at trivial fixture sizes and at real
+    scale (thousands of natural splits)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and _SCAN_PAR_MIN_BYTES <= total <= _SCAN_PAR_MAX_BYTES:
+        return df.repartition(par)
+    return df
+
+
 def _check_schema(df: DataFrame, expected: T.StructType, source: str) -> None:
     """Names must match exactly and in order; types must be compatible.
 

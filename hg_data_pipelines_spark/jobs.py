@@ -47,6 +47,14 @@ class Stage:
     fn: Callable[[SparkSession, RunContext], DataFrame]
     materialize: bool = True
     partition_by: list[str] | None = None
+    # Opt-in (the io.py scan_parallel doctrine, per stage not per table):
+    # set when DOWNSTREAM consumers of this landed table are compute-dense
+    # (shingling, token explodes, vector kernels). The re-read then gets
+    # the size-gated directory repartition — without it a ~100 MB
+    # compressed text stage packs into 1-2 splits and the next stage's
+    # heavy map side runs near-serial (measured: the composed flagship's
+    # bigram gate spent ~10 min in ONE spilling task at the 10× replica).
+    parallel_reread: bool = False
 
 
 class Pipeline:
@@ -73,6 +81,10 @@ class Pipeline:
                 # Re-read the landed table: downstream stages scan Parquet
                 # (pruning/pushdown apply) instead of recomputing the plan.
                 landed = spark.read.parquet(path)
+                if stage.parallel_reread:
+                    from .io import dir_scan_parallelism
+
+                    landed = dir_scan_parallelism(spark, landed, path)
                 ctx.tables[stage.name] = landed
                 ctx.reports[stage.name] = {
                     "path": path,
@@ -250,7 +262,14 @@ def _corpus_neardup_stage(spark: SparkSession, ctx: RunContext) -> DataFrame:
     # probabilistic recall, for when even the prefix index is too big.
     method = ctx.config.get("neardup_method", "exact")
     if method == "minhash":
-        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+        # max_bucket: the occupancy guard the X2 queries always pass —
+        # degenerate band buckets (template corpora, replica cliques)
+        # expand via capped window slices instead of quadratically
+        pairs = minhash_lsh_pairs(
+            docs,
+            threshold=threshold,
+            max_bucket=int(ctx.config.get("max_bucket", 1024)),
+        )
     elif method == "prefix":
         pairs = jaccard_prefix_filter_pairs(docs, threshold=threshold)
     else:
@@ -298,8 +317,23 @@ def _corpus_semantic_dedup_stage(spark: SparkSession, ctx: RunContext) -> DataFr
             .select("id_a", "id_b")
         )
     else:
+        # The proven ANN-sweep knob set (auto_planes + occupancy cap —
+        # validated to 2M vectors on an 8 GiB heap): the r12 composed
+        # flagship smoke caught the stale fixed n_planes=4 here — at 20k
+        # vectors that is 16 buckets/table (~1250 members each), ~2·10⁸
+        # candidate pairs ground through a single spilling task. planes
+        # sized to the corpus keep occupancy ~32; max_bucket fences the
+        # residual skew via capped window slices. Recall is probabilistic
+        # by the stage contract; its floor is declared and hash-checked
+        # at fixture scale by X2_neardup_lsh_invariant.
+        from .operators.similarity import auto_planes
+
         pairs = embedding_neardup_lsh(
-            emb, threshold, n_planes=4, n_tables=16
+            emb,
+            threshold,
+            n_planes=auto_planes(emb.count()),
+            n_tables=16,
+            max_bucket=int(ctx.config.get("max_bucket", 1024)),
         ).select("id_a", "id_b")
     labels = connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("comp")).select(
@@ -399,13 +433,26 @@ register_pipeline(
     Pipeline(
         "llm_corpus_curation",
         [
-            Stage("corpus_quality", _corpus_quality_stage),
-            Stage("corpus_repetition", _corpus_repetition_stage),
-            Stage("corpus_exact_dedup", _corpus_exact_dedup_stage),
-            Stage("corpus_neardup", _corpus_neardup_stage),
-            Stage("corpus_semantic_dedup", _corpus_semantic_dedup_stage),
-            Stage("corpus_span_dedup", _corpus_span_dedup_stage),
-            Stage("corpus_split", _corpus_split_stage),
+            # parallel_reread: every text-carrying stage table feeds a
+            # compute-dense consumer (bigram explode, shingling, span
+            # chunking) — see Stage docstring for the measured failure
+            Stage("corpus_quality", _corpus_quality_stage, parallel_reread=True),
+            Stage(
+                "corpus_repetition", _corpus_repetition_stage, parallel_reread=True
+            ),
+            Stage(
+                "corpus_exact_dedup", _corpus_exact_dedup_stage, parallel_reread=True
+            ),
+            Stage("corpus_neardup", _corpus_neardup_stage, parallel_reread=True),
+            Stage(
+                "corpus_semantic_dedup",
+                _corpus_semantic_dedup_stage,
+                parallel_reread=True,
+            ),
+            Stage(
+                "corpus_span_dedup", _corpus_span_dedup_stage, parallel_reread=True
+            ),
+            Stage("corpus_split", _corpus_split_stage, parallel_reread=True),
             Stage("corpus_chunks", _corpus_chunks_stage, partition_by=["split"]),
         ],
     )
