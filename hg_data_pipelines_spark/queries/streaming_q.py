@@ -77,16 +77,7 @@ def streaming_tumbling(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
-    sink = f"x6_streaming_tumbling_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_available_now(spark, agg, "complete", stage=stage)
 
 
 @query(
@@ -132,16 +123,7 @@ def streaming_sliding(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
-    sink = f"x6_streaming_sliding_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_available_now(spark, agg, "complete", stage=stage)
 
 
 def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
@@ -150,9 +132,17 @@ def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
     micro-batches (watermark advances between batches, not within).
 
     Batch ids are assigned Spark-side (row_number over the (ts, event_id)
-    order, ceil-chunked) and each batch is written with a filtered
-    distributed write — the events table is never materialized on the
-    driver. The global-order window is a deliberate determinism contract:
+    order, ceil-chunked) and every batch lands in ONE distributed
+    ``partitionBy("_batch")`` write — the events table is never
+    materialized on the driver, and the global-order window (the
+    expensive single-task sort the determinism contract requires) is
+    evaluated once instead of once per batch (r12 optimization: the
+    per-batch filtered writes re-ran the whole scan+sort per batch —
+    3 full window passes where one suffices; guide §1.2 "don't compute
+    things you throw away"). ``repartition(n_batches, "_batch")`` keys
+    the exchange on the batch id, so each ``_batch=i`` directory gets
+    exactly one file, same as the old ``coalesce(1)`` layout. The
+    global-order window is a deliberate determinism contract:
     range-partitioned alternatives sample boundaries nondeterministically,
     which would change batch composition (and thus the replay goldens)
     between runs. The staging dir is keyed by (sf_dir, n_batches) and
@@ -175,16 +165,26 @@ def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
     if n_rows == 0:
         return stage
     chunk = (n_rows + n_batches - 1) // n_batches
-    numbered = ev.withColumn(
-        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-    ).withColumn("_batch", ((F.col("_rn") - 1) / chunk).cast("int"))
+    numbered = (
+        ev.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        .withColumn("_batch", ((F.col("_rn") - 1) / chunk).cast("int"))
+        .drop("_rn")
+    )
+    (
+        numbered.repartition(n_batches, "_batch")
+        .write.partitionBy("_batch")
+        .mode("overwrite")
+        .parquet(stage)
+    )
     base = time.time() - 10_000
     for i in range(n_batches):
-        if i * chunk >= n_rows:
-            break  # trailing batches are empty
+        src = os.path.join(stage, f"_batch={i}")
+        if not os.path.isdir(src):
+            continue  # trailing batches are empty
         out = os.path.join(stage, f"batch_{i}")
-        part = numbered.filter(F.col("_batch") == i).drop("_rn", "_batch")
-        part.coalesce(1).write.mode("overwrite").parquet(out)
+        os.rename(src, out)
         t = base + i * 60
         for f in os.listdir(out):
             p = os.path.join(out, f)
@@ -192,16 +192,84 @@ def _stage_event_batches(spark, sf_dir: str, n_batches: int = 3) -> str:
     return stage
 
 
-def _run_available_now(spark, stream_df, mode: str):
+# Streaming state-partition sizing (r12 optimization, guide §2: derive
+# partitioning from input size, never pin it to either local mode or the
+# cluster). A stateful micro-batch commits EVERY state-store partition on
+# EVERY trigger — a stream-stream join keeps 4 stores per partition — so
+# partition count is a per-trigger fixed cost, not parallelism: at the
+# bench's replayed few-MB batches, 32 partitions spent 15.2s of addBatch
+# where 8 spend 3.2s for the identical output (measured, X10 left-outer,
+# sf0.1). AQE never applies to streaming plans, so the coalescing that
+# hides this for batch queries is unavailable — size the state partition
+# count from the staged input instead: one partition per ~4 MB of staged
+# source, floor 8, capped at the session default. At production scale the
+# bytes term crosses the default within the first few hundred MB of
+# backlog, so the cap binds and the deployment knob (the session's
+# shuffle partition count) decides exactly as before — the derivation
+# only ever *lowers* trigger fixed costs for small replays, the same
+# size-gate contract as io.py's scan-parallelism floor.
+_STREAM_STATE_BYTES_PER_PARTITION = 4 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+class _stream_state_partitions:
+    """Context manager: size ``spark.sql.shuffle.partitions`` (the
+    streaming state-partition count — pinned at stream start) from the
+    staged source size; restore the session default afterwards. The
+    whole start→awaitTermination span runs inside the context so the
+    restore can never race the stream's planning."""
+
+    def __init__(self, spark, stage_dir: str):
+        self._spark = spark
+        self._stage = stage_dir
+
+    def __enter__(self):
+        self._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
+        size = _dir_bytes(self._stage)
+        target = max(8, -(-size // _STREAM_STATE_BYTES_PER_PARTITION))
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(self._saved), target)),
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
+
+def _run_available_now(spark, stream_df, mode: str, stage: str | None = None):
+    """Run a streaming DF to completion into a memory sink. ``stage`` —
+    the staged source directory — opts the run into size-derived state
+    partitioning (see ``_stream_state_partitions``)."""
     sink = f"xstream_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def _go():
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if stage is not None:
+        with _stream_state_partitions(spark, stage):
+            _go()
+    else:
+        _go()
     return spark.table(sink)
 
 
@@ -251,7 +319,7 @@ def streaming_watermarked_window(spark, sf_dir):
         window="5 minutes",
         watermark="10 minutes",
     )
-    out = _run_available_now(spark, agg, "append")
+    out = _run_available_now(spark, agg, "append", stage=stage)
     emitted = out.select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -344,7 +412,7 @@ def streaming_stream_join(spark, sf_dir):
     joined = stream_stream_join(
         _side("click"), _side("purchase"), watermark="10 minutes", within="30 minutes"
     )
-    out = _run_available_now(spark, joined, "append")
+    out = _run_available_now(spark, joined, "append", stage=stage)
     # memory-sink timestamps come back as session-local timestamp; project
     # to timestamp_ntz to match the parquet-scan oracle's type.
     return out.select(
@@ -422,7 +490,7 @@ def streaming_left_outer_join(spark, sf_dir):
         within="30 minutes",
         how="left_outer",
     )
-    out = _run_available_now(spark, joined, "append")
+    out = _run_available_now(spark, joined, "append", stage=stage)
 
     matched = (
         out.filter(F.col("r_event_id").isNotNull())
@@ -446,12 +514,15 @@ def streaming_left_outer_join(spark, sf_dir):
         F.col("user_id").alias("r_key"),
         F.col("ts").cast("timestamp").alias("r_ts"),
     )
+    # referenced by all three violation branches (matched, unmatched,
+    # anti-join) — truncate lineage so the time-range join computes once,
+    # not once per branch (r12: the union tree re-evaluated it 2-3x)
     expected = clicks.join(
         purch,
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
-    ).select("l_event_id", "r_event_id")
+    ).select("l_event_id", "r_event_id").localCheckpoint(eager=False)
     unmatched = clicks.join(expected, "l_event_id", "left_anti")
 
     import glob as _glob
@@ -575,7 +646,7 @@ def streaming_full_outer_join(spark, sf_dir):
         within="30 minutes",
         how="full_outer",
     )
-    out = _run_available_now(spark, joined, "append")
+    out = _run_available_now(spark, joined, "append", stage=stage)
 
     matched = (
         out.filter(F.col("r_event_id").isNotNull() & F.col("l_event_id").isNotNull())
@@ -604,12 +675,14 @@ def streaming_full_outer_join(spark, sf_dir):
         F.col("user_id").alias("r_key"),
         F.col("ts").cast("timestamp").alias("r_ts"),
     )
+    # referenced by all three violation branches — truncate lineage so
+    # the time-range join computes once, not once per branch (r12)
     expected = clicks.join(
         purch,
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
-    ).select("l_event_id", "r_event_id")
+    ).select("l_event_id", "r_event_id").localCheckpoint(eager=False)
     unmatched_l = clicks.join(expected, "l_event_id", "left_anti")
     unmatched_r = purch.join(expected, "r_event_id", "left_anti")
 
@@ -709,7 +782,7 @@ def streaming_dedup(spark, sf_dir):
     dedup = stream_dedup_within_watermark(
         doubled, keys=["event_id"], watermark="10 minutes"
     )
-    out = _run_available_now(spark, dedup, "append").select(
+    out = _run_available_now(spark, dedup, "append", stage=stage).select(
         "event_id", "user_id", "event_type", "value"
     )
     got = out.groupBy("event_id").agg(
@@ -797,7 +870,7 @@ def streaming_session_window(spark, sf_dir):
             "n_events",
         )
     )
-    return _run_available_now(spark, agg, "complete")
+    return _run_available_now(spark, agg, "complete", stage=stage)
 
 
 # --------------------------------------------------------------------------
@@ -847,16 +920,7 @@ def streaming_ohlc(spark, sf_dir):
             "open", "high", "low", "close", "n", "volume",
         )
     )
-    sink = f"x6_streaming_ohlc_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(sink)
+    out = _run_available_now(spark, agg, "complete", stage=stage)
     return out.withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
@@ -960,13 +1024,4 @@ def streaming_static_enrich(spark, sf_dir):
             .alias("sum_value"),
         )
     )
-    sink = f"x10_static_enrich_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_available_now(spark, agg, "complete", stage=stage)
