@@ -47,9 +47,23 @@ class SchemaDriftError(RuntimeError):
 _SCAN_PAR_MIN_BYTES = 48 * 1024
 _SCAN_PAR_MAX_BYTES = 512 * 1024 * 1024
 
+# Bytes-per-partition target for the "vector" mode below. Vector kernels
+# (k-means argmin, blocked-kNN distance blocks) cost ~10× less CPU per
+# input byte than text shingling, so a full defaultParallelism fan-out of
+# a sub-MB fixture table is pure scheduling overhead for them: measured
+# r12 at sf0.1 (embeddings = 780 KB), kmeans_fixed_point 2.9s → 1.4s and
+# X2_semdedup_prune 6.1s → 3.5s with the 32-way repartition narrowed,
+# while the SAME narrowing cost the RHP-LSH paths (which hash
+# tables×planes×dim per row — genuinely dense) 2-10s. Hence two modes,
+# chosen per call site like scan_parallel always was: True = full width
+# (dense text/hash kernels), "vector" = width from size at ~256 KB per
+# partition, floor 4 — identical to full width once the input crosses
+# ~8 MB (the 10× smoke), so only fixture-scale scheduling gets cheaper.
+_SCAN_PAR_VECTOR_BYTES = 256 * 1024
+
 
 def _with_scan_parallelism(
-    spark: SparkSession, df: DataFrame, path: str
+    spark: SparkSession, df: DataFrame, path: str, mode: bool | str = True
 ) -> DataFrame:
     try:
         size = os.path.getsize(path)
@@ -57,7 +71,10 @@ def _with_scan_parallelism(
         return df
     par = spark.sparkContext.defaultParallelism
     if par > 1 and _SCAN_PAR_MIN_BYTES <= size <= _SCAN_PAR_MAX_BYTES:
-        return df.repartition(par)
+        width = par
+        if mode == "vector":
+            width = min(par, max(4, -(-size // _SCAN_PAR_VECTOR_BYTES)))
+        return df.repartition(width)
     return df
 
 
@@ -102,7 +119,8 @@ def _check_schema(df: DataFrame, expected: T.StructType, source: str) -> None:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, scan_parallel: bool = False
+    spark: SparkSession, sf_dir: str, name: str,
+    scan_parallel: bool | str = False
 ) -> DataFrame:
     """S3: Parquet source for a TESTDATA table, schema-checked.
 
@@ -139,7 +157,7 @@ def load_table(
         df = spark.read.parquet(path)
     _check_schema(df, expected, path)
     if scan_parallel:
-        df = _with_scan_parallelism(spark, df, path)
+        df = _with_scan_parallelism(spark, df, path, mode=scan_parallel)
     return df
 
 

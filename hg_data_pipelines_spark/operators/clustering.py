@@ -138,26 +138,25 @@ def _assign_pandas(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
 
 def _assign_literal(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Map-side argmin over centroid literals: array<struct<dist,j>> →
-    array_min picks (min dist, then min j) by lexicographic struct order."""
-    scored = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_vi"),
-                            F.array(*[F.lit(c) for c in cv]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(j).alias("j"),
-                )
-                for j, cv in enumerate(centroids)
-            ]
+    array_min picks (min dist, then min j) by lexicographic struct order.
+
+    The whole argmin is generated as ONE SQL string parsed by a single
+    ``F.expr`` — building k×dim literals through the py4j Column API
+    costs ~0.6 s of driver round-trips PER ITERATION at k=8 (measured
+    r12; the same finding as the ivfpq codeword expressions), while
+    parsing the identical tree from a string is milliseconds. Integer
+    literals round-trip exactly, so results are bit-identical.
+    """
+    structs = []
+    for j, cv in enumerate(centroids):
+        arr = ", ".join(f"{c}L" for c in cv)
+        dist = (
+            f"aggregate(zip_with(_vi, array({arr}),"
+            f" (x, y) -> (x - y) * (x - y)),"
+            f" cast(0 as bigint), (acc, x) -> acc + x)"
         )
-    )
+        structs.append(f"named_struct('dist', {dist}, 'j', {j})")
+    scored = F.expr(f"array_min(array({', '.join(structs)}))")
     return v.select(
         "_id", "_vi", scored["dist"].alias("_dist"), scored["j"].alias("_cluster")
     )

@@ -40,7 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, *names: str, scan_parallel: bool = False):
+def load(spark: SparkSession, sf_dir: str, *names: str, scan_parallel: bool | str = False):
     """Load one or more TESTDATA tables (schema-enforced parquet scans).
 
     ``scan_parallel=True`` opts this call site into the small-input scan

@@ -72,7 +72,7 @@ def _pagerank_oracle(
 
 @query("X11_pagerank_knn", _pagerank_oracle())
 def pagerank_knn(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     edges = knn_graph_blocked(emb, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )

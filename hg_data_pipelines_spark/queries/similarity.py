@@ -366,7 +366,7 @@ _KNN_K = 3
 def knn_graph_exact(spark, sf_dir):
     from ..operators.similarity import knn_graph_blocked as knn_op
 
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     return knn_op(emb, k=_KNN_K).withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -1346,7 +1346,7 @@ def _kmeans_sql(k: int | str = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
 def kmeans_fixed_point_query(spark, sf_dir):
     from ..operators.clustering import kmeans_fixed_point
 
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     return kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
@@ -1372,7 +1372,7 @@ def cluster_balanced_sample_query(spark, sf_dir):
 
     from ..operators.clustering import cluster_balanced_sample, kmeans_fixed_point
 
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     labels = kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
     sized = labels.withColumn(
         "n_cluster",
@@ -1449,7 +1449,7 @@ def semdedup_prune(spark, sf_dir):
     # integer formula over the same table (_SEMDEDUP_K_SQL).
     from ..operators.clustering import semdedup
 
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     return semdedup(emb, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU)
 
 
@@ -1502,7 +1502,7 @@ def cosine_topk_ivf_portable(spark, sf_dir):
     from ..operators.clustering import kmeans_fixed_point
     from ..operators.similarity import _cosine_pre, _self_dot
 
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     labels = kmeans_fixed_point(
         emb, k=_KMEANS_K, iters=_KMEANS_ITERS
     ).select("vec_id", "cluster")
@@ -1659,7 +1659,7 @@ def _mmr_sql() -> str:
 
 @query("X3_mmr_rerank", _mmr_sql())
 def mmr_rerank(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     from ..operators.similarity import cosine_topk
 
     queries = emb.filter(F.col("vec_id") < _MMR_QUERIES)
@@ -2187,7 +2187,7 @@ def cosine_topk_ivfpq_portable(spark, sf_dir):
     from ..operators.similarity import _DOT, _cosine_pre, _self_dot
 
     sd = _PQ_SUB
-    emb = load(spark, sf_dir, "embeddings", scan_parallel=True)
+    emb = load(spark, sf_dir, "embeddings", scan_parallel="vector")
     labels = (
         kmeans_fixed_point(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
         .select("vec_id", "cluster")
