@@ -279,11 +279,25 @@ def lsh_topk(
     qs = sig_table(queries, "query")
     cs = sig_table(corpus, "neighbor")
     if wide:
-        candidates = (
-            qs.join(cs, ["table", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
+        # Score BEFORE the duplicate drop: a pair colliding in t tables
+        # scores t times (identical fold over identical vectors → the
+        # duplicates are bit-identical, so dropDuplicates keeps the same
+        # result), but the dedup exchange then carries 24-byte
+        # (query_id, neighbor_id, cosine) rows instead of two 64-double
+        # vectors + norms per row — ~40× fewer shuffle bytes for ≤
+        # n_tables× redundant map-side cosine folds (guide §2.3: shuffle
+        # bytes are the scarce resource, map-side compute is not).
+        collided = qs.join(cs, ["table", "bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
         )
+        scored = collided.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cosine_pre("queryv", "neighborv", "_queryn", "_neighborn"),
+                round_dp,
+            ).alias("cosine"),
+        ).dropDuplicates(["query_id", "neighbor_id"])
     else:
         pairs = (
             qs.select("table", "bucket", "query_id")
@@ -305,13 +319,14 @@ def lsh_topk(
             _self_dot(vec_col).alias("_neighborn"),
         )
         candidates = pairs.join(qv, "query_id").join(cv, "neighbor_id")
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _cosine_pre("queryv", "neighborv", "_queryn", "_neighborn"), round_dp
-        ).alias("cosine"),
-    )
+        scored = candidates.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cosine_pre("queryv", "neighborv", "_queryn", "_neighborn"),
+                round_dp,
+            ).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
