@@ -698,3 +698,201 @@ def exact_quantiles_twopass(
         ]
     )
     return agg.withColumnRenamed("g", group_col)
+
+
+def percentile_cont_exact(
+    df: DataFrame,
+    value_col: str,
+    percentages: list[float],
+    n_buckets: int = 1024,
+) -> list[float]:
+    """Exact ``percentile_cont`` values (bit-identical to Spark's
+    ``F.percentile`` / DuckDB's WITHIN GROUP form) WITHOUT the sort-based
+    aggregate — the global twin of ``exact_quantiles_twopass``.
+
+    Why: ``F.percentile`` buffers one (value, count) entry per DISTINCT
+    value and merges + sorts that buffer on a single reducer. On a
+    near-continuous column the buffer is row-bounded, not domain-bounded
+    (measured r12: 583k distinct prices in 600k lineitem rows → the
+    aggregate alone ran ~4 s single-threaded, and at 100 TB it is an
+    executor OOM). Histogram refinement finds the two order statistics
+    each percentile interpolates between in three scan-bounded passes
+    (extent, fixed-width bucket counts, a window over only the target
+    buckets' rows), with driver state bounded by ``n_buckets``.
+
+    Interpolation mirrors Spark's ``PercentileBase.getPercentile``
+    EXACTLY (verified against the 4.1.2 bytecode): position =
+    (n − 1) · p; early-return when floor == ceil or the two keys are
+    equal; otherwise (higher − position) · lowerVal + (position −
+    lower) · higherVal in that IEEE operation order. Python floats are
+    the same binary64 ops, so the returned literals are bit-identical
+    to the aggregate's output (pinned by tests against F.percentile).
+
+    Returns plain Python floats (the caller embeds them as literals —
+    the bounded-model-collect pattern of ivf_train/exact_quantiles).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    v = df.select(F.col(value_col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    lo, hi, n = v.agg(
+        F.min("x"), F.max("x"), F.count(F.lit(1))
+    ).collect()[0]
+    if n == 0:
+        return [float("nan") for _ in percentages]
+    # 0-based order-statistic indices needed: floor/ceil of each position
+    positions = [float(n - 1) * p for p in percentages]
+    need: set[int] = set()
+    for pos in positions:
+        need.add(int(math.floor(pos)))
+        need.add(int(math.ceil(pos)))
+    ranks = sorted(k + 1 for k in need)  # 1-based ranks
+    if lo == hi:
+        vals = {k: lo for k in ranks}
+    else:
+        span = F.lit(hi) - F.lit(lo)
+        bucket = F.least(
+            F.floor((F.col("x") - F.lit(lo)) * n_buckets / span),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        hist = {
+            r["b"]: r["c"]
+            for r in v.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        targets = []  # (rank, bucket, offset-within-bucket)
+        cum = 0
+        b = 0
+        for k in ranks:
+            while b < n_buckets:
+                c = hist.get(b, 0)
+                if cum + c >= k:
+                    targets.append((k, b, k - cum))
+                    break
+                cum += c
+                b += 1
+        tdf = spark.createDataFrame(targets, "k long, b int, off long")
+        w = Window.partitionBy("k").orderBy("x")
+        picked = (
+            v.withColumn("b", bucket)
+            .join(F.broadcast(tdf), "b")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.col("off"))
+            .select("k", "x")
+        )
+        vals = {int(r["k"]): float(r["x"]) for r in picked.collect()}
+    out = []
+    for pos in positions:
+        lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
+        lo_v, hi_v = vals[lo_i + 1], vals[hi_i + 1]
+        if hi_i == lo_i or lo_v == hi_v:
+            out.append(lo_v)
+        else:
+            out.append((float(hi_i) - pos) * lo_v + (pos - float(lo_i)) * hi_v)
+    return out
+
+
+def percentile_cont_exact_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentages: list[float],
+    n_buckets: int = 1024,
+) -> dict:
+    """Per-group ``percentile_cont`` values via the same histogram
+    refinement as ``percentile_cont_exact`` (same bit-exact Spark
+    interpolation), for LOW-CARDINALITY group keys (driver state is
+    |groups| × n_buckets, the exact_quantiles_twopass contract).
+    Returns {group: [value per percentage]}.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("x")
+    ).filter(F.col("x").isNotNull())
+    ext = v.groupBy("g").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ext_rows = {r["g"]: (r["lo"], r["hi"], r["n"]) for r in ext.collect()}
+    # per-group 0-based interpolation positions and the 1-based ranks needed
+    positions = {
+        g: [float(n - 1) * p for p in percentages]
+        for g, (_lo, _hi, n) in ext_rows.items()
+    }
+    need = {
+        g: sorted(
+            {int(math.floor(pos)) + 1 for pos in poss}
+            | {int(math.ceil(pos)) + 1 for pos in poss}
+        )
+        for g, poss in positions.items()
+    }
+    span = F.col("hi") - F.col("lo")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) * n_buckets / span),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    vb = v.join(F.broadcast(ext), "g").withColumn("b", bucket)
+    hist: dict = {}
+    for r in vb.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c")).collect():
+        hist.setdefault(r["g"], {})[r["b"]] = r["c"]
+    targets = []
+    for g, ranks in need.items():
+        cum, b = 0, 0
+        for k in ranks:
+            while b < n_buckets:
+                c = hist.get(g, {}).get(b, 0)
+                if cum + c >= k:
+                    targets.append((g, k, b, k - cum))
+                    break
+                cum += c
+                b += 1
+    tdf = spark.createDataFrame(
+        targets,
+        schema=f"g {ext.schema['g'].dataType.simpleString()},"
+               " k long, b int, off long",
+    )
+    w = Window.partitionBy("g", "k").orderBy("x")
+    picked = (
+        vb.select("g", "x", "b")
+        .join(F.broadcast(tdf), ["g", "b"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("off"))
+        .select("g", "k", "x")
+    )
+    vals: dict = {}
+    for r in picked.collect():
+        vals.setdefault(r["g"], {})[int(r["k"])] = float(r["x"])
+    out: dict = {}
+    for g, poss in positions.items():
+        lo, hi, n = ext_rows[g]
+        res = []
+        for pos in poss:
+            lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
+            if lo == hi:
+                res.append(float(lo))
+                continue
+            lo_v, hi_v = vals[g][lo_i + 1], vals[g][hi_i + 1]
+            if hi_i == lo_i or lo_v == hi_v:
+                res.append(lo_v)
+            else:
+                res.append(
+                    (float(hi_i) - pos) * lo_v + (pos - float(lo_i)) * hi_v
+                )
+        out[g] = res
+    return out

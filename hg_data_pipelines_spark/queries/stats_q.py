@@ -41,11 +41,26 @@ from .common import load, query
     """,
 )
 def exact_percentiles(spark, sf_dir):
+    from ..operators.scale import percentile_cont_exact_grouped
+
     li = load(spark, sf_dir, "lineitem")
+    # Scan-bounded grouped percentiles (bit-identical to percentile_cont;
+    # r12, see A26/DQ5) instead of the sort-based aggregate whose
+    # distinct-value buffer is row-bounded on this near-continuous column.
+    qs = percentile_cont_exact_grouped(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+
+    def q_expr(i):
+        e = F.lit(None).cast("double")
+        for g, vals in qs.items():
+            e = F.when(F.col("l_returnflag") == g, F.lit(vals[i])).otherwise(e)
+        return e
+
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        q_expr(0).alias("p50"),
+        q_expr(1).alias("p90"),
+        q_expr(2).alias("p99"),
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
@@ -731,17 +746,23 @@ def weighted_percentiles(spark, sf_dir):
     """,
 )
 def winsorized_stats(spark, sf_dir):
+    from ..operators.scale import percentile_cont_exact
+
     li = load(spark, sf_dir, "lineitem")
-    cuts = li.agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("qlo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("qhi"),
-    )
-    wp = F.greatest("qlo", F.least("qhi", F.col("l_extendedprice")))
-    w = li.crossJoin(F.broadcast(cuts)).select(
+    # Histogram-refinement selection instead of F.percentile: the price
+    # column is near-continuous (583k distinct in 600k rows at sf0.1),
+    # so the sort-based aggregate's buffer is row-bounded and merges on
+    # one reducer (~4 s measured; an OOM at real scale). The selection
+    # is bit-identical to percentile_cont (pinned by
+    # tests/test_scale.py) and scan-bounded — guide §1.2: fix the
+    # algorithm before the constants. r12: 4.6 s → ~2 s.
+    qlo, qhi = percentile_cont_exact(li, "l_extendedprice", [0.05, 0.95])
+    wp = F.greatest(F.lit(qlo), F.least(F.lit(qhi), F.col("l_extendedprice")))
+    w = li.select(
         "l_returnflag",
         wp.alias("wp"),
-        (F.col("l_extendedprice") < F.col("qlo")).cast("bigint").alias("clo"),
-        (F.col("l_extendedprice") > F.col("qhi")).cast("bigint").alias("chi"),
+        (F.col("l_extendedprice") < F.lit(qlo)).cast("bigint").alias("clo"),
+        (F.col("l_extendedprice") > F.lit(qhi)).cast("bigint").alias("chi"),
     )
     return w.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -778,8 +799,28 @@ _A26_ACC = 10_000  # rank error 1e-4; bracket at 2e-4 for interpolation slack
     """,
 )
 def winsorized_stats_approx(spark, sf_dir):
+    from ..operators.scale import percentile_cont_exact
+
     li = load(spark, sf_dir, "lineitem")
-    eps = 2.0 / _A26_ACC
+    # Bracket slack: the sketch's declared rank error (2/acc) PLUS a
+    # 3-rank convention floor. approx_percentile returns an ACTUAL data
+    # value at its own target rank ceil(p*n) (1-based, discrete), while
+    # percentile_cont interpolates at position p*(n-1) (0-based) — the
+    # two conventions diverge by up to ~2.5 ranks independent of the
+    # sketch error, so at tiny n a pure 2/acc bracket spans less than
+    # one rank and excludes every raw value — a latent sf0.001 failure
+    # inherited at r12 round start (pre-existing, reproduced on the
+    # unmodified tree). At any real n the 2/acc term dominates
+    # (3/n < 1e-5 past 300k rows) and the declared contract is unchanged.
+    n = li.count()
+    eps = 2.0 / _A26_ACC + 3.0 / max(n, 1)
+    # exact bracket bounds via scan-bounded selection (bit-identical to
+    # F.percentile — r12, see A26); the sketch under test stays in the agg
+    lo_min, lo_max, hi_min, hi_max = percentile_cont_exact(
+        li,
+        "l_extendedprice",
+        [max(0.0, 0.05 - eps), 0.05 + eps, 0.95 - eps, min(1.0, 0.95 + eps)],
+    )
     cuts = li.agg(
         F.expr(
             f"approx_percentile(l_extendedprice, 0.05, {_A26_ACC})"
@@ -787,10 +828,10 @@ def winsorized_stats_approx(spark, sf_dir):
         F.expr(
             f"approx_percentile(l_extendedprice, 0.95, {_A26_ACC})"
         ).alias("a_hi"),
-        F.percentile("l_extendedprice", F.lit(max(0.0, 0.05 - eps))).alias("lo_min"),
-        F.percentile("l_extendedprice", F.lit(0.05 + eps)).alias("lo_max"),
-        F.percentile("l_extendedprice", F.lit(0.95 - eps)).alias("hi_min"),
-        F.percentile("l_extendedprice", F.lit(min(1.0, 0.95 + eps))).alias("hi_max"),
+        F.lit(lo_min).alias("lo_min"),
+        F.lit(lo_max).alias("lo_max"),
+        F.lit(hi_min).alias("hi_min"),
+        F.lit(hi_max).alias("hi_max"),
     )
     lo_bad = (F.col("a_lo") < F.col("lo_min")) | (F.col("a_lo") > F.col("lo_max"))
     hi_bad = (F.col("a_hi") < F.col("hi_min")) | (F.col("a_hi") > F.col("hi_max"))

@@ -1075,3 +1075,57 @@ class TestExactQuantilesTwopass:
         # the full relation is never range-shuffled for ordering — only
         # the ~n/n_buckets candidate slice hits the window's hash exchange
         assert "Exchange rangepartitioning" not in plan
+
+
+class TestPercentileContExact:
+    """percentile_cont_exact / _grouped must be BIT-identical to Spark's
+    sort-based F.percentile aggregate (which itself hash-matches DuckDB's
+    percentile_cont) — the r12 replacement for the row-bounded
+    distinct-value buffer on near-continuous columns."""
+
+    def test_global_bit_equal_to_f_percentile(self, spark):
+        from hg_data_pipelines_spark.operators.scale import (
+            percentile_cont_exact,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        ps = [0.0, 0.05, 0.37, 0.5, 0.95, 1.0]
+        ref = li.agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(p)).alias(f"p{i}")
+                for i, p in enumerate(ps)
+            ]
+        ).collect()[0]
+        got = percentile_cont_exact(li, "l_extendedprice", ps)
+        for i in range(len(ps)):
+            assert got[i] == ref[f"p{i}"], (ps[i], got[i], ref[f"p{i}"])
+        # heavy-ties column exercises the equal-keys early return
+        ref_q = li.agg(
+            F.percentile("l_quantity", F.lit(0.37)).alias("q")
+        ).collect()[0]["q"]
+        assert percentile_cont_exact(li, "l_quantity", [0.37])[0] == ref_q
+
+    def test_grouped_bit_equal_to_f_percentile(self, spark):
+        from hg_data_pipelines_spark.operators.scale import (
+            percentile_cont_exact_grouped,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        ps = [0.5, 0.9, 0.99]
+        ref = {
+            r["l_returnflag"]: [r["p0"], r["p1"], r["p2"]]
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                *[
+                    F.percentile("l_extendedprice", F.lit(p)).alias(f"p{i}")
+                    for i, p in enumerate(ps)
+                ]
+            )
+            .collect()
+        }
+        got = percentile_cont_exact_grouped(
+            li, "l_returnflag", "l_extendedprice", ps
+        )
+        assert set(got) == set(ref)
+        for g in ref:
+            assert got[g] == ref[g], (g, got[g], ref[g])
