@@ -179,34 +179,22 @@ def benford_first_digit(spark, sf_dir):
     """,
 )
 def mad_outliers(spark, sf_dir):
-    from ..operators.scale import percentile_cont_exact_grouped
-
     li = load(spark, sf_dir, "lineitem")
-    # Grouped medians via histogram-refinement selection instead of the
-    # sort-based F.percentile aggregate: the price (and deviation) column
-    # is near-continuous, so the aggregate's per-group distinct-value
-    # buffer is row-bounded and single-reducer-merged (guide §5); the
-    # selection is bit-identical to percentile_cont (r12, pinned by
-    # tests/test_scale.py) and scan-bounded. The 3-entry group maps
-    # come back as literal CASE branches — same bounded-model-collect
-    # contract as exact_quantiles_twopass.
-    med = percentile_cont_exact_grouped(
-        li, "l_returnflag", "l_extendedprice", [0.5]
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
     )
-    m_expr = F.lit(None).cast("double")
-    for g, (v,) in med.items():
-        m_expr = F.when(F.col("l_returnflag") == g, F.lit(v)).otherwise(m_expr)
-    dev_df = li.select(
-        "l_returnflag",
-        F.abs(F.col("l_extendedprice") - m_expr).alias("dev"),
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("m")), F.lit(0.5)
+            ).alias("mad")
+        )
     )
-    mad = percentile_cont_exact_grouped(dev_df, "l_returnflag", "dev", [0.5])
-    mad_expr = F.lit(None).cast("double")
-    for g, (v,) in mad.items():
-        mad_expr = F.when(F.col("l_returnflag") == g, F.lit(v)).otherwise(mad_expr)
     return (
-        li.withColumn("m", m_expr)
-        .withColumn("mad", mad_expr)
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(dev), "l_returnflag")
         .filter(
             F.abs(F.col("l_extendedprice") - F.col("m"))
             > 1.8 * F.col("mad")

@@ -1405,33 +1405,18 @@ def ratio_to_report(spark, sf_dir):
     """,
 )
 def median_absolute_deviation(spark, sf_dir):
-    from ..operators.scale import percentile_cont_exact_grouped
-
     li = load(spark, sf_dir, "lineitem")
-    # Scan-bounded grouped medians (bit-identical to percentile_cont)
-    # instead of two sort-based F.percentile aggregates over a
-    # near-continuous column — see DQ5_mad_outliers for the rationale.
-    med = percentile_cont_exact_grouped(
-        li, "l_returnflag", "l_extendedprice", [0.5]
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
     )
-    m_expr = F.lit(None).cast("double")
-    for g, (v,) in med.items():
-        m_expr = F.when(F.col("l_returnflag") == g, F.lit(v)).otherwise(m_expr)
-    dev_df = li.select(
-        "l_returnflag",
-        F.abs(F.col("l_extendedprice") - m_expr).alias("dev"),
-    )
-    mad = percentile_cont_exact_grouped(dev_df, "l_returnflag", "dev", [0.5])
-    mad_expr = F.lit(None).cast("double")
-    for g, (v,) in mad.items():
-        mad_expr = F.when(F.col("l_returnflag") == g, F.lit(v)).otherwise(mad_expr)
     return (
-        li.select("l_returnflag")
-        .distinct()
-        .select(
-            "l_returnflag",
-            m_expr.alias("median_price"),
-            mad_expr.alias("mad"),
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("m").alias("median_price"),
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("m")), F.lit(0.5)
+            ).alias("mad"),
         )
     )
 
