@@ -1397,8 +1397,13 @@ def graph_beam_search(
         .crossJoin(F.broadcast(seeds))
         .select("query_id", "node_id")
     )
+    # qv is embedded under a broadcast build EVERY round (the scoring
+    # join); eager-checkpoint it once so each round's build reads the
+    # materialized |Q|-row relation instead of re-running the query-side
+    # scan + norm fold (r12 — same rationale as cv/e above).
+    qv = qv.localCheckpoint(eager=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "node_id")
-    for _ in range(rounds):
+    for r in range(rounds):
         frontier = (
             F.broadcast(beam_df.select("query_id", "node_id"))
             .join(e, F.col("node_id") == F.col("_src"))
@@ -1426,12 +1431,15 @@ def graph_beam_search(
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)
             .select("query_id", "node_id", "cosine")
-            # eager: the next round embeds this under TWO broadcast
-            # builds (frontier + scoring), and a lazy checkpoint would
-            # re-execute the round's joins once per build — measured at
-            # 10x, all-eager is 30.7s vs 38.3s beam-lazy vs 67s all-lazy
-            .localCheckpoint(eager=True)
         )
+        # eager: the NEXT round embeds this under TWO broadcast builds
+        # (frontier + scoring), and a lazy checkpoint would re-execute
+        # the round's joins once per build — measured at 10x, all-eager
+        # is 30.7s vs 38.3s beam-lazy vs 67s all-lazy. The LAST round's
+        # beam is consumed exactly once (the final top-k), so its
+        # checkpoint job is pure overhead and is skipped (r12).
+        if r < rounds - 1:
+            beam_df = beam_df.localCheckpoint(eager=True)
     return (
         beam_df.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
