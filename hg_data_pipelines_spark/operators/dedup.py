@@ -334,83 +334,113 @@ def connected_components(
     document in a component is a duplicate cluster, keyed by the
     component's minimum node id (deterministic).
 
-    Distributed min-label propagation: each iteration every node takes the
-    minimum label among itself and its neighbors — one shuffle per
-    iteration, converging in O(diameter) rounds. Near-dup clusters have
-    tiny diameters (docs similar to a common template are mutually
-    paired), so 3-5 rounds typically suffice; ``max_iter`` bounds
-    pathological chains. Lineage is truncated per round (localCheckpoint,
-    or reliable ``checkpoint()`` when ``checkpoint_dir`` is given) so the
-    plan does not grow exponentially.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the edge set itself is
+    contracted toward a star forest whose centers are the component
+    minima, converging in O(log) rounds instead of min-label
+    propagation's O(diameter) — sorted-neighborhood chains measured 10
+    rounds at sf0.1 and grow with data; this shape stays flat.  Per
+    round and per node u over the current undirected neighborhood Γ(u)
+    with m = min(Γ(u) ∪ {u}):
 
-    The convergence probe rides the label table itself: the update
-    aggregation keeps each node's previous label as ``old_comp`` in the
-    same result, so "did anything change" is a filter-count over that
-    table — and because the count scans EVERY partition, it doubles as
-    the materializing action for a lazy localCheckpoint: one Spark job
-    per round total, not separate checkpoint + probe jobs. (A LIMIT-1
-    probe would be cheaper per se but can short-circuit partitions,
-    leaving the checkpoint incomplete; reliable ``checkpoint()`` mode is
-    eager by contract, so there the probe is a cached scan. A
-    two-hop-per-checkpoint variant was measured SLOWER: without the
-    intermediate checkpoint the inner hop's subtree is referenced twice
-    by the outer hop and re-evaluates.)
+    - LARGE-STAR rewires every neighbor LARGER than u to m (each canonical
+      edge is rewritten once, through its smaller endpoint's m; output
+      rows = input rows);
+    - SMALL-STAR rewires u and its smaller neighbors to m (each edge is
+      keyed by its larger endpoint; again rows in = rows out).
 
-    At much larger diameters, the alternating large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce") drops
-    rounds to O(log n); the per-round join shape below is its building
-    block.
+    Both steps only ever replace an edge endpoint by something ≤ it, and
+    after canonicalisation every edge keeps src > dst, so the fixed point
+    is exactly the star forest rooted at component minima — the same
+    (node, min-id) labeling the previous min-label implementation
+    produced. Convergence is detected EXACTLY: each emitted edge carries
+    a "rewired?" flag and a round with zero rewires is the fixed point
+    (a fixed-point round is also provably reached — each step strictly
+    decreases the sum of edge endpoints until stable).
+
+    Per-round shape: both star steps reduce to per-NODE minima (m for
+    large-star; the small-star group min m2 follows from m), so a round
+    is two map-side-combinable aggregations — their shuffles carry one
+    row per node per map partition, never the edges — plus two equi-joins
+    of the edge table against those |V|-bounded min tables. AQE picks the
+    join strategy: at fixture scale the min tables broadcast and the edge
+    rows NEVER shuffle inside a round; at 100 TB they become shuffled
+    joins — the same two-exchanges-per-round cost as the textbook
+    groupBy-emit formulation, but with the map-side combine and without
+    a sort, and high-degree hubs never pass through any collected
+    neighbor list (§2 skew). Lineage is truncated once per round (lazy
+    localCheckpoint whose materializing action IS the convergence count
+    — one Spark job per round; reliable ``checkpoint()`` when
+    ``checkpoint_dir`` is given). Self-loop-only nodes re-enter as
+    singletons at label extraction; the input relation is consumed
+    exactly once (the canonical projection is what gets checkpointed).
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # Pre-partition the (static) edge table on the join key once, so each
-    # round's join reuses this exchange and only the (changing) label side
-    # shuffles.
-    und = und.repartition(F.col("a")).localCheckpoint(eager=False)
-    # Fused round 1: with identity initial labels the first hop's join is
-    # redundant — every node's round-1 label is min(self, neighbors),
-    # computable in the SAME aggregation that would otherwise just build
-    # the distinct node list. Saves one full shuffle+checkpoint round.
-    ext = (
-        und.groupBy(F.col("a").alias("node"))
-        .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("comp"))
-        .withColumn("old_comp", F.col("node"))
-    )
-    ext, changed = _cut_and_probe(ext, checkpoint_dir)
-    labels = ext.select("node", "comp")
-    if changed == 0:
-        return labels
-    for _ in range(max_iter - 1):
-        # Neighbor label propagation + min-label update + previous label in
-        # ONE shuffle: joined contributions (b takes a's label) union the
-        # current labels (self + is_old marker), then a single groupBy
-        # computes the new min label AND recovers the old one (every node
-        # has exactly one is_old row — labels is keyed by node). A separate
-        # per-neighbor pre-aggregation would be a second full shuffle;
-        # Spark's partial (map-side) aggregation already provides the
-        # combine step.
-        contrib = und.join(labels, und["a"] == labels["node"]).select(
-            F.col("b").alias("node"), "comp", F.lit(False).alias("is_old")
+    e0 = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).localCheckpoint(eager=False)
+    loops = e0.filter(F.col("u") == F.col("v")).select("u")
+    e = e0.filter(F.col("u") != F.col("v"))
+    for _ in range(max_iter):
+        # per-node large-star target m = min(Γ(u) ∪ {u}) over BOTH edge
+        # directions: one partial-aggregated groupBy over the symmetric
+        # view (the union is two scans of the checkpointed edges, not a
+        # shuffle; the shuffle carries per-map-partition node minima).
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        ext = (
-            labels.select("node", "comp", F.lit(True).alias("is_old"))
-            .union(contrib)
-            .groupBy("node")
-            .agg(
-                F.min("comp").alias("comp"),
-                F.min(F.when(F.col("is_old"), F.col("comp"))).alias("old_comp"),
-            )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
         )
-        ext, changed = _cut_and_probe(ext, checkpoint_dir)
-        labels = ext.select("node", "comp")
+        # large-star: canonical edge (a, b), a > b, is rewritten through
+        # its smaller endpoint's m to (a, m(b)) — still canonical because
+        # m(b) <= b < a. chg flags a genuine rewire (m(b) != b).
+        ls = e.join(
+            mins.select(F.col("u").alias("v"), "m"), "v"
+        ).select(
+            "u",
+            F.col("m").alias("v"),
+            (F.col("m") != F.col("v")).alias("chg"),
+        )
+        # small-star: group key = the larger endpoint u of the LS output;
+        # all members v < u, so the group min m2 needs no least(·, u).
+        # The member row carrying the min re-emits (u, m2) — keeping u
+        # attached — every other member is rewired to m2. Duplicate
+        # member rows only duplicate emissions: row count is invariant
+        # across rounds, never amplified.
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m2"))
+        ss = ls.join(m2, "u").select(
+            F.when(F.col("v") == F.col("m2"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("nu"),
+            F.col("m2").alias("nv"),
+            (F.col("chg") | (F.col("v") != F.col("m2"))).alias("chg"),
+        ).select(F.col("nu").alias("u"), F.col("nv").alias("v"), "chg")
+        ss, changed = _cut_and_probe(ss, checkpoint_dir, F.col("chg"))
+        e = ss.select("u", "v")
         if changed == 0:
             break
-    return labels
+    # star forest -> labels: children from the edges, centers map to
+    # themselves, self-loop singletons rejoin; the min-agg collapses
+    # duplicate child edges (and is a no-op bystander at the fixed point).
+    # Lazily checkpointed so multi-consumer callers (incremental fold,
+    # representative picks) read the label TABLE, not a re-run of the
+    # extraction aggregate — the same contract the min-label
+    # implementation's checkpointed iterate provided.
+    nodes = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+        .union(loops.select(F.col("u").alias("node"), F.col("u").alias("comp")))
+    )
+    labels = nodes.groupBy("node").agg(F.min("comp").alias("comp"))
+    if checkpoint_dir is None:
+        return labels.localCheckpoint(eager=False)
+    return _truncate_lineage(labels, checkpoint_dir)
 
 
-def _cut_and_probe(ext: DataFrame, checkpoint_dir: str | None):
-    """Truncate the label table's lineage AND count changed nodes in one
-    Spark job (min-label is monotone: comp < old_comp iff changed).
+def _cut_and_probe(df: DataFrame, checkpoint_dir: str | None, changed_pred):
+    """Truncate a fixed-point iterate's lineage AND count rows matching
+    ``changed_pred`` in one Spark job.
 
     Local mode: lazy localCheckpoint + full-scan count — the count
     materializes every partition, completing the checkpoint as a side
@@ -418,11 +448,11 @@ def _cut_and_probe(ext: DataFrame, checkpoint_dir: str | None):
     probe is a scan of already-checkpointed data.
     """
     if checkpoint_dir is None:
-        ext = ext.localCheckpoint(eager=False)
+        df = df.localCheckpoint(eager=False)
     else:
-        ext = _truncate_lineage(ext, checkpoint_dir)
-    changed = ext.filter(F.col("comp") < F.col("old_comp")).count()
-    return ext, changed
+        df = _truncate_lineage(df, checkpoint_dir)
+    changed = df.filter(changed_pred).count()
+    return df, changed
 
 
 def connected_components_incremental(
