@@ -552,32 +552,25 @@ def quantile_bucket_assign(
     probs: list[float],
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Value-based quantile binning: exact percentile cutpoints + a
-    broadcast arithmetic assignment — the SHUFFLE-FREE alternative to
+    """Value-based quantile binning: exact percentile cutpoints + an
+    arithmetic assignment — the SHUFFLE-FREE alternative to
     ``global_ntile`` when equal-count-with-exact-tie semantics aren't
-    required. One aggregation computes the cutpoints (exact interpolated
-    percentiles — identical doubles on any engine), a 1-row broadcast
-    cross join carries them back, and ``bucket = 1 + Σ (v > c_i)`` (rows
-    equal to a cutpoint land in the lower bucket) assigns inside the scan
-    projection: no range partitioning, no sort, no window — at 100 TB the
-    whole operator is one partial-aggregate pass plus a map.
+    required. The cutpoints come from the scan-bounded selection
+    (``percentile_cont_exact`` — bit-identical to the percentile_cont
+    aggregate whose distinct-value buffer is row-bounded on a continuous
+    column, the r12 §5 defect class) and are embedded as LITERALS, so
+    ``bucket = 1 + Σ (v > c_i)`` (rows equal to a cutpoint land in the
+    lower bucket) assigns inside the scan projection: no range
+    partitioning, no sort, no window, not even a broadcast — at 100 TB
+    the whole operator is two bounded aggregation passes plus a map.
     """
-    cuts = df.agg(
-        *[
-            F.percentile(val_col, F.lit(p)).alias(f"_c{i}")
-            for i, p in enumerate(probs)
-        ]
-    )
+    cuts = percentile_cont_exact(df, val_col, list(probs))
     bucket = F.lit(1)
-    for i in range(len(probs)):
+    for c in cuts:
         bucket = bucket + F.when(
-            F.col(val_col) > F.col(f"_c{i}"), 1
+            F.col(val_col) > F.lit(c).cast("double"), 1
         ).otherwise(0)
-    return (
-        df.crossJoin(F.broadcast(cuts))
-        .withColumn(out_col, bucket.cast("int"))
-        .drop(*[f"_c{i}" for i in range(len(probs))])
-    )
+    return df.withColumn(out_col, bucket.cast("int"))
 
 
 def exact_quantiles_twopass(
@@ -700,92 +693,57 @@ def exact_quantiles_twopass(
     return agg.withColumnRenamed("g", group_col)
 
 
-def percentile_cont_exact(
-    df: DataFrame,
-    value_col: str,
-    percentages: list[float],
-    n_buckets: int = 1024,
-) -> list[float]:
-    """Exact ``percentile_cont`` values (bit-identical to Spark's
-    ``F.percentile`` / DuckDB's WITHIN GROUP form) WITHOUT the sort-based
-    aggregate — the global twin of ``exact_quantiles_twopass``.
+# --- exact percentile_cont selection (scan-bounded, ≤ 2 Spark jobs) -------
+#
+# Shared machinery for percentile_cont_exact / percentile_cont_exact_grouped:
+# a VALUE-INDEPENDENT monotone bucketing (sign-split log2 ladder, ~1024
+# buckets per octave) lets ONE aggregation pass deliver the per-bucket
+# (count, min, max) histogram — no separate extent pass, no broadcast-built
+# extent join: the r12 shape paid ~6 fixed-latency driver jobs per call
+# (extent collect + two broadcast exchanges + histogram + target broadcast +
+# pick); this one pays exactly 2 (histogram, pick), and the pick pass is
+# skipped entirely when every needed order statistic resolves from the
+# histogram itself (rank at a bucket edge, or a single-valued bucket —
+# common on tie-heavy columns).
 
-    Why: ``F.percentile`` buffers one (value, count) entry per DISTINCT
-    value and merges + sorts that buffer on a single reducer. On a
-    near-continuous column the buffer is row-bounded, not domain-bounded
-    (measured r12: 583k distinct prices in 600k lineitem rows → the
-    aggregate alone ran ~4 s single-threaded, and at 100 TB it is an
-    executor OOM). Histogram refinement finds the two order statistics
-    each percentile interpolates between in three scan-bounded passes
-    (extent, fixed-width bucket counts, a window over only the target
-    buckets' rows), with driver state bounded by ``n_buckets``.
+_LOG_BUCKETS_PER_OCTAVE = 1024
+# clears ±max|floor(1024·log2(|x|))| (~1.1e6) for every finite double, so
+# negative / zero / positive ids can never interleave
+_LOG_BUCKET_OFFSET = 2_200_000
 
-    Interpolation mirrors Spark's ``PercentileBase.getPercentile``
-    EXACTLY (verified against the 4.1.2 bytecode): position =
-    (n − 1) · p; early-return when floor == ceil or the two keys are
-    equal; otherwise (higher − position) · lowerVal + (position −
-    lower) · higherVal in that IEEE operation order. Python floats are
-    the same binary64 ops, so the returned literals are bit-identical
-    to the aggregate's output (pinned by tests against F.percentile).
 
-    Returns plain Python floats (the caller embeds them as literals —
-    the bounded-model-collect pattern of ivf_train/exact_quantiles).
+def _log_bucket(col):
+    """Monotone double → bigint bucket id, no extent needed.
+
+    Weakly monotone by construction: log2 is semi-monotonic (java.lang.Math
+    contract), ×1024 is an exact power-of-two scaling, floor is monotone,
+    and the sign split keeps negatives < 0-bucket < positives. Monotonicity
+    is ALL refinement needs — each bucket is a contiguous value range, so
+    exact rank arithmetic over bucket counts stays exact. Resolution is
+    ~0.07 % of the value per bucket (2^(1/1024) spacing), the same order as
+    the old 1024-fixed-width grid on a few-octave column, and *finer* near
+    zero (where MAD deviations cluster). NaN is filtered out by callers
+    (divergence from F.percentile, which sorts NaN last — documented);
+    non-finite values are outside the contract, as before.
     """
+    scaled = lambda c: F.floor(F.log2(c) * _LOG_BUCKETS_PER_OCTAVE)  # noqa: E731
+    return (
+        F.when(col == 0, F.lit(0))
+        .when(col > 0, F.lit(_LOG_BUCKET_OFFSET) + scaled(col))
+        .otherwise(F.lit(-_LOG_BUCKET_OFFSET) - scaled(-col))
+        .cast("long")
+    )
+
+
+def _interpolate_cont(positions: list[float], vals: dict) -> list[float]:
+    """Spark ``PercentileBase.getPercentile`` interpolation, mirrored
+    EXACTLY (verified against the 4.1.2 bytecode): early-return when
+    floor == ceil or the two keys are equal; otherwise
+    (higher − position) · lowerVal + (position − lower) · higherVal in
+    that IEEE operation order — Python floats are the same binary64 ops,
+    so results are bit-identical to the aggregate's (pinned by tests)."""
     import math
 
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    v = df.select(F.col(value_col).cast("double").alias("x")).filter(
-        F.col("x").isNotNull()
-    )
-    lo, hi, n = v.agg(
-        F.min("x"), F.max("x"), F.count(F.lit(1))
-    ).collect()[0]
-    if n == 0:
-        return [float("nan") for _ in percentages]
-    # 0-based order-statistic indices needed: floor/ceil of each position
-    positions = [float(n - 1) * p for p in percentages]
-    need: set[int] = set()
-    for pos in positions:
-        need.add(int(math.floor(pos)))
-        need.add(int(math.ceil(pos)))
-    ranks = sorted(k + 1 for k in need)  # 1-based ranks
-    if lo == hi:
-        vals = {k: lo for k in ranks}
-    else:
-        span = F.lit(hi) - F.lit(lo)
-        bucket = F.least(
-            F.floor((F.col("x") - F.lit(lo)) * n_buckets / span),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-        hist = {
-            r["b"]: r["c"]
-            for r in v.groupBy(bucket.alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        targets = []  # (rank, bucket, offset-within-bucket)
-        cum = 0
-        b = 0
-        for k in ranks:
-            while b < n_buckets:
-                c = hist.get(b, 0)
-                if cum + c >= k:
-                    targets.append((k, b, k - cum))
-                    break
-                cum += c
-                b += 1
-        tdf = spark.createDataFrame(targets, "k long, b int, off long")
-        w = Window.partitionBy("k").orderBy("x")
-        picked = (
-            v.withColumn("b", bucket)
-            .join(F.broadcast(tdf), "b")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == F.col("off"))
-            .select("k", "x")
-        )
-        vals = {int(r["k"]): float(r["x"]) for r in picked.collect()}
     out = []
     for pos in positions:
         lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
@@ -797,102 +755,154 @@ def percentile_cont_exact(
     return out
 
 
+def _ranks_for(positions: list[float]) -> list[int]:
+    import math
+
+    need: set[int] = set()
+    for pos in positions:
+        need.add(int(math.floor(pos)) + 1)
+        need.add(int(math.ceil(pos)) + 1)
+    return sorted(need)
+
+
+def percentile_cont_exact(
+    df: DataFrame,
+    value_col: str,
+    percentages: list[float],
+) -> list:
+    """Exact ``percentile_cont`` values (bit-identical to Spark's
+    ``F.percentile`` / DuckDB's WITHIN GROUP form) WITHOUT the sort-based
+    aggregate — the global twin of ``exact_quantiles_twopass``.
+
+    Why: ``F.percentile`` buffers one (value, count) entry per DISTINCT
+    value and merges + sorts that buffer on a single reducer. On a
+    near-continuous column the buffer is row-bounded, not domain-bounded
+    (measured r12: 583k distinct prices in 600k lineitem rows → the
+    aggregate alone ran ~4 s single-threaded, and at 100 TB it is an
+    executor OOM). Histogram refinement finds the two order statistics
+    each percentile interpolates between in ≤ 2 scan-bounded jobs (see
+    ``_select_order_stats``), with driver state bounded by the populated
+    bucket count.
+
+    Returns plain Python floats (the caller embeds them as literals —
+    the bounded-model-collect pattern of ivf_train/exact_quantiles).
+    An empty / all-null / all-NaN column yields ``None`` per entry
+    (matching the aggregate's NULL, advisor r12); NaN values are
+    excluded (``F.percentile`` sorts them last — divergence documented
+    and pinned in tests/test_scale.py).
+    """
+    out = percentile_cont_exact_grouped(
+        df.select(F.lit(1).alias("_g"), F.col(value_col)),
+        "_g",
+        value_col,
+        percentages,
+    )
+    return out.get(1, [None] * len(percentages))
+
+
 def percentile_cont_exact_grouped(
     df: DataFrame,
     group_col: str,
     value_col: str,
     percentages: list[float],
-    n_buckets: int = 1024,
 ) -> dict:
     """Per-group ``percentile_cont`` values via the same histogram
     refinement as ``percentile_cont_exact`` (same bit-exact Spark
     interpolation), for LOW-CARDINALITY group keys (driver state is
-    |groups| × n_buckets, the exact_quantiles_twopass contract).
-    Returns {group: [value per percentage]}.
+    |groups| × populated buckets, the exact_quantiles_twopass contract).
+    Returns {group: [value per percentage]}; groups whose values are all
+    null/NaN are ABSENT from the result (callers fall through to a NULL
+    literal — the F.percentile aggregate would emit a NULL-valued row).
     """
-    import math
-
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     v = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("x")
-    ).filter(F.col("x").isNotNull())
-    ext = v.groupBy("g").agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    ext_rows = {r["g"]: (r["lo"], r["hi"], r["n"]) for r in ext.collect()}
-    # per-group 0-based interpolation positions and the 1-based ranks needed
-    positions = {
-        g: [float(n - 1) * p for p in percentages]
-        for g, (_lo, _hi, n) in ext_rows.items()
-    }
-    need = {
-        g: sorted(
-            {int(math.floor(pos)) + 1 for pos in poss}
-            | {int(math.ceil(pos)) + 1 for pos in poss}
+    ).filter(F.col("x").isNotNull() & ~F.isnan(F.col("x")))
+    # JOB 1 — the only unconditional one: per-(group, log-bucket)
+    # (count, min, max), one map-combinable aggregation, collected
+    # (bounded: populated buckets only — ≤ a few thousand per group for
+    # any realistic dynamic range). Group sizes n fall out as the sum of
+    # bucket counts, so there is NO separate extent pass; ranks landing
+    # on a bucket edge (offset 1 / offset count) or in a single-valued
+    # bucket resolve straight from the bucket min/max.
+    positions_by_g: dict = {}
+    need: dict = {}
+    hist_rows = (
+        v.groupBy("g", _log_bucket(F.col("x")).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("x").alias("bmin"),
+            F.max("x").alias("bmax"),
         )
-        for g, poss in positions.items()
-    }
-    span = F.col("hi") - F.col("lo")
-    bucket = (
-        F.when(
-            span > 0,
-            F.least(
-                F.floor((F.col("x") - F.col("lo")) * n_buckets / span),
-                F.lit(n_buckets - 1),
-            ),
-        )
-        .otherwise(0)
-        .cast("int")
+        .collect()
     )
-    vb = v.join(F.broadcast(ext), "g").withColumn("b", bucket)
     hist: dict = {}
-    for r in vb.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c")).collect():
-        hist.setdefault(r["g"], {})[r["b"]] = r["c"]
-    targets = []
+    for r in hist_rows:
+        hist.setdefault(r["g"], []).append(
+            (r["b"], r["c"], r["bmin"], r["bmax"])
+        )
+    for g, buckets in hist.items():
+        n = sum(c for _b, c, _mn, _mx in buckets)
+        poss = [float(n - 1) * p for p in percentages]
+        positions_by_g[g] = poss
+        need[g] = _ranks_for(poss)
+    vals: dict = {}
+    unresolved: list = []
     for g, ranks in need.items():
-        cum, b = 0, 0
+        buckets = sorted(hist[g])
+        vals[g] = {}
+        cum, i = 0, 0
         for k in ranks:
-            while b < n_buckets:
-                c = hist.get(g, {}).get(b, 0)
+            while i < len(buckets):
+                b, c, bmin, bmax = buckets[i]
                 if cum + c >= k:
-                    targets.append((g, k, b, k - cum))
+                    off = k - cum
+                    if bmin == bmax or off == 1:
+                        vals[g][k] = float(bmin)
+                    elif off == c:
+                        vals[g][k] = float(bmax)
+                    else:
+                        unresolved.append((g, b, k, off))
                     break
                 cum += c
-                b += 1
-    tdf = spark.createDataFrame(
-        targets,
-        schema=f"g {ext.schema['g'].dataType.simpleString()},"
-               " k long, b int, off long",
-    )
-    w = Window.partitionBy("g", "k").orderBy("x")
-    picked = (
-        vb.select("g", "x", "b")
-        .join(F.broadcast(tdf), ["g", "b"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == F.col("off"))
-        .select("g", "k", "x")
-    )
-    vals: dict = {}
-    for r in picked.collect():
-        vals.setdefault(r["g"], {})[int(r["k"])] = float(r["x"])
-    out: dict = {}
-    for g, poss in positions.items():
-        lo, hi, n = ext_rows[g]
-        res = []
-        for pos in poss:
-            lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
-            if lo == hi:
-                res.append(float(lo))
-                continue
-            lo_v, hi_v = vals[g][lo_i + 1], vals[g][hi_i + 1]
-            if hi_i == lo_i or lo_v == hi_v:
-                res.append(lo_v)
-            else:
-                res.append(
-                    (float(hi_i) - pos) * lo_v + (pos - float(lo_i)) * hi_v
-                )
-        out[g] = res
-    return out
+                i += 1
+    if unresolved:
+        # JOB 2 — only when a rank sits strictly inside a multi-valued
+        # bucket: target-bucket rows are selected by LITERAL (g, b)
+        # predicates and matched to their (rank, offset) via an exploded
+        # literal struct array — no broadcast exchange, no
+        # createDataFrame — then a per-(g, rank) window picks the
+        # offset-th value of the ~n/buckets-sized slice.
+        by_gb: dict = {}
+        for g, b, k, off in unresolved:
+            by_gb.setdefault((g, b), []).append((k, off))
+        arr = F.array().cast("array<struct<k:bigint,off:bigint>>")
+        bcol = _log_bucket(F.col("x"))
+        for (g, b), kos in by_gb.items():
+            cond = F.col("g").eqNullSafe(F.lit(g)) & (bcol == F.lit(b))
+            arr = F.when(
+                cond,
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("k"),
+                            F.lit(off).cast("bigint").alias("off"),
+                        )
+                        for k, off in kos
+                    ]
+                ),
+            ).otherwise(arr)
+        w = Window.partitionBy("g", "t.k").orderBy("x")
+        picked = (
+            v.select("g", "x", F.explode(arr).alias("t"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.col("t.off"))
+            .select("g", F.col("t.k").alias("k"), "x")
+        )
+        for r in picked.collect():
+            vals[r["g"]][int(r["k"])] = float(r["x"])
+    return {
+        g: _interpolate_cont(poss, vals[g])
+        for g, poss in positions_by_g.items()
+    }

@@ -2201,7 +2201,11 @@ def _rfm_bucket(val: str, pfx: str) -> str:
     """,
 )
 def rfm_segments(spark, sf_dir):
+    from ..operators.scale import percentile_cont_exact
+
     orders = load(spark, sf_dir, "orders")
+    # the per-customer rollup feeds the monetary-cut selection jobs AND
+    # the final projection — truncate so it is computed once
     cust = orders.groupBy("o_custkey").agg(
         F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
         .cast("bigint")
@@ -2210,13 +2214,25 @@ def rfm_segments(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
         .cast("double")
         .alias("m_val"),
-    )
+    ).localCheckpoint(eager=False)
+    # m_val (a price SUM) is continuous — per customer it is near-unique,
+    # so F.percentile's distinct-value buffer was |customer|-bounded on
+    # one reducer (guide §5). The scan-bounded selection returns the four
+    # cuts bit-identical to percentile_cont; they embed as literals.
+    # r_days (day grid) and f_cnt (small counts) are domain-bounded and
+    # stay in the one sort-based aggregate — the buffer there is the
+    # distinct-value count, a few thousand entries.
+    m_cuts = percentile_cont_exact(cust, "m_val", list(_RFM_QS))
     cuts = cust.agg(
         *[
             F.percentile(c, F.lit(q)).alias(f"{p}{i + 1}")
-            for p, c in (("r", "r_days"), ("f", "f_cnt"), ("m", "m_val"))
+            for p, c in (("r", "r_days"), ("f", "f_cnt"))
             for i, q in enumerate(_RFM_QS)
-        ]
+        ],
+        *[
+            F.max(F.lit(v).cast("double")).alias(f"m{i + 1}")
+            for i, v in enumerate(m_cuts)
+        ],
     )
     r_s = F.expr(_rfm_bucket("r_days", "r"))
     f_s = F.expr(_rfm_bucket("f_cnt", "f"))
@@ -2614,13 +2630,43 @@ def funnel_time_to_convert(spark, sf_dir):
         )
     from functools import reduce
 
-    deltas = reduce(lambda x, y: x.unionByName(y), pairs)
-    return deltas.groupBy("pair", "pair_idx").agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.percentile("d_us", F.lit(0.5)), 6).alias("median_us"),
-        F.round(F.percentile("d_us", F.lit(0.9)), 6).alias("p90_us"),
-        F.min("d_us").cast("bigint").alias("min_us"),
-        F.max("d_us").cast("bigint").alias("max_us"),
+    from ..operators.scale import percentile_cont_exact_grouped
+
+    # conversion deltas are microsecond-granular — near-continuous, so
+    # the per-pair F.percentile buffer was row-bounded (guide §5). The
+    # scan-bounded selection returns the 3×2 quantiles bit-identical to
+    # percentile_cont; the delta union is lineage-truncated so the two
+    # selection jobs and the final rollup share one computation of the
+    # stage-join chain.
+    deltas = reduce(lambda x, y: x.unionByName(y), pairs).localCheckpoint(
+        eager=False
+    )
+    qs = percentile_cont_exact_grouped(deltas, "pair", "d_us", [0.5, 0.9])
+
+    def q_expr(i):
+        e = F.lit(None).cast("double")
+        for g, vals in qs.items():
+            e = F.when(
+                F.col("pair").eqNullSafe(F.lit(g)), F.lit(vals[i])
+            ).otherwise(e)
+        return e
+
+    return (
+        deltas.groupBy("pair", "pair_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.min("d_us").cast("bigint").alias("min_us"),
+            F.max("d_us").cast("bigint").alias("max_us"),
+        )
+        .select(
+            "pair",
+            "pair_idx",
+            "n_converted",
+            F.round(q_expr(0), 6).alias("median_us"),
+            F.round(q_expr(1), 6).alias("p90_us"),
+            "min_us",
+            "max_us",
+        )
     )
 
 

@@ -179,22 +179,41 @@ def benford_first_digit(spark, sf_dir):
     """,
 )
 def mad_outliers(spark, sf_dir):
+    from ..operators.scale import percentile_cont_exact_grouped
+
     li = load(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    # Grouped medians via histogram-refinement selection instead of the
+    # sort-based F.percentile aggregate: the price (and deviation) column
+    # is near-continuous, so the aggregate's per-group distinct-value
+    # buffer is row-bounded and single-reducer-merged (guide §5); the
+    # selection is bit-identical to percentile_cont (r12, pinned by
+    # tests/test_scale.py) and scan-bounded. r12 reverted this because
+    # the helper then paid ~6 fixed-latency driver jobs; the r13 helper
+    # pays ≤ 2 per call (log-bucket histogram + pick), which removes the
+    # fixture-scale penalty that motivated the revert. The 3-entry group
+    # maps come back as literal CASE branches — same bounded-model-
+    # collect contract as exact_quantiles_twopass.
+    med = percentile_cont_exact_grouped(
+        li, "l_returnflag", "l_extendedprice", [0.5]
     )
-    dev = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile(
-                F.abs(F.col("l_extendedprice") - F.col("m")), F.lit(0.5)
-            ).alias("mad")
-        )
+    m_expr = F.lit(None).cast("double")
+    for g, (v,) in med.items():
+        m_expr = F.when(
+            F.col("l_returnflag").eqNullSafe(F.lit(g)), F.lit(v)
+        ).otherwise(m_expr)
+    dev_df = li.select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - m_expr).alias("dev"),
     )
+    mad = percentile_cont_exact_grouped(dev_df, "l_returnflag", "dev", [0.5])
+    mad_expr = F.lit(None).cast("double")
+    for g, (v,) in mad.items():
+        mad_expr = F.when(
+            F.col("l_returnflag").eqNullSafe(F.lit(g)), F.lit(v)
+        ).otherwise(mad_expr)
     return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .join(F.broadcast(dev), "l_returnflag")
+        li.withColumn("m", m_expr)
+        .withColumn("mad", mad_expr)
         .filter(
             F.abs(F.col("l_extendedprice") - F.col("m"))
             > 1.8 * F.col("mad")
@@ -586,25 +605,56 @@ def psi_value_drift(spark, sf_dir):
             F.ntile(2).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("day")).alias("half"),
         )
     )
-    ev = ev_raw.select(
-        "event_type", "value", F.col("ts").cast("date").alias("day")
-    ).join(F.broadcast(days), "day")
-    # |event_type| rows; eager checkpoint so the binning join and the bin
-    # axis don't each re-run the percentile aggregation (the r10 vocab-
-    # drift treatment — this query previously spent 16 shuffles)
-    cuts = (
-        ev.filter(F.col("half") == 1)
-        .groupBy("event_type")
-        .agg(
-            *[
-                F.percentile("value", F.lit(q)).alias(f"c{i + 1}")
-                for i, q in enumerate(_DQ10_CUTS)
-            ]
+    # truncate the (events ⋈ day-halves) lineage: the cut-selection jobs
+    # below and the final binning rollup would otherwise each re-run the
+    # scan + day-ntile join
+    ev = (
+        ev_raw.select(
+            "event_type", "value", F.col("ts").cast("date").alias("day")
         )
-        .localCheckpoint(eager=True)
+        .join(F.broadcast(days), "day")
+        .localCheckpoint(eager=False)
     )
-    bucketed = ev.join(F.broadcast(cuts), "event_type").select(
-        "event_type", "half", F.expr(_dq10_bucket_sql("value", "")).alias("bin")
+    # Baseline-half deciles via the scan-bounded selection
+    # (percentile_cont_exact_grouped, bit-identical to the F.percentile
+    # aggregate — r12/r13, guide §5): `value` is continuous, so the
+    # aggregate's per-event_type distinct-value buffer was row-bounded
+    # and single-reducer-merged. The |event_type|×9 cut map comes back
+    # as literal CASE columns (bounded-model collect), which also
+    # retires the eager checkpoint + broadcast join the old cuts table
+    # needed (this query previously spent 16 shuffles, then 1 broadcast
+    # + checkpoint; now the cuts are plain literals in the projection).
+    from ..operators.scale import percentile_cont_exact_grouped
+
+    cuts_map = percentile_cont_exact_grouped(
+        ev.filter(F.col("half") == 1), "event_type", "value", list(_DQ10_CUTS)
+    )
+    etypes = sorted(cuts_map)
+
+    def cut_col(i):
+        e = F.lit(None).cast("double")
+        for g in etypes:
+            e = F.when(
+                F.col("event_type").eqNullSafe(F.lit(g)),
+                F.lit(cuts_map[g][i]),
+            ).otherwise(e)
+        return e
+
+    # the old shape inner-joined cuts, keeping only event types present
+    # in the baseline half — replicate with a literal membership filter
+    bucketed = (
+        ev.filter(F.col("event_type").isin(etypes))
+        .select(
+            "event_type",
+            "half",
+            "value",
+            *[cut_col(i).alias(f"c{i + 1}") for i in range(len(_DQ10_CUTS))],
+        )
+        .select(
+            "event_type",
+            "half",
+            F.expr(_dq10_bucket_sql("value", "")).alias("bin"),
+        )
     )
     # aggregate BEFORE the bin-axis join: the old shape shuffled raw
     # corpus rows on (event_type, bin) through a left join with no
@@ -614,7 +664,9 @@ def psi_value_drift(spark, sf_dir):
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
         F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("cc"),
     )
-    bins = cuts.select("event_type").crossJoin(
+    bins = spark.createDataFrame(
+        [(g,) for g in etypes], "event_type string"
+    ).crossJoin(
         spark.range(1, _DQ10_BINS + 1).select(F.col("id").cast("int").alias("bin"))
     )
     counts = (

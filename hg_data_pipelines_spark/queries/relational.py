@@ -1405,18 +1405,38 @@ def ratio_to_report(spark, sf_dir):
     """,
 )
 def median_absolute_deviation(spark, sf_dir):
+    from ..operators.scale import percentile_cont_exact_grouped
+
     li = load(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    # Scan-bounded grouped medians (bit-identical to percentile_cont)
+    # instead of two sort-based F.percentile aggregates over a
+    # near-continuous column — see DQ5_mad_outliers for the rationale
+    # and for why the r12 revert no longer applies (≤ 2 jobs per call).
+    med = percentile_cont_exact_grouped(
+        li, "l_returnflag", "l_extendedprice", [0.5]
     )
+    m_expr = F.lit(None).cast("double")
+    for g, (v,) in med.items():
+        m_expr = F.when(
+            F.col("l_returnflag").eqNullSafe(F.lit(g)), F.lit(v)
+        ).otherwise(m_expr)
+    dev_df = li.select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - m_expr).alias("dev"),
+    )
+    mad = percentile_cont_exact_grouped(dev_df, "l_returnflag", "dev", [0.5])
+    mad_expr = F.lit(None).cast("double")
+    for g, (v,) in mad.items():
+        mad_expr = F.when(
+            F.col("l_returnflag").eqNullSafe(F.lit(g)), F.lit(v)
+        ).otherwise(mad_expr)
     return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.any_value("m").alias("median_price"),
-            F.percentile(
-                F.abs(F.col("l_extendedprice") - F.col("m")), F.lit(0.5)
-            ).alias("mad"),
+        li.select("l_returnflag")
+        .distinct()
+        .select(
+            "l_returnflag",
+            m_expr.alias("median_price"),
+            mad_expr.alias("mad"),
         )
     )
 
@@ -1831,15 +1851,28 @@ def basket_cooccurrence_lift(spark, sf_dir):
     freq = items.join(
         F.broadcast(supp.filter(F.col("c") >= _BASKET_MINSUP)), "l_partkey"
     ).select("l_orderkey", "l_partkey")
-    a = freq.select(
-        "l_orderkey", F.col("l_partkey").alias("part_a")
-    )
-    b = freq.select(
-        "l_orderkey", F.col("l_partkey").alias("part_b")
+    # Pair formation by basket grouping + in-row expansion instead of the
+    # freq⋈freq self-join: the join shape paid two exchanges + two sorts
+    # into a SortMergeJoin (the aliasing of part_a/part_b made the
+    # exchanges non-reusable); grouping pays ONE exchange and expands
+    # pairs inside each basket row (dedup.pair_expansion_expr — the
+    # ngram/LSH bucket pattern). Occupancy is schema-bounded: baskets
+    # have ≤ 7 distinct parts (l_linenumber ≤ 7), so the largest
+    # materialized pair array is C(7,2) = 21 structs — no skew cap
+    # needed (r13 verdict item 5: the cap question, answered by the
+    # bound). Pair counts are identical: parts are DISTINCT within a
+    # basket (items is a DISTINCT projection), so a < b strict
+    # enumeration matches the join + filter.
+    from ..operators.dedup import pair_expansion_expr
+
+    baskets = freq.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ids")
     )
     cooc = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(F.expr(pair_expansion_expr())).alias("p"))
+        .select(
+            F.col("p.id_a").alias("part_a"), F.col("p.id_b").alias("part_b")
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
         .filter(F.col("n_cooc") >= _BASKET_MINCOOC)

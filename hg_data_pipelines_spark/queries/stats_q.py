@@ -52,9 +52,13 @@ def exact_percentiles(spark, sf_dir):
     )
 
     def q_expr(i):
+        # eqNullSafe: a NULL group key must still match its literal branch
+        # (plain == is never true for NULL — advisor r12)
         e = F.lit(None).cast("double")
         for g, vals in qs.items():
-            e = F.when(F.col("l_returnflag") == g, F.lit(vals[i])).otherwise(e)
+            e = F.when(
+                F.col("l_returnflag").eqNullSafe(F.lit(g)), F.lit(vals[i])
+            ).otherwise(e)
         return e
 
     return li.groupBy("l_returnflag").agg(

@@ -1129,3 +1129,28 @@ class TestPercentileContExact:
         assert set(got) == set(ref)
         for g in ref:
             assert got[g] == ref[g], (g, got[g], ref[g])
+
+    def test_nan_excluded_and_empty_is_none(self, spark):
+        """Pinned boundary (r12 verdict #4 / advisor): NaN values are
+        EXCLUDED from the selection (F.percentile would sort them last —
+        a documented divergence; no declared query feeds NaN), and an
+        empty/all-null column yields None (the aggregate's NULL), not
+        NaN."""
+        from hg_data_pipelines_spark.operators.scale import (
+            percentile_cont_exact,
+            percentile_cont_exact_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "x double"
+        )
+        assert percentile_cont_exact(df, "x", [0.5]) == [1.5]
+        empty = df.filter("x < 0")
+        assert percentile_cont_exact(empty, "x", [0.5]) == [None]
+        gdf = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", float("nan")), ("c", None)],
+            "g string, x double",
+        )
+        got = percentile_cont_exact_grouped(gdf, "g", "x", [0.5])
+        # all-NaN / all-null groups are absent; real groups exact
+        assert got == {"a": [1.5]}
