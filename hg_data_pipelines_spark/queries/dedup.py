@@ -1255,10 +1255,16 @@ def _gram_hits(docs):
             ).alias("gh"),
         )
     )
+    # "repeats across >= 2 documents" == min(doc_id) != max(doc_id): the
+    # count_distinct form expanded every (gh, doc_id) pair through a
+    # two-phase distinct aggregation; min/max partial-aggregates to ONE
+    # row per gh per map partition before the shuffle (§2.3) and needs a
+    # single aggregation phase. Hot grams (boilerplate) are combined
+    # map-side, so no key skews the aggregation.
     dup = (
         grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1"))
+        .filter(F.col("_d0") != F.col("_d1"))
         .select("gh")
     )
     return grams.join(dup, "gh").select("doc_id", "i")
