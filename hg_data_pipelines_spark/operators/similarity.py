@@ -1339,6 +1339,13 @@ def graph_beam_search(
     serve path: answer a query by WALKING a prebuilt kNN graph instead of
     scanning the corpus or its buckets.
 
+    Contract note (advisor r12): the returned DataFrame's lineage ends at
+    the FINAL round's joins un-checkpointed (the last beam is assumed to
+    be consumed exactly once — its checkpoint job would be pure
+    overhead). A caller that fans the result into multiple branches
+    (union/join audits) should ``localCheckpoint`` it first, or every
+    branch re-executes the final round.
+
     Semantics (deterministic, engine-replayable):
 
     - the beam starts at the ``n_seeds`` lowest-id corpus vectors

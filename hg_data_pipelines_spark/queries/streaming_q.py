@@ -236,11 +236,21 @@ class _stream_state_partitions:
 
     def __enter__(self):
         self._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            saved = int(self._saved)
+        except ValueError:
+            # conf can hold a non-numeric value on some platforms (e.g.
+            # "auto"); skip the override rather than crash the stream —
+            # advisor r12. NOTE: the override mutates the session-global
+            # conf for the stream's lifetime; queries planned CONCURRENTLY
+            # in this session would inherit it (the replay harness runs
+            # streams serially).
+            return self
         size = _dir_bytes(self._stage)
         target = max(8, -(-size // _STREAM_STATE_BYTES_PER_PARTITION))
         self._spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(min(int(self._saved), target)),
+            str(min(saved, target)),
         )
         return self
 
